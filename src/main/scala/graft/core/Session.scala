@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-driven SparkSession factory.
+  *
+  * Mirrors the reference's pattern of building the session from a flat
+  * key/value map plus an optional master URI
+  * (reference: etl/backend/spark/Helpers.scala:72-102,
+  * etl/backend/ETLSessionContext.scala:17-29) — but with defaults tuned
+  * for Spark 4 + AQE rather than hand-set shuffle sizing.
+  */
+object Session {
+
+  /** Defaults that hold from local[32] up to a large cluster: AQE handles
+    * runtime partition coalescing and skew-join splitting; the static
+    * shuffle partition count is only the pre-AQE upper bound.
+    */
+  val defaultConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    // The reference relies on permissive (non-ANSI) casts, e.g.
+    // string->int in target/GeneticConstraints.scala:58-90.
+    "spark.sql.ansi.enabled" -> "false"
+  )
+
+  def build(
+      appName: String = "graft",
+      master: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty
+  ): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    val withMaster = master.fold(b)(b.master)
+    (defaultConf ++ extraConf).foldLeft(withMaster) { case (bb, (k, v)) =>
+      bb.config(k, v)
+    }.getOrCreate()
+  }
+
+  /** Local session for tests / CLI runs. `cores` also sizes the static
+    * shuffle partition count so local runs don't pay 200-partition
+    * scheduling overhead (AQE would coalesce anyway, but the upper
+    * bound still costs task launches).
+    */
+  def local(cores: Int = 4, appName: String = "graft-local"): SparkSession =
+    build(
+      appName,
+      Some(s"local[$cores]"),
+      Map(
+        "spark.sql.shuffle.partitions" -> cores.toString,
+        "spark.ui.enabled" -> "false"
+      )
+    )
+}

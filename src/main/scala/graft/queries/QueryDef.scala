@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator slice: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet tables. Queries with `oracle = None` get a
+  * weaker rows-only check from the driver.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None
+)
+
+object QueryDef {
+  def registry(defs: Seq[QueryDef]): (
+      Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String]
+  ) = {
+    val names = defs.map(_.name)
+    require(names.distinct.size == names.size, s"duplicate query names: $names")
+    (
+      defs.map(d => d.name -> d.run).toMap,
+      defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    )
+  }
+}
+
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** DuckDB-side fragments matching ColumnKit's deterministic-aggregation
+  * recipe exactly (exact DECIMAL arithmetic -> rescale to 2dp HALF_UP ->
+  * one correctly-rounded conversion to double).
+  */
+object OracleSql {
+
+  // NB: DuckDB's decimal->decimal CAST *truncates* on scale reduction;
+  // its ROUND(decimal, n) rounds half-away-from-zero, which is exactly
+  // Spark's HALF_UP decimal rescale. Hence ROUND here, CAST on the
+  // Spark side.
+
+  /** Matches ColumnKit.decSum. */
+  def decSum(x: String): String =
+    s"CAST(ROUND(SUM(CAST(($x) AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+  /** Matches ColumnKit.decSumExpr over an exact decimal expression. */
+  def decSumExpr(e: String): String =
+    s"CAST(ROUND(SUM($e), 2) AS DOUBLE)"
+
+  /** Matches ColumnKit.revenueTerm. */
+  val revTerm: String =
+    "(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+
+  /** Matches ColumnKit.decAvg (exact sum, then one double division). */
+  def decAvg(x: String): String = s"(${decSum(x)} / COUNT(${x}))"
+}
