@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
-    RelationalQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
+      ScalarQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 

@@ -33,8 +33,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4
+      // rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+      // truncate to microseconds — the same ns->us truncation DuckDB
+      // applies when it reads the file, so both engines see identical
+      // timestamps.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn(
+        "ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+      )
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 }
 
 /** DuckDB-side fragments matching ColumnKit's deterministic-aggregation

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Window-function operator slices (SURVEY.md §2.5) plus the
+  * latest-wins dedup and HLL shapes that ride on windows in the
+  * reference.
+  *
+  * Scale notes: every partitioned window is one shuffle on its
+  * partition key. The two *global* windows below (ntile) mirror the
+  * reference's decile binning (target/GeneticConstraints.scala:47-50)
+  * — a single-partition sort that is fine for dimension-sized inputs
+  * but must become approx-percentile binning for fact-sized data; the
+  * comment marks the cutover.
+  */
+object WindowQueries {
+
+  private val D18_4 = DecimalType(18, 4)
+  private val D38_2 = DecimalType(38, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_ntile",
+      (s, dir) => {
+        // Global ntile binning (reference target/GeneticConstraints.scala:47-50).
+        // NOTE single-partition sort: correct for dimension-sized input
+        // (customer); at fact scale switch to approx_percentile cutpoints
+        // + a broadcast range lookup.
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .withColumn("tile", ntile(6).over(w))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+        NTILE(6) OVER (ORDER BY c_acctbal DESC, c_custkey) AS tile
+        FROM customer ORDER BY c_custkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_running_sum",
+      (s, dir) => {
+        // Explicit rowsBetween frame: running spend per customer.
+        // Decimal accumulation keeps the running sum bit-stable on any
+        // partitioning (see ColumnKit determinism recipe).
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            sum(col("o_totalprice").cast(D18_4)).over(w)
+              .cast(D38_2).cast(DoubleType).as("running_spent")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+          AS running_spent
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_running_collect",
+      (s, dir) => {
+        // Ordered collect over a running frame (reference
+        // literature/Processing.scala:104-110 collects over an ordered
+        // window). Total order (ts, event_id) makes the collected
+        // prefix deterministic.
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"),
+            col("event_id"),
+            array_join(collect_list(col("event_id").cast("string")).over(w), ",")
+              .as("events_so_far")
+          )
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        STRING_AGG(CAST(event_id AS VARCHAR), ',') OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far
+        FROM events ORDER BY user_id, event_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_min_disambig",
+      (s, dir) => {
+        // Two nested windows feeding a disambiguation filter (reference
+        // literature/Grounding.scala:114-129: min over two windows).
+        val wPart = Window.partitionBy(col("l_partkey"))
+        val wPartFlag = Window.partitionBy(col("l_partkey"), col("l_returnflag"))
+        Tables(s, dir, "lineitem")
+          .withColumn("first_ship", min(col("l_shipdate")).over(wPart))
+          .withColumn("min_qty_flag", min(col("l_quantity")).over(wPartFlag))
+          .filter(col("l_shipdate") === col("first_ship"))
+          .select(
+            col("l_partkey"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("first_ship"),
+            col("min_qty_flag")
+          )
+          .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, first_ship, min_qty_flag
+        FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                MIN(l_shipdate) OVER (PARTITION BY l_partkey) AS first_ship,
+                MIN(l_quantity) OVER (PARTITION BY l_partkey, l_returnflag) AS min_qty_flag
+              FROM lineitem) t
+        WHERE l_shipdate = first_ship
+        ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_rank_family",
+      (s, dir) => {
+        // row_number / percent_rank / cume_dist side by side, per
+        // nation over customer balances. percent_rank is an exact
+        // rational of two ints -> bit-identical across engines.
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, dir, "customer")
+          .select(
+            col("c_nationkey"),
+            col("c_custkey"),
+            row_number().over(w).as("rn"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume")
+          )
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+        ROW_NUMBER() OVER w AS rn,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, rn""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_tumbling_event_time",
+      (s, dir) =>
+        // Tumbling event-time window over the events stream table — the
+        // batch twin of the Structured Streaming windowed aggregation in
+        // graft.streaming (same window() semantics there with a
+        // watermark). min/max are order-independent doubles -> exact.
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")
+          )
+          .select(
+            col("w.start").as("bucket_start"),
+            col("event_type"),
+            col("n_events"),
+            col("min_value"),
+            col("max_value")
+          )
+          .orderBy("bucket_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+        COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_agg_approx_distinct_bounded",
+      (s, dir) =>
+        // HLL++ sketch (reference openfda/stage/PrepareSummaryStatistics
+        // .scala:38-46, literature/Grounding.scala:198-200 with rsd
+        // 0.01). The sketch estimate is engine-specific, so the oracle
+        // checks the *contract* — estimate within 10% of exact — which
+        // DuckDB states as a constant TRUE column.
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id"), rsd = 0.005).as("n_approx")
+          )
+          .select(
+            col("event_type"),
+            col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
+              .as("within_10pct")
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        TRUE AS within_10pct
+        FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_latest_wins",
+      (s, dir) => {
+        // Latest-version-wins dedup by max timestamp (reference
+        // literature/PreProcessing.scala:8-27), deterministic via
+        // (ts desc, event_id desc) total order. One shuffle on the
+        // dedup key; at 100 TB this is the standard
+        // row_number-over-key pattern, skew-safe under AQE.
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id""")
+    )
+  )
+}
