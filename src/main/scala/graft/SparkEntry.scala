@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
-      ScalarQueries.defs
+      ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 

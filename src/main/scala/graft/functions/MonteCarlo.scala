@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.commons.math3.distribution.BinomialDistribution
+import org.apache.commons.math3.random.Well19937c
+
+/** Seeded Monte-Carlo critical values for LLR significance filtering.
+  *
+  * Re-expresses the reference's openfda significance test
+  * (etl/backend/openfda/stage/MonteCarloSampling.scala:22-50,
+  * openfda/utils/MathUtils.scala:9-79) with commons-math3 (bundled
+  * with Spark) instead of breeze, and with a *per-group* seed so the
+  * result is deterministic regardless of task scheduling — the
+  * reference shares one global seeded RandBasis, which makes its
+  * output depend on row order within a partition.
+  *
+  * Semantics: for one target group (a drug in the reference; a
+  * supplier in our testdata analogue) with per-reaction report counts
+  * `n_i`, total group reports `n_j`, and `total` reports overall,
+  * simulate `permutations` multinomial draws of n_j reports across
+  * reactions with probabilities n_i/total, compute each draw's maximum
+  * LLR over reactions, and return the requested percentile of those
+  * maxima. An observed LLR above this critical value is significant.
+  */
+object MonteCarlo {
+
+  /** Multinomial draw via the conditional-binomial method: component j
+    * is Binomial(remaining, p_j / remaining_prob). This is the standard
+    * construction (same contract as R's rmultinom, which the reference
+    * mirrors via breeze at MathUtils.scala:46-79).
+    */
+  private def multinomialDraw(rng: Well19937c, size: Int, probs: Array[Double]): Array[Int] = {
+    val out = new Array[Int](probs.length)
+    var remaining = size
+    var remainingProb = 1.0
+    var j = 0
+    while (j < probs.length && remaining > 0) {
+      val p = if (remainingProb <= 0) 0.0 else math.min(1.0, probs(j) / remainingProb)
+      val draw =
+        if (p >= 1.0) remaining
+        else if (p <= 0.0) 0
+        else {
+          val d = new BinomialDistribution(null, remaining, p)
+          d.inverseCumulativeProbability(rng.nextDouble())
+        }
+      out(j) = draw
+      remaining -= draw
+      remainingProb -= probs(j)
+      j += 1
+    }
+    out
+  }
+
+  /** LLR of observing x of n_j group reports on a reaction with y of
+    * `total` overall reports (the per-cell formula from
+    * MathUtils.scala:29-41, algebraically identical).
+    */
+  private def cellLlr(x: Double, y: Double, nj: Double, total: Double): Double = {
+    if (x <= 0 || y <= 0 || nj - x < 0) return 0.0
+    val t1 = x * (math.log(x) - math.log(y))
+    val t2 =
+      if (nj - x == 0) 0.0
+      else (nj - x) * (math.log(nj - x) - math.log(total - y))
+    val v = t1 + t2 - nj * math.log(nj) + nj * math.log(total)
+    if (v.isNaN || v.isInfinite) 0.0 else v
+  }
+
+  /** Critical value for one group. Deterministic: the RNG is seeded
+    * from `seed` only.
+    */
+  def criticalValue(
+      permutations: Int,
+      nJ: Int,
+      nI: Seq[Long],
+      total: Int,
+      percentile: Double,
+      seed: Long
+  ): Double = {
+    if (nI.isEmpty || nJ <= 0 || total <= 0) return 0.0
+    val rng = new Well19937c(seed)
+    val probs = nI.map(_.toDouble / total).toArray
+    val maxima = new Array[Double](permutations)
+    var it = 0
+    while (it < permutations) {
+      val draw = multinomialDraw(rng, nJ, probs)
+      var best = 0.0
+      var c = 0
+      while (c < draw.length) {
+        val v = cellLlr(draw(c).toDouble, nI(c).toDouble, nJ.toDouble, total.toDouble)
+        if (v > best) best = v
+        c += 1
+      }
+      maxima(it) = best
+      it += 1
+    }
+    java.util.Arrays.sort(maxima)
+    // Linear-interpolated percentile (type-7, the R/numpy default the
+    // reference gets from breeze DescriptiveStats.percentile).
+    val h = (maxima.length - 1) * percentile
+    val lo = math.floor(h).toInt
+    val hi = math.ceil(h).toInt
+    maxima(lo) + (h - lo) * (maxima(hi) - maxima(lo))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column kit for the LLM-data-pipeline operators
+  * (tokenization, shingling, portable hashing, fingerprints).
+  *
+  * Everything is built from codegen'd higher-order array functions —
+  * no UDFs — so the hot path stays inside whole-stage codegen and the
+  * same math is expressible in ANSI-ish SQL for the DuckDB oracle.
+  *
+  * The reference's closest analogue is the Spark-NLP tokenizer chain
+  * (literature/Grounding.scala:41-104), which we re-express natively
+  * per SURVEY.md §7.3.
+  */
+object TextKit {
+
+  /** Mersenne prime 2^31-1: all polynomial hashes are mod this, so
+    * (acc*31 + code) stays well inside Long.
+    */
+  val HashP = 2147483647L
+
+  /** Whitespace tokenization with empty-token cleanup. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Word n-gram shingles (space-joined), distinct. The slice/sequence
+    * form stays codegen'd; callers must guard size(words) >= n.
+    */
+  def shingles(words: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))
+      )
+    )
+
+  /** Engine-portable polynomial string hash:
+    * fold(chars)(acc = (acc*mult + codepoint) mod P). DuckDB mirror:
+    * list_reduce(list_prepend(0, [unicode(ch) ...]), (a,c) -> (a*mult+c) % P).
+    */
+  def charHash(s: Column, mult: Int = 31): Column =
+    aggregate(
+      filter(split(s, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * mult + ascii(ch), lit(HashP))
+    )
+
+  /** 62-bit portable hash: two independent 31-bit polynomial hashes
+    * packed as h31a * 2^31 + h31b (a single 62-bit fold would overflow
+    * Long in the multiply step).
+    */
+  def charHash62(s: Column): Column =
+    charHash(s, 31) * lit(2147483648L) + charHash(s, 37)
+
+  /** One seeded affine re-hash family over a base hash, used for
+    * MinHash permutations: h_i(x) = (a_i * x + b_i) mod P with odd a_i
+    * derived from the golden-ratio multiplier. Deterministic in i.
+    */
+  def permuteHash(base: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * base + lit(b), lit(HashP))
+
+  /** Deterministic per-permutation coefficients (splitmix-style
+    * constants; any fixed odd multipliers work — these only need to be
+    * stable across runs and documented).
+    */
+  def permCoefficients(numPerms: Int): (Array[Long], Array[Long]) = {
+    val golden = 0x9e3779b97f4a7c15L
+    val a = Array.tabulate(numPerms)(i => (((i + 1) * golden) >>> 33) | 1L)
+    val b = Array.tabulate(numPerms)(i => ((i + 17) * 0xbf58476d1ce4e5b9L) >>> 33)
+    (a.map(_ % HashP), b.map(_ % HashP))
+  }
+
+  /** MinHash signature (array of numPerms longs) from an array of
+    * base-hash values. Single pass over the collected hash array —
+    * one shuffle per document set, no row blowup.
+    */
+  def minhashSignature(hashes: Column, numPerms: Int): Column = {
+    val (a, b) = permCoefficients(numPerms)
+    val aCol = typedLit(a.toSeq)
+    val bCol = typedLit(b.toSeq)
+    transform(
+      sequence(lit(0), lit(numPerms - 1)),
+      i =>
+        array_min(
+          transform(
+            hashes,
+            h => pmod(element_at(aCol, i + 1) * h + element_at(bCol, i + 1), lit(HashP))
+          )
+        )
+    )
+  }
+
+  /** LSH band keys from a signature: rows-per-band consecutive values
+    * hashed together; a pair agreeing on any band is a candidate.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => hash(lit(1), j, slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))
+    )
+}

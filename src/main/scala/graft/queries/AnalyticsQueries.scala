@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{ColumnKit, MonteCarlo}
+import graft.operators.Graph
+
+/** Composite analytical pipelines (SURVEY.md §7.1 step 4): the
+  * reference's signature algorithms — harmonic-sum relevance, the
+  * openfda log-likelihood-ratio significance test with Monte-Carlo
+  * critical values, and graph-ancestry closure — re-expressed over the
+  * testdata star schema.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_score_harmonic",
+      (s, dir) =>
+        // Harmonic-sum relevance (reference Helpers.scala:262-267,
+        // literature/Processing.scala:18-27): per part, sort the
+        // collected discounts desc and sum e_i/i^2, plus the max
+        // theoretical score for a ones-vector of the same length.
+        // Pure higher-order array functions — no UDAF, one shuffle.
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(collect_list(col("l_discount")).as("ds"))
+          .select(
+            col("l_partkey"),
+            round(ColumnKit.harmonicSum(col("ds")), 6).as("harmonic"),
+            round(ColumnKit.maxHarmonicSum(size(col("ds"))), 6).as("max_score"),
+            size(col("ds")).as("n")
+          )
+          .orderBy("l_partkey"),
+      Some("""WITH r AS (
+          SELECT l_partkey, l_discount,
+                 ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_discount DESC) AS rn
+          FROM lineitem)
+        SELECT l_partkey,
+               ROUND(SUM(l_discount / (rn*rn)), 6) AS harmonic,
+               ROUND(SUM(CAST(1 AS DOUBLE) / (rn*rn)), 6) AS max_score,
+               COUNT(*) AS n
+        FROM r GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_llr_significance",
+      (s, dir) => {
+        // The openfda 2x2 log-likelihood ratio (reference
+        // openfda/stage/PrepareForMontecarlo.scala:20-40) on the
+        // supplier x brand analogue: report=order, drug=supplier,
+        // reaction=brand. The overall report count is folded into the
+        // plan as a literal via a driver-side count — the same
+        // scalar-precompute boundary crossing the reference uses
+        // (SURVEY.md §3.4).
+        val base = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(
+            col("l_orderkey").as("report"),
+            col("l_suppkey").as("target"),
+            col("p_brand").as("reaction")
+          )
+        val total = base.select(col("report")).distinct().count()
+        val a = base.groupBy(col("target"), col("reaction"))
+          .agg(countDistinct(col("report")).as("A"))
+        val byTarget = base.groupBy(col("target"))
+          .agg(countDistinct(col("report")).as("nt"))
+        val byReaction = base.groupBy(col("reaction"))
+          .agg(countDistinct(col("report")).as("nr"))
+        a.join(byTarget, "target")
+          .join(byReaction, "reaction")
+          .withColumn("C", col("nt") - col("A"))
+          .withColumn("B", col("nr") - col("A"))
+          .withColumn("D", lit(total) - col("nt") - col("nr") + col("A"))
+          .withColumn(
+            "llr",
+            col("A") * (log(col("A")) - log(col("A") + col("B"))) +
+              col("C") * (log(col("C")) - log(col("C") + col("D"))) -
+              (col("A") + col("C")) * (log(col("A") + col("C")) -
+                log(col("A") + col("B") + col("C") + col("D")))
+          )
+          .filter(col("llr").isNotNull && !isnan(col("llr")))
+          .select(
+            col("target").as("s_suppkey"),
+            col("reaction").as("p_brand"),
+            col("A"),
+            round(col("llr"), 6).as("llr")
+          )
+          .orderBy("s_suppkey", "p_brand")
+      },
+      Some("""WITH base AS (
+          SELECT l_orderkey AS report, l_suppkey AS target, p_brand AS reaction
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        a AS (SELECT target, reaction, COUNT(DISTINCT report) AS A FROM base GROUP BY 1,2),
+        t AS (SELECT target, COUNT(DISTINCT report) AS nt FROM base GROUP BY 1),
+        r AS (SELECT reaction, COUNT(DISTINCT report) AS nr FROM base GROUP BY 1),
+        tot AS (SELECT COUNT(DISTINCT report) AS n FROM base),
+        cells AS (
+          SELECT a.target, a.reaction, A, nt - A AS C, nr - A AS B,
+                 n - nt - nr + A AS D
+          FROM a JOIN t USING (target) JOIN r USING (reaction), tot)
+        SELECT target AS s_suppkey, reaction AS p_brand, A,
+               ROUND(A*(LN(A)-LN(A+B)) + C*(LN(C)-LN(C+D))
+                     - (A+C)*(LN(A+C)-LN(A+B+C+D)), 6) AS llr
+        FROM cells
+        WHERE C > 0 AND C + D > 0
+        ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_montecarlo_significant",
+      (s, dir) => {
+        // Monte-Carlo critical-value filter (reference
+        // openfda/stage/MonteCarloSampling.scala:22-50): per supplier,
+        // simulate 100 seeded multinomial permutations of its order
+        // volume across brands, take the 95th-percentile max-LLR as the
+        // critical value, and keep (supplier, brand) cells whose
+        // observed LLR beats it. The RNG seed is the group key, so the
+        // result is deterministic on any cluster. No SQL oracle — the
+        // sampler is not expressible in ANSI SQL (driver records a
+        // rows-only check); the deterministic LLR inputs are covered by
+        // q_llr_significance.
+        val critUdf = udf { (nJ: Long, nI: Seq[Long], total: Long, seed: Long) =>
+          MonteCarlo.criticalValue(100, nJ.toInt, nI, total.toInt, 0.95, seed)
+        }
+        val base = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(
+            col("l_orderkey").as("report"),
+            col("l_suppkey").as("target"),
+            col("p_brand").as("reaction")
+          )
+        val total = base.select(col("report")).distinct().count()
+        val a = base.groupBy(col("target"), col("reaction"))
+          .agg(countDistinct(col("report")).as("A"))
+        val byTarget = base.groupBy(col("target"))
+          .agg(countDistinct(col("report")).as("nt"))
+        val byReaction = base.groupBy(col("reaction"))
+          .agg(countDistinct(col("report")).as("nr"))
+        val cells = a.join(byTarget, "target").join(byReaction, "reaction")
+          .withColumn("C", col("nt") - col("A"))
+          .withColumn("B", col("nr") - col("A"))
+          .withColumn("D", lit(total) - col("nt") - col("nr") + col("A"))
+          .withColumn(
+            "llr",
+            col("A") * (log(col("A")) - log(col("A") + col("B"))) +
+              col("C") * (log(col("C")) - log(col("C") + col("D"))) -
+              (col("A") + col("C")) * (log(col("A") + col("C")) -
+                log(col("A") + col("B") + col("C") + col("D")))
+          )
+          .filter(col("llr").isNotNull && !isnan(col("llr")))
+          // Read twice below (critical values + final filter): pin it,
+          // mirroring the reference's persist of interim results
+          // (Target.scala:154,230).
+          .persist()
+        // n_i must be collected in a deterministic order (sorted by
+        // reaction) for the seeded sampler to be reproducible — the
+        // reference's collect_list order is partition-dependent.
+        val crit = cells
+          .groupBy(col("target"))
+          .agg(
+            first(col("nt")).as("nt"),
+            sort_array(collect_list(struct(col("reaction"), col("nr")))).as("pairs")
+          )
+          .select(
+            col("target"),
+            critUdf(
+              col("nt"),
+              transform(col("pairs"), p => p.getField("nr")),
+              lit(total),
+              col("target")
+            ).as("critval")
+          )
+        cells
+          .join(crit, "target")
+          .filter(col("llr") > col("critval") && col("critval") > 0)
+          .select(
+            col("target").as("s_suppkey"),
+            col("reaction").as("p_brand"),
+            col("A").as("count"),
+            round(col("llr"), 6).as("llr"),
+            round(col("critval"), 6).as("critval")
+          )
+          .orderBy("s_suppkey", "p_brand")
+      },
+      None
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_graph_ancestry",
+      (s, dir) => {
+        // Distributed ontology-ancestry closure (replaces the
+        // reference's driver-side jgrapht closure, GraphNode.scala:44-80
+        // — see graft.operators.Graph). Synthetic DAG: partkey k has
+        // parent k div 2, a binary tree of depth ~log2(|part|); the
+        // path-doubling closure converges in ~5 rounds where the naive
+        // edge iteration would take ~15.
+        val edges = Tables(s, dir, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+        Graph.transitiveClosure(edges).orderBy("node", "ancestor")
+      },
+      Some("""WITH RECURSIVE anc(node, a) AS (
+          SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 2
+          UNION
+          SELECT node, a // 2 FROM anc WHERE a >= 2)
+        SELECT node, a AS ancestor FROM anc ORDER BY 1, 2""")
+    )
+  )
+}

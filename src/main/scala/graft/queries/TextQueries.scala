@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextKit
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * — the LLM-data-pipeline surface (builder brief): quality stats,
+  * language ID, fingerprinting, exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH near-dup, SimHash. All pure column expressions
+  * (codegen'd higher-order functions, no UDFs), each mirrored in
+  * DuckDB SQL for the oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - per-document stats are embarrassingly parallel projections;
+  *  - the Jaccard shingle self-join is the candidate-generation
+  *    pattern (join on shared shingle, group by pair) — at scale add a
+  *    document-frequency stop-list on shingles to bound fanout;
+  *  - MinHash+LSH replaces the quadratic shingle join with
+  *    O(docs x bands) bucket joins — the scale path for near-dedup;
+  *  - SimHash gives a per-doc 62-bit sketch; banding its bit-slices
+  *    yields hamming-distance candidates the same way.
+  */
+object TextQueries {
+
+  private val P = TextKit.HashP
+
+  /** DuckDB mirror of TextKit.charHash: left fold of codepoints. */
+  private def foldSql(e: String, mult: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c != ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a, c) -> (a*$mult + c) % $P)"
+
+  /** DuckDB mirror of TextKit.tokens. */
+  private val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  /** DuckDB mirror of TextKit.shingles(_, 3). */
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_stats",
+      (s, dir) => {
+        val w = TextKit.tokens(col("text"))
+        val stopLit = typedLit(stop)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), w.as("w"))
+          .select(
+            col("doc_id"),
+            size(col("w")).as("n_tokens"),
+            size(array_distinct(col("w"))).as("n_unique"),
+            size(filter(col("w"), x => array_contains(stopLit, x))).as("n_stop")
+          )
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("n_unique"),
+            round(col("n_unique") / col("n_tokens"), 6).as("ttr"),
+            round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+            round(
+              col("n_unique") / col("n_tokens") * 0.5 +
+                (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3 +
+                least(lit(1.0), col("n_tokens") / 100.0) * 0.2,
+              6
+            ).as("quality")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        c AS (SELECT doc_id, len(w) AS n_tokens,
+                len(list_distinct(w)) AS n_unique,
+                len(list_filter(w, x -> list_contains($stopSqlList, x))) AS n_stop
+              FROM t)
+        SELECT doc_id, n_tokens, n_unique,
+          ROUND(n_unique / n_tokens, 6) AS ttr,
+          ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+          ROUND(n_unique / n_tokens * 0.5 + (CAST(1 AS DOUBLE) - n_stop / n_tokens) * 0.3
+                + LEAST(CAST(1 AS DOUBLE), n_tokens / CAST(100 AS DOUBLE)) * 0.2, 6) AS quality
+        FROM c ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        // Stopword-marker language ID: occurrence count per language
+        // marker list, argmax with alphabetical tie-break. A real
+        // pipeline swaps the marker lists for char-n-gram profiles;
+        // the operator shape (per-doc scoring + deterministic argmax)
+        // is identical.
+        val markers = Map(
+          "de" -> Seq("der", "die", "das", "und", "nicht"),
+          "en" -> Seq("the", "a", "of", "and", "is"),
+          "es" -> Seq("el", "la", "los", "y", "es"),
+          "fr" -> Seq("le", "la", "les", "et", "est"),
+          "zh" -> Seq("的", "是", "了")
+        )
+        val w = TextKit.tokens(col("text"))
+        val withHits = markers.toSeq.sortBy(_._1).foldLeft(
+          Tables(s, dir, "documents").select(col("doc_id"), w.as("w"))
+        ) { case (df, (lang, ms)) =>
+          df.withColumn(
+            s"h_$lang",
+            size(filter(col("w"), x => array_contains(typedLit(ms), x)))
+          )
+        }
+        val Seq(de, en, es, fr, zh) = Seq("de", "en", "es", "fr", "zh").map(l => col(s"h_$l"))
+        withHits
+          .select(
+            col("doc_id"),
+            when(de >= en && de >= es && de >= fr && de >= zh, "de")
+              .when(en >= es && en >= fr && en >= zh, "en")
+              .when(es >= fr && es >= zh, "es")
+              .when(fr >= zh, "fr")
+              .otherwise("zh")
+              .as("pred_lang"),
+            greatest(de, en, es, fr, zh).as("n_hits")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        h AS (SELECT doc_id,
+          len(list_filter(w, x -> list_contains(['der','die','das','und','nicht'], x))) AS h_de,
+          len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+          len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS h_es,
+          len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+          len(list_filter(w, x -> list_contains(['的','是','了'], x))) AS h_zh
+          FROM t)
+        SELECT doc_id,
+          CASE
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+            WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+            WHEN h_fr >= h_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+          GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS n_hits
+        FROM h ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => {
+        val w = TextKit.tokens(col("text"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(
+            col("doc_id"),
+            md5(col("text").cast("binary")).as("md5_fp"),
+            TextKit.charHash(col("text")).as("poly_fp"),
+            array_min(transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh)))
+              .as("min_shingle_fp"),
+            array_max(transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh)))
+              .as("max_shingle_fp")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+        f AS (SELECT doc_id, text, $shinglesSql AS ss FROM t WHERE len(w) >= 3)
+        SELECT doc_id, md5(text) AS md5_fp,
+          ${foldSql("text", 31)} AS poly_fp,
+          list_min(list_transform(ss, s -> ${foldSql("s", 31)})) AS min_shingle_fp,
+          list_max(list_transform(ss, s -> ${foldSql("s", 31)})) AS max_shingle_fp
+        FROM f ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) => {
+        // Exact dedup by content hash (hash-groupBy): every doc mapped
+        // to its group's canonical (min) id. One shuffle on the
+        // 128-bit content hash — the standard first pass of any
+        // training-data dedup stack.
+        val wFp = Window.partitionBy(col("fp"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .select(
+            col("doc_id"),
+            min(col("doc_id")).over(wFp).as("canonical_id"),
+            count(lit(1)).over(wFp).as("group_size")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+          COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_jaccard_ngram",
+      (s, dir) => {
+        // Exact word-3-gram Jaccard near-dup: candidate pairs from a
+        // shared-shingle self-join, similarity = |A∩B| / |A∪B|.
+        val w = TextKit.tokens(col("text"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
+        val ex = docs.select(col("doc_id"), explode(col("ss")).as("s"))
+        val n = docs.select(col("doc_id"), size(col("ss")).as("n"))
+        val shared = ex.as("x")
+          .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+          .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+          .select(
+            col("d1"), col("d2"),
+            round(col("shared") / (col("n1.n") + col("n2.n") - col("shared")), 6).as("jaccard")
+          )
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, ROUND(shared / (n1.n + n2.n - shared), 6) AS jaccard
+        FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE ROUND(shared / (n1.n + n2.n - shared), 6) >= 0.5
+        ORDER BY d1, d2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      (s, dir) => {
+        // MinHash(128) + LSH(64 bands x 2 rows) near-dup at tau=0.8:
+        // signatures in one pass over collected shingle hashes, band
+        // buckets joined for candidates, candidates verified with the
+        // exact Jaccard — so the oracle is the exact-Jaccard SQL. Miss
+        // probability per tau-pair is (1 - 0.8^2)^64 ≈ 4e-29.
+        // This is the 100 TB dedup path: O(docs x bands) instead of
+        // the quadratic shingle join.
+        val w = TextKit.tokens(col("text"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
+          .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
+          .withColumn("sig", TextKit.minhashSignature(col("hs"), 128))
+          .withColumn("bands", TextKit.bandKeys(col("sig"), 64, 2))
+          .persist()
+        val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+        val cand = buckets.as("x")
+          .join(
+            buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id")
+          )
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), col("ss"))
+        cand
+          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+          .select(
+            col("d1"), col("d2"),
+            (size(array_intersect(col("s1.ss"), col("s2.ss"))).cast(DoubleType) /
+              (size(col("s1.ss")) + size(col("s2.ss")) -
+                size(array_intersect(col("s1.ss"), col("s2.ss"))))).as("j")
+          )
+          .filter(col("j") >= 0.8)
+          .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, ROUND(shared / (n1.n + n2.n - shared), 6) AS jaccard
+        FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE shared / (n1.n + n2.n - shared) >= 0.8
+        ORDER BY d1, d2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) => {
+        // 62-bit SimHash per document: sign of the tf-weighted sum of
+        // each word-hash bit. The word hash is the engine-portable
+        // charHash62, so DuckDB recomputes the identical sketch.
+        val w = TextKit.tokens(col("text"))
+        val wc = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(w).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("hh", TextKit.charHash62(col("word")))
+        val bits = wc
+          .select(col("doc_id"), col("c"), col("hh"), explode(sequence(lit(0), lit(61))).as("i"))
+          .withColumn(
+            "contrib",
+            when(expr("shiftright(hh, i) % 2") === 1, col("c")).otherwise(-col("c"))
+          )
+          .groupBy(col("doc_id"), col("i"))
+          .agg(sum(col("contrib")).as("s"))
+        bits
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(lit(0L))).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        h AS (SELECT doc_id, c,
+                ${foldSql("word", 31)} * 2147483648 + ${foldSql("word", 37)} AS hh
+              FROM wc),
+        bits AS (SELECT doc_id, i,
+                SUM(CASE WHEN ((hh >> i) & 1) = 1 THEN c ELSE -c END) AS s
+              FROM h, (SELECT unnest(range(0, 62)) AS i) GROUP BY 1, 2)
+        SELECT doc_id,
+          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        FROM bits GROUP BY 1 ORDER BY 1""")
+    )
+  )
+}
