@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
-      ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs
+      ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
+      SimilarityQueries.defs ++ MultimodalQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKit
+
+/** Similarity search over the `embeddings` table (builder brief:
+  * brute-force cosine top-k baseline + LSH-bucketed ANN scale path,
+  * plus embedding-cosine near-dup).
+  *
+  * Scale notes (100 TB posture):
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus: one pass, no shuffle until the per-query top-k window on
+  *    the query key — the right baseline when |queries| << |corpus|;
+  *  - the near-dup pair scan is blocked (label key here; any coarse
+  *    clustering/bucketing key in production) so the quadratic join is
+  *    per-block, not global;
+  *  - the ANN variant buckets by a 16-bit random-hyperplane signature:
+  *    candidate generation is an equi-join on the bucket id — the same
+  *    LSH-join shape as MinHash dedup, and the path that survives a
+  *    1000x corpus growth.
+  */
+object SimilarityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_similarity_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+        val queries = emb
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+        emb
+          .join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("nid"),
+            VectorKit.cosine(col("qe"), col("e")).as("cos")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+               FROM q, embeddings e WHERE e.vec_id != qid),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+              FROM sc)
+        SELECT qid, rk, nid, ROUND(cos, 6) AS cosine
+        FROM r WHERE rk <= 5 ORDER BY qid, rk""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_embedding_cosine",
+      (s, dir) => {
+        // Embedding-cosine near-dup: pairwise within a blocking key
+        // (label), threshold 0.4.
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), VectorKit.toDouble(col("embedding")).as("e"))
+        emb.as("a")
+          .join(
+            emb.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")
+          )
+          .select(
+            col("a.vec_id").as("v1"),
+            col("b.vec_id").as("v2"),
+            VectorKit.cosine(col("a.e"), col("b.e")).as("cos")
+          )
+          .filter(col("cos") >= 0.4)
+          .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
+          .orderBy("v1", "v2")
+      },
+      Some("""SELECT a.vec_id AS v1, b.vec_id AS v2,
+          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_similarity_ann_lsh",
+      (s, dir) => {
+        // ANN via 6-plane random-hyperplane LSH : bucket = sign
+        // signature; candidates = same-bucket equi-join; rank exact
+        // cosine within candidates. Approximate by construction (recall
+        // < 1), so no SQL oracle — the driver records a rows-only
+        // check; exact top-k is covered by q_similarity_cosine_topk.
+        val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("bucket", VectorKit.hyperplaneBucket(col("e"), planes))
+        val queries = emb
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket").as("qb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+        emb
+          .join(broadcast(queries), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("nid"),
+            VectorKit.cosine(col("qe"), col("e")).as("cos")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
+          .orderBy("qid", "rk")
+      },
+      None
+    )
+  )
+}
