@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference is strictly batch (SURVEY.md §2.9); these operators
+  * extend the engine with the streaming twins of its batch patterns:
+  *  - windowed event-time aggregation = the streaming form of
+  *    q_window_tumbling_event_time;
+  *  - dedup-within-watermark = the streaming form of the latest-wins
+  *    dedup (reference literature/PreProcessing.scala:8-27 /
+  *    q_dedup_latest_wins);
+  *  - sessionization via flatMapGroupsWithState = the custom-state
+  *    escape hatch for semantics no built-in operator covers.
+  *
+  * Scale notes: state stores shard by the grouping key; watermarks
+  * bound state size, so every operator here runs indefinitely on a
+  * cluster. All transforms are readStream/writeStream-agnostic — they
+  * take a (possibly streaming) DataFrame and return one, so the same
+  * code serves batch backfill and live ingestion.
+  */
+object Streaming {
+
+  final case class EventRow(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long
+  )
+
+  final case class SessionState(
+      start: Long,
+      last: Long,
+      n: Long
+  )
+
+  /** Tumbling event-time counts per event type with a watermark
+    * bounding late data and state.
+    */
+  def windowedTypeCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value")
+      )
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("min_value"), col("max_value"))
+
+  /** Drop duplicate event ids arriving within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while gaps stay below `gapMinutes`; a session is
+    * emitted when the event-time watermark passes its gap horizon (or
+    * when a later event closes it). Custom state via
+    * flatMapGroupsWithState — the pattern for semantics beyond the
+    * built-in operators.
+    */
+  def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId, rows, state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+        } else {
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              case Some(s) =>
+                closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{Media, MonteCarlo, TextKit, VectorKit}
+import graft.operators.Graph
+
+class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  test("Graph.transitiveClosure computes full ancestry of a chain") {
+    import spark.implicits._
+    // chain 4 -> 3 -> 2 -> 1
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("child", "parent")
+    val closure = Graph.transitiveClosure(edges)
+      .as[(Long, Long)].collect().toSet
+    closure shouldBe Set(
+      (4L, 3L), (4L, 2L), (4L, 1L),
+      (3L, 2L), (3L, 1L),
+      (2L, 1L)
+    )
+  }
+
+  test("Graph.ancestorsPerNode aggregates sorted ancestor lists") {
+    import spark.implicits._
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
+    val rows = Graph.ancestorsPerNode(edges).as[(Long, Seq[Long])].collect().toMap
+    rows(3L) shouldBe Seq(1L, 2L)
+    rows(2L) shouldBe Seq(1L)
+  }
+
+  test("TextKit.charHash matches a reference fold") {
+    import spark.implicits._
+    val got = Seq("ab").toDF("s").select(TextKit.charHash(col("s"))).head.getLong(0)
+    got shouldBe (97L * 31 + 98) % TextKit.HashP
+  }
+
+  test("TextKit.shingles produces distinct space-joined n-grams") {
+    import spark.implicits._
+    val got = Seq(Seq("a", "b", "c", "a", "b", "c")).toDF("w")
+      .select(TextKit.shingles(col("w"), 3).as("s")).as[Seq[String]].head
+    got should contain theSameElementsAs Seq("a b c", "b c a", "c a b")
+  }
+
+  test("TextKit.minhashSignature is a per-permutation minimum") {
+    import spark.implicits._
+    val hashes = Seq(Seq(5L, 11L, 23L)).toDF("hs")
+    val sig = hashes.select(TextKit.minhashSignature(col("hs"), 8).as("sig"))
+      .as[Seq[Long]].head
+    sig should have length 8
+    val (a, b) = TextKit.permCoefficients(8)
+    val expected = (0 until 8).map(i => Seq(5L, 11L, 23L).map(h => (a(i) * h + b(i)) % TextKit.HashP).min)
+    sig shouldBe expected
+  }
+
+  test("VectorKit.cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b", "c")
+    val r = df.select(
+      VectorKit.cosine(col("a"), col("b")).as("same"),
+      VectorKit.cosine(col("a"), col("c")).as("orth")
+    ).head
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    r.getDouble(1) shouldBe 0.0 +- 1e-12
+  }
+
+  test("VectorKit.hyperplaneBucket is deterministic and within range") {
+    import spark.implicits._
+    val planes = VectorKit.randomSignPlanes(numPlanes = 4, dim = 3)
+    val df = Seq(Seq(1.0, -2.0, 0.5), Seq(1.0, -2.0, 0.5)).toDF("v")
+    val buckets = df.select(VectorKit.hyperplaneBucket(col("v"), planes)).collect().map(_.getLong(0))
+    buckets(0) shouldBe buckets(1)
+    buckets(0) should (be >= 0L and be < 16L)
+  }
+
+  test("MonteCarlo.criticalValue is deterministic in the seed and positive") {
+    val v1 = MonteCarlo.criticalValue(100, 50, Seq(100L, 200L, 300L), 1000, 0.95, seed = 7L)
+    val v2 = MonteCarlo.criticalValue(100, 50, Seq(100L, 200L, 300L), 1000, 0.95, seed = 7L)
+    val v3 = MonteCarlo.criticalValue(100, 50, Seq(100L, 200L, 300L), 1000, 0.95, seed = 8L)
+    v1 shouldBe v2
+    v1 should be > 0.0
+    // different seed gives a (almost surely) different estimate
+    v1 should not be v3
+  }
+
+  test("Media.extractFeatures runs the batch decode over partitions") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "srcA", "en", 11L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val feats = Media.extractFeatures(Media.fromDocuments(spark, docs)).collect()
+    feats should have length 1
+    val f = feats.head
+    f.byte_len shouldBe 11L
+    f.width shouldBe 11
+    f.height shouldBe 77
+    f.n_frames shouldBe (1 + 11 % 16)
+    f.format shouldBe "webp" // 11 % 3 == 2
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.EventRow
+
+class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(3600000L * 10 + minute * 60000L)
+
+  private def row(id: Long, minute: Int, user: Long = 1L, typ: String = "click"): EventRow =
+    EventRow(id, ts(minute), user, typ, 1.0)
+
+  test("windowedTypeCounts aggregates tumbling event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .windowedTypeCounts(in.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row(1, 5), row(2, 10), row(3, 65, typ = "view"))
+      q.processAllAvailable()
+      // watermark far past the first hour closes its windows
+      in.addData(row(4, 600))
+      q.processAllAvailable()
+      val out = spark.table("win_counts").collect()
+      out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet should
+        contain allOf (("click", 2L), ("view", 1L))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .dedupWithinWatermark(in.toDF(), delay = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row(1, 0), row(1, 1), row(2, 2), row(1, 3), row(3, 4))
+      q.processAllAvailable()
+      spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by gap and emits on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at minute 0,10,20 (one session), then 100,105 (second session)
+      in.addData(row(1, 0), row(2, 10), row(3, 20))
+      q.processAllAvailable()
+      in.addData(row(4, 100), row(5, 105))
+      q.processAllAvailable()
+      // push watermark far ahead so the open session times out
+      in.addData(row(6, 1000, user = 2L))
+      q.processAllAvailable()
+      in.addData(row(7, 2000, user = 2L))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .toSet
+      sessions should contain(1L -> 3L) // first session closed by the later event
+      sessions should contain(1L -> 2L) // second session closed by timeout
+    } finally q.stop()
+  }
+}
