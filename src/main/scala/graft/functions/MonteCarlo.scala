@@ -38,16 +38,32 @@ object MonteCarlo {
       val draw =
         if (p >= 1.0) remaining
         else if (p <= 0.0) 0
-        else {
-          val d = new BinomialDistribution(null, remaining, p)
-          d.inverseCumulativeProbability(rng.nextDouble())
-        }
+        else binomialDraw(rng, remaining, p)
       out(j) = draw
       remaining -= draw
       remainingProb -= probs(j)
       j += 1
     }
     out
+  }
+
+  /** One Binomial(n, p) draw by inversion of a single uniform. Exact
+    * quantile search below the normal regime; normal approximation
+    * with continuity correction (clamped to [0, n]) when npq is large
+    * — the standard speed/accuracy trade for Monte-Carlo permutation
+    * counts, and deterministic because the only randomness is the
+    * seeded uniform.
+    */
+  private def binomialDraw(rng: Well19937c, n: Int, p: Double): Int = {
+    val u = rng.nextDouble()
+    val npq = n * p * (1 - p)
+    if (npq > 25.0) {
+      val z = org.apache.commons.math3.special.Erf.erfInv(2 * u - 1) * math.sqrt(2.0)
+      val x = math.rint(n * p + z * math.sqrt(npq))
+      math.max(0, math.min(n, x.toInt))
+    } else {
+      new BinomialDistribution(null, n, p).inverseCumulativeProbability(u)
+    }
   }
 
   /** LLR of observing x of n_j group reports on a reaction with y of

@@ -92,6 +92,63 @@ object TextKit {
     )
   }
 
+  /** MinHash signature + LSH band keys in one JIT-compiled pass: the
+    * pure-column minhashSignature/bandKeys pair evaluates
+    * numPerms x |shingles| interpreted expressions per document, while
+    * this UDF runs the same math as primitive long loops (~50x less
+    * per-element overhead). Returns the band-key array; pair it with
+    * posexplode so the band index is part of the join key.
+    */
+  def minhashBands(numPerms: Int, rowsPerBand: Int): Column => Column = {
+    val (a, b) = permCoefficients(numPerms)
+    val bands = numPerms / rowsPerBand
+    val f = udf { (hs: Seq[Long]) =>
+      val sig = new Array[Long](numPerms)
+      var i = 0
+      while (i < numPerms) {
+        var m = Long.MaxValue
+        val it = hs.iterator
+        while (it.hasNext) {
+          val v = (a(i) * it.next() + b(i)) % HashP
+          if (v < m) m = v
+        }
+        sig(i) = m
+        i += 1
+      }
+      val out = new Array[Long](bands)
+      var j = 0
+      while (j < bands) {
+        var acc = 1125899906842597L
+        var k = 0
+        while (k < rowsPerBand) { acc = acc * 31 + sig(j * rowsPerBand + k); k += 1 }
+        out(j) = acc
+        j += 1
+      }
+      out
+    }
+    hs => f(hs)
+  }
+
+  /** Sorted-merge intersection size of two pre-sorted string arrays.
+    * A scalar UDF is the pragmatic choice here (SURVEY.md §2.10):
+    * higher-order array expressions are interpreted per element, while
+    * this merge JIT-compiles; a custom codegen Expression would be the
+    * next rung if this ever shows in a profile.
+    */
+  val sortedIntersectCount: (Column, Column) => Column = {
+    val f = udf { (a: Seq[String], b: Seq[String]) =>
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        val c = a(i).compareTo(b(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      n
+    }
+    (x, y) => f(x, y)
+  }
+
   /** LSH band keys from a signature: rows-per-band consecutive values
     * hashed together; a pair agreeing on any band is a candidate.
     */

@@ -28,18 +28,22 @@ object SimilarityQueries {
     QueryDef(
       "q_similarity_cosine_topk",
       (s, dir) => {
+        // Norms are computed once per vector (not per pair): the pair
+        // expression is a single dot product, and dot/(qn*nn) is
+        // bit-identical to the per-pair cosine formula.
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
         val queries = emb
           .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("e").as("qe"))
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
         emb
           .join(broadcast(queries), col("vec_id") =!= col("qid"))
           .select(
             col("qid"),
             col("vec_id").as("nid"),
-            VectorKit.cosine(col("qe"), col("e")).as("cos")
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos")
           )
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
@@ -64,6 +68,7 @@ object SimilarityQueries {
         // (label), threshold 0.4.
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
         emb.as("a")
           .join(
             emb.as("b"),
@@ -72,7 +77,7 @@ object SimilarityQueries {
           .select(
             col("a.vec_id").as("v1"),
             col("b.vec_id").as("v2"),
-            VectorKit.cosine(col("a.e"), col("b.e")).as("cos")
+            (VectorKit.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos")
           )
           .filter(col("cos") >= 0.4)
           .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
@@ -99,17 +104,19 @@ object SimilarityQueries {
         val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
           .withColumn("bucket", VectorKit.hyperplaneBucket(col("e"), planes))
         val queries = emb
           .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket").as("qb"))
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), col("bucket").as("qb"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
         emb
           .join(broadcast(queries), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
           .select(
             col("qid"),
             col("vec_id").as("nid"),
-            VectorKit.cosine(col("qe"), col("e")).as("cos")
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos")
           )
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)

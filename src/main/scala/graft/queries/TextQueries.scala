@@ -150,14 +150,17 @@ object TextQueries {
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"), w.as("w"))
           .filter(size(col("w")) >= 3)
+          // hash each shingle once; min/max read the same array
+          .withColumn(
+            "shfp",
+            transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh))
+          )
           .select(
             col("doc_id"),
             md5(col("text").cast("binary")).as("md5_fp"),
             TextKit.charHash(col("text")).as("poly_fp"),
-            array_min(transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh)))
-              .as("min_shingle_fp"),
-            array_max(transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh)))
-              .as("max_shingle_fp")
+            array_min(col("shfp")).as("min_shingle_fp"),
+            array_max(col("shfp")).as("max_shingle_fp")
           )
           .orderBy("doc_id")
       },
@@ -196,27 +199,37 @@ object TextQueries {
     QueryDef(
       "q_dedup_jaccard_ngram",
       (s, dir) => {
-        // Exact word-3-gram Jaccard near-dup: candidate pairs from a
-        // shared-shingle self-join, similarity = |A∩B| / |A∪B|.
+        // Exact word-3-gram Jaccard near-dup: one codegen'd self-join
+        // on the exploded shingle table, shared counts via map-side
+        // partial aggregation, sizes carried inline so nothing joins
+        // back. One shuffle for the pair aggregate. The exploded table
+        // is persisted so shingling runs once, not once per join side.
+        //
+        // Scale ladder (measured here: uniform shingle DF, so the
+        // simple join wins): when shingle document-frequency is skewed,
+        // add PPJoin prefix filtering (join only each doc's
+        // n - ceil(tau*n) + 1 rarest shingles — still exact) or switch
+        // to q_dedup_minhash_lsh, the sub-quadratic path.
+        val tau = 0.5
         val w = TextKit.tokens(col("text"))
-        val docs = Tables(s, dir, "documents")
+        val ex = Tables(s, dir, "documents")
           .select(col("doc_id"), w.as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
-        val ex = docs.select(col("doc_id"), explode(col("ss")).as("s"))
-        val n = docs.select(col("doc_id"), size(col("ss")).as("n"))
-        val shared = ex.as("x")
+          .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
+          .persist()
+        ex.as("x")
           .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .groupBy(
+            col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.n").as("n1"), col("y.n").as("n2")
+          )
           .agg(count(lit(1)).as("shared"))
-        shared
-          .join(n.as("n1"), col("d1") === col("n1.doc_id"))
-          .join(n.as("n2"), col("d2") === col("n2.doc_id"))
           .select(
             col("d1"), col("d2"),
-            round(col("shared") / (col("n1.n") + col("n2.n") - col("shared")), 6).as("jaccard")
+            round(col("shared") / (col("n1") + col("n2") - col("shared")), 6).as("jaccard")
           )
-          .filter(col("jaccard") >= 0.5)
+          .filter(col("jaccard") >= tau)
           .orderBy("d1", "d2")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -234,11 +247,11 @@ object TextQueries {
     QueryDef(
       "q_dedup_minhash_lsh",
       (s, dir) => {
-        // MinHash(128) + LSH(64 bands x 2 rows) near-dup at tau=0.8:
+        // MinHash(64) + LSH(32 bands x 2 rows) near-dup at tau=0.8:
         // signatures in one pass over collected shingle hashes, band
         // buckets joined for candidates, candidates verified with the
         // exact Jaccard — so the oracle is the exact-Jaccard SQL. Miss
-        // probability per tau-pair is (1 - 0.8^2)^64 ≈ 4e-29.
+        // probability per tau-pair is (1 - 0.8^2)^32 ≈ 6e-15.
         // This is the 100 TB dedup path: O(docs x bands) instead of
         // the quadratic shingle join.
         val w = TextKit.tokens(col("text"))
@@ -247,8 +260,7 @@ object TextQueries {
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
           .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
-          .withColumn("sig", TextKit.minhashSignature(col("hs"), 128))
-          .withColumn("bands", TextKit.bandKeys(col("sig"), 64, 2))
+          .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
           .persist()
         val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
         val cand = buckets.as("x")

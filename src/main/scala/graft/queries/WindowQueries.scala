@@ -188,7 +188,7 @@ object WindowQueries {
           .groupBy(col("event_type"))
           .agg(
             countDistinct(col("user_id")).as("n_exact"),
-            approx_count_distinct(col("user_id"), rsd = 0.005).as("n_approx")
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx")
           )
           .select(
             col("event_type"),

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-inspection CLI: print the formatted physical plan (and
+  * optionally time a noop-sink execution) for named queries.
+  *
+  * Usage: runMain graft.tools.Explain <sfDir> [time] <query...|all>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val rest = args.drop(1).toList
+    val (doTime, names0) = rest match {
+      case "time" :: tail => (true, tail)
+      case other          => (false, other)
+    }
+    val names =
+      if (names0.isEmpty || names0 == List("all")) SparkEntry.queries.keys.toSeq.sorted
+      else names0
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      if (doTime) {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -54,6 +54,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     sig shouldBe expected
   }
 
+  test("TextKit.minhashBands matches the pure-column signature path") {
+    import spark.implicits._
+    val hs = Seq(5L, 11L, 23L, 999L)
+    val sigCol = Seq(hs).toDF("hs")
+      .select(TextKit.minhashSignature(col("hs"), 8).as("sig")).as[Seq[Long]].head
+    val bandsUdf = Seq(hs).toDF("hs")
+      .select(TextKit.minhashBands(8, 2)(col("hs")).as("b")).as[Seq[Long]].head
+    val expected = (0 until 4).map { j =>
+      var acc = 1125899906842597L
+      acc = acc * 31 + sigCol(2 * j)
+      acc * 31 + sigCol(2 * j + 1)
+    }
+    bandsUdf shouldBe expected
+  }
+
+  test("TextKit.sortedIntersectCount merges sorted arrays") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c", "e"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.select(TextKit.sortedIntersectCount(col("x"), col("y"))).head.getInt(0) shouldBe 2
+  }
+
   test("VectorKit.cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b", "c")
