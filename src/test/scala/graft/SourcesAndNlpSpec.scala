@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core.{Io, IoConfig}
+import graft.functions.{EmbeddingModel, Stemmer}
+import graft.sources.FlatFileSource
+
+class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // ------------------------------------------------------------------
+  // IO layer (reference IoHelpers.scala surface)
+  // ------------------------------------------------------------------
+
+  test("Io round-trips csv with options, json, and gzipped output") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val base = tmpDir("io")
+
+    Io.write(df, IoConfig("csv", s"$base/csv", Map("header" -> "true"), mode = "overwrite"))
+    val csv = Io.read(spark, IoConfig("csv", s"$base/csv", Map("header" -> "true", "inferSchema" -> "true")))
+    csv.orderBy("id").collect().map(_.getString(1)) shouldBe Array("a", "b")
+
+    Io.write(df, IoConfig("json", s"$base/json", Map("compression" -> "gzip"), mode = "overwrite"))
+    Files.list(Paths.get(s"$base/json")).toArray.map(_.toString).count(_.endsWith(".json.gz")) should be > 0
+    Io.read(spark, IoConfig("json", s"$base/json")).count() shouldBe 2
+  }
+
+  test("Io partitionBy write enables read-side partition pruning") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "2024"), (2L, "y", "2025"), (3L, "z", "2025")).toDF("id", "v", "year")
+    val base = tmpDir("part")
+    Io.write(df, IoConfig("parquet", s"$base/t", partitionBy = Seq("year"), mode = "overwrite"))
+    val pruned = Io.read(spark, IoConfig("parquet", s"$base/t")).filter(col("year") === "2025")
+    pruned.count() shouldBe 2
+    // only the matching hive partition's files are actually read
+    val readFiles = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    readFiles should not be empty
+    readFiles.foreach(f => f should include("year=2025"))
+  }
+
+  test("Io.writeFanOut writes every sink from one computation") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val base = tmpDir("fanout")
+    Io.writeFanOut(df, Seq(
+      IoConfig("parquet", s"$base/p", mode = "overwrite"),
+      IoConfig("json", s"$base/j", mode = "overwrite")
+    ))
+    Io.read(spark, IoConfig("parquet", s"$base/p")).count() shouldBe 1
+    Io.read(spark, IoConfig("json", s"$base/j")).count() shouldBe 1
+  }
+
+  test("input_file_name provenance column survives the scan") {
+    import spark.implicits._
+    val base = tmpDir("prov")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$base/t")
+    val withProv = spark.read.parquet(s"$base/t").withColumn("src", input_file_name())
+    withProv.head.getAs[String]("src") should include(base)
+  }
+
+  // ------------------------------------------------------------------
+  // Flat-file record source (distributed UniprotConverter redesign)
+  // ------------------------------------------------------------------
+
+  test("FlatFileSource parses line-coded records distributively") {
+    val base = tmpDir("flat")
+    val content =
+      """ID   PROT1 Reviewed; 100 AA.
+        |AC   P00001; P00002;
+        |DE   RecName: Full=Test protein one;
+        |//
+        |ID   PROT2 Reviewed; 200 AA.
+        |AC   P00003;
+        |DE   RecName: Full=Test protein two;
+        |DE   AltName: Full=Other name;
+        |//
+        |""".stripMargin
+    Files.writeString(Paths.get(s"$base/sample.txt"), content)
+
+    val records = FlatFileSource.readDelimitedRecords(spark, s"$base/sample.txt", "//\n")
+    val parsed = FlatFileSource.parseLineCoded(records).collect().sortBy(_.id)
+    parsed.map(_.id) shouldBe Array("PROT1", "PROT2")
+    parsed(0).fields("AC") shouldBe Seq("P00001; P00002;")
+    parsed(1).fields("DE") should have length 2
+  }
+
+  // ------------------------------------------------------------------
+  // Porter stemmer (Spark-NLP Stemmer replacement)
+  // ------------------------------------------------------------------
+
+  test("Stemmer reduces classic Porter examples") {
+    Stemmer.stem("caresses") shouldBe "caress"
+    Stemmer.stem("ponies") shouldBe "poni"
+    Stemmer.stem("ties") shouldBe "ti"
+    Stemmer.stem("caress") shouldBe "caress"
+    Stemmer.stem("cats") shouldBe "cat"
+    Stemmer.stem("plastered") shouldBe "plaster"
+    Stemmer.stem("motoring") shouldBe "motor"
+    Stemmer.stem("conflated") shouldBe "conflat"
+    Stemmer.stem("hopping") shouldBe "hop"
+    Stemmer.stem("relational") shouldBe "relat"
+    Stemmer.stem("rational") shouldBe "ration"
+    Stemmer.stem("happy") shouldBe "happi"
+  }
+
+  test("Stemmer column form applies per token") {
+    import spark.implicits._
+    val out = Seq("running", "flies").toDF("w")
+      .select(Stemmer.stemCol(col("w")).as("s"))
+      .as[String].collect().sorted
+    out shouldBe Array("fli", "run")
+  }
+
+  // ------------------------------------------------------------------
+  // Word2Vec (literature Embedding/Vectors phases)
+  // ------------------------------------------------------------------
+
+  test("EmbeddingModel trains, exposes a vector table, finds synonyms") {
+    import spark.implicits._
+    val corpus = Seq(
+      Seq("spark", "fast", "engine"),
+      Seq("spark", "fast", "query"),
+      Seq("slow", "disk", "io"),
+      Seq("slow", "disk", "spill")
+    ).toDF("tokens")
+    val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 8, windowSize = 3)
+    val vt = EmbeddingModel.vectorTable(model)
+    vt.columns.toSeq shouldBe Seq("word", "vector", "norm")
+    vt.count() shouldBe 8 // vocabulary size
+    vt.head.getAs[Seq[Double]]("vector") should have length 8
+    EmbeddingModel.synonyms(model, "spark", 3).count() shouldBe 3
+  }
+}
