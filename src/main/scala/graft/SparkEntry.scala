@@ -16,7 +16,8 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
       ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ CompositeQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ CompositeQueries.defs ++
+      TypedQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension wiring.
+  *
+  * Installable two ways:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (standard SparkSessionExtensions path);
+  *  - runtime: `GraftExtensions.register(spark)` for an existing
+  *    session (tests, notebooks).
+  *
+  * Registered surface: `sorted_intersect_count(sorted_arr, sorted_arr)`
+  * — see SortedIntersectCount.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
+}
+
+object GraftExtensions {
+
+  private val sortedIntersectCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1))
+    }
+  )
+
+  /** Register into a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = sortedIntersectCountDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Column-DSL handle, usable without registration. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
+      )
+    )
+}

@@ -271,15 +271,20 @@ object TextQueries {
           )
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
-        val sets = docs.select(col("doc_id"), col("ss"))
+        // Exact verification with the native codegen'd merge
+        // (graft.plans.SortedIntersectCount) over sorted shingle sets.
+        val sets = docs.select(col("doc_id"), sort_array(col("ss")).as("ss"))
         cand
           .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
           .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+          .withColumn(
+            "inter",
+            graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss"))
+          )
           .select(
             col("d1"), col("d2"),
-            (size(array_intersect(col("s1.ss"), col("s2.ss"))).cast(DoubleType) /
-              (size(col("s1.ss")) + size(col("s2.ss")) -
-                size(array_intersect(col("s1.ss"), col("s2.ss"))))).as("j")
+            (col("inter").cast(DoubleType) /
+              (size(col("s1.ss")) + size(col("s2.ss")) - col("inter"))).as("j")
           )
           .filter(col("j") >= 0.8)
           .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.plans.GraftExtensions
+
+class PlansSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  test("SortedIntersectCount merges via the Column handle") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "e"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq("x"))
+    ).toDF("x", "y")
+    df.select(GraftExtensions.sortedIntersectCount(col("x"), col("y")))
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(2, 0, 1)
+  }
+
+  test("SortedIntersectCount null inputs yield null") {
+    import spark.implicits._
+    val df = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("x", "y")
+    df.select(GraftExtensions.sortedIntersectCount(col("x"), col("y")))
+      .head.isNullAt(0) shouldBe true
+  }
+
+  test("sorted_intersect_count registers as a SQL function") {
+    GraftExtensions.register(spark)
+    spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','z')) AS n"
+    ).head.getInt(0) shouldBe 1
+  }
+
+  test("SortedIntersectCount participates in whole-stage codegen") {
+    import spark.implicits._
+    // AQE wraps the plan in AdaptiveSparkPlanExec, which hides codegen
+    // subtrees from the debug dump — disable it for the inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // repartition forces distributed execution (a pure-literal plan
+      // constant-folds to LocalTableScan and never reaches codegen)
+      val df = Seq((Seq("a", "b"), Seq("b")), (Seq("c"), Seq("c"))).toDF("x", "y")
+        .repartition(2)
+        .select(GraftExtensions.sortedIntersectCount(col("x"), col("y")).as("n"))
+      // the generated code must contain the merge loop (i.e. doGenCode
+      // ran, not the CodegenFallback interpreter)
+      val generated =
+        org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      generated should include("WholeStageCodegen")
+      generated should include(".compareTo(")
+      df.collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bucketed tables co-locate the join and eliminate the shuffle") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "rv")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("t_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("t_right")
+    try {
+      val joined = spark.table("t_left").join(spark.table("t_right"), "k")
+      joined.count() shouldBe 1000
+      // both sides read bucketed -> no Exchange in the physical plan
+      val plan = joined.queryExecution.executedPlan.toString()
+      plan should not include "Exchange hashpartitioning"
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_left")
+      spark.sql("DROP TABLE IF EXISTS t_right")
+    }
+  }
+}

@@ -11,5 +11,15 @@ trait SparkSessionSetup {
 }
 
 object SparkSessionSetup {
-  lazy val shared: SparkSession = graft.core.Session.local(cores = 4, appName = "graft-test")
+  lazy val shared: SparkSession = graft.core.Session.build(
+    appName = "graft-test",
+    master = Some("local[4]"),
+    extraConf = Map(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.ui.enabled" -> "false",
+      // static conf: table specs (bucketing tests) land in a temp dir
+      "spark.sql.warehouse.dir" ->
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    )
+  )
 }
