@@ -107,6 +107,32 @@ object ColumnKit {
     */
   def stripIdFromUri(c: Column): Column = substring_index(c, "/", -1)
 
+  /** Priority dedup of an array<struct<priority:int,id:string>>: keep
+    * the best (lowest) priority per id, order by (priority, id), return
+    * the ids. Re-expresses the reference's protein-id cleanup UDF
+    * (target/Target.scala:565-593 cleanProteinIds) as pure array
+    * expressions: sort id-major, drop adjacent duplicates (keeping the
+    * better priority), re-sort priority-major.
+    */
+  def priorityDedup(pairs: Column): Column = {
+    // id-major sort puts the best priority first within each id, so
+    // adjacent-dedup (keep where previous element has a different id)
+    // retains exactly the best entry per id.
+    val idMajor = array_sort(
+      transform(pairs, p => struct(p.getField("id").as("id"), p.getField("priority").as("priority")))
+    )
+    val kept = filter(
+      idMajor,
+      (x, i) => i === 0 || element_at(idMajor, i).getField("id") =!= x.getField("id")
+    )
+    transform(
+      array_sort(
+        transform(kept, p => struct(p.getField("priority").as("priority"), p.getField("id").as("id")))
+      ),
+      p => p.getField("id")
+    )
+  }
+
   // --------------------------------------------------------------------
   // Schema surgery.
   // --------------------------------------------------------------------

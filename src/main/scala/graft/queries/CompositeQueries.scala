@@ -124,6 +124,94 @@ object CompositeQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_entity_merge",
+      (s, dir) => {
+        // Target-entity merge shape (reference target/Target.scala:
+        // 106-170): per-source normalization modules feeding a
+        // left-outer enrichment chain, null-safe alias union
+        // (safeArrayUnion, Helpers.scala:346-347), and the
+        // priority-dedup id cleanup (cleanProteinIds,
+        // Target.scala:565-593) re-expressed as array expressions.
+        // Entity = part; sources = lineitem stats, rich-supplier LUT,
+        // order years.
+        import graft.functions.ColumnKit
+        val base = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        val liStats = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sort_array(collect_set(col("l_suppkey"))).as("supp_seen")
+          )
+        val richSupp = Tables(s, dir, "lineitem")
+          .join(
+            Tables(s, dir, "supplier").filter(col("s_acctbal") > 5000),
+            col("l_suppkey") === col("s_suppkey")
+          )
+          .groupBy(col("l_partkey").as("pk2"))
+          .agg(sort_array(collect_set(col("s_suppkey"))).as("supp_rich"))
+        val years = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey").as("pk3"))
+          .agg(sort_array(collect_set(year(col("o_orderdate")))).as("yrs"))
+        base
+          .join(liStats, col("p_partkey") === col("l_partkey"), "left_outer")
+          .join(richSupp, col("p_partkey") === col("pk2"), "left_outer")
+          .join(years, col("p_partkey") === col("pk3"), "left_outer")
+          .select(
+            col("p_partkey"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            // alias kit: name words ∪ brand token, null-safe
+            array_join(
+              sort_array(ColumnKit.safeArrayUnion(split(col("p_name"), " "), array(lower(col("p_brand"))))),
+              ","
+            ).as("aliases"),
+            // id kit: rich suppliers win (priority 1) over merely-seen
+            // suppliers (priority 2)
+            coalesce(
+              array_join(
+                ColumnKit.priorityDedup(
+                  ColumnKit.safeArrayUnion(
+                    transform(col("supp_rich"), x => struct(lit(1).as("priority"), concat(lit("s"), x).as("id"))),
+                    transform(col("supp_seen"), x => struct(lit(2).as("priority"), concat(lit("s"), x).as("id")))
+                  )
+                ),
+                ","
+              ),
+              lit("")
+            ).as("supplier_ids"),
+            coalesce(array_join(transform(col("yrs"), y => y.cast("string")), ","), lit(""))
+              .as("active_years")
+          )
+          .orderBy("p_partkey")
+      },
+      Some("""WITH li AS (SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+        yrs AS (SELECT l_partkey, list_sort(list(DISTINCT YEAR(o_orderdate))) AS ys
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        tags AS (
+          SELECT l_partkey AS pk, 1 AS pr, 's' || CAST(s_suppkey AS VARCHAR) AS sid
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_acctbal > 5000 GROUP BY 1, 3
+          UNION ALL
+          SELECT l_partkey, 2, 's' || CAST(l_suppkey AS VARCHAR)
+          FROM lineitem GROUP BY 1, 3),
+        best AS (SELECT pk, sid, MIN(pr) AS pr FROM tags GROUP BY 1, 2),
+        idagg AS (SELECT pk, string_agg(sid, ',' ORDER BY pr, sid) AS supplier_ids
+                  FROM best GROUP BY 1)
+        SELECT p.p_partkey,
+          COALESCE(li.n_lines, 0) AS n_lines,
+          array_to_string(list_sort(list_distinct(
+            string_split(p.p_name, ' ') || [lower(p.p_brand)])), ',') AS aliases,
+          COALESCE(idagg.supplier_ids, '') AS supplier_ids,
+          COALESCE(array_to_string(list_transform(yrs.ys, y -> CAST(y AS VARCHAR)), ','), '') AS active_years
+        FROM part p
+        LEFT JOIN li ON p.p_partkey = li.l_partkey
+        LEFT JOIN idagg ON p.p_partkey = idagg.pk
+        LEFT JOIN yrs ON p.p_partkey = yrs.l_partkey
+        ORDER BY p.p_partkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_array_function_kit",
       (s, dir) => {
         // The remaining §2.8 array surface in one slice: element_at

@@ -43,6 +43,21 @@ class ColumnKitSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     got shouldBe 500050.0
   }
 
+  test("priorityDedup keeps best priority per id, ordered by (priority, id)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mirrors the reference's protein-id ordering test
+    // (backend/target/TargetTest.scala:11-26): ensembl(1) beats
+    // uniprot(2) beats obsolete(3) for the same id
+    val df = Seq(Tuple1(Seq((2, "P1"), (1, "P1"), (3, "P1"), (2, "A9"), (1, "Z3")))).toDF("raw")
+      .select(
+        ColumnKit.priorityDedup(
+          transform(col("raw"), x => struct(x.getField("_1").as("priority"), x.getField("_2").as("id")))
+        ).as("ids")
+      )
+    df.as[Seq[String]].head shouldBe Seq("P1", "Z3", "A9")
+  }
+
   test("nest collapses columns into a struct") {
     val df = Seq((1, "a", 2.0)).toDF("id", "s", "v")
     val nested = ColumnKit.nest(df, Seq("s", "v"), "payload")
