@@ -105,6 +105,30 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     v1 should not be v3
   }
 
+  test("seeded sample is reproducible and near the target fraction") {
+    // §2.2 random sampling (reference openfda/stage/StratifiedSampling
+    // .scala:32-33)
+    val df = spark.range(10000)
+    val a = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    val b = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    a shouldBe b
+    a.toDouble shouldBe 1000.0 +- 200.0
+  }
+
+  test("repartitionByRange yields range-disjoint partitions") {
+    // §2.6 (reference backend/Interaction.scala:440)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
+    val ranges = spark.range(0, 1000)
+      .repartitionByRange(4, col("id"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    ranges.length shouldBe 4
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) => hi1 should be < lo2 }
+  }
+
   test("Media.extractFeatures runs the batch decode over partitions") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "srcA", "en", 11L))
