@@ -107,6 +107,37 @@ object ColumnKit {
     */
   def stripIdFromUri(c: Column): Column = substring_index(c, "/", -1)
 
+  /** Cast an array-of-anonymous-structs column to a declared struct
+    * schema (reference TargetUtils.transformArrayToStruct,
+    * target/TargetUtils.scala:14-25: build structs positionally, then
+    * cast to the Encoder-derived type).
+    */
+  def castArrayToStruct(c: Column, elementSchema: StructType): Column =
+    c.cast(ArrayType(elementSchema))
+
+  /** Two-phase aggregation for skewed keys (builder brief: salting).
+    * Phase 1 groups on (key, salt) — the hot key's rows spread over
+    * `salts` reducers — phase 2 merges the partials on the key alone.
+    * The salt is a deterministic hash of a distinguishing column (NOT
+    * rand(): reproducibility recipe), so results are stable on any
+    * cluster. Use when one key dominates a sum/count aggregate; for
+    * skewed *joins* prefer AQE skew-join (on by default in Session).
+    */
+  def saltedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      saltFrom: String,
+      salts: Int = 16
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(col(saltFrom)), lit(salts)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(dec4(col(valueCol))).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).cast(D38_2).cast(DoubleType).as(s"sum_$valueCol"))
+  }
+
   /** Priority dedup of an array<struct<priority:int,id:string>>: keep
     * the best (lowest) priority per id, order by (priority, id), return
     * the ids. Re-expresses the reference's protein-id cleanup UDF

@@ -64,4 +64,46 @@ object Graph {
     transitiveClosure(edges)
       .groupBy(col("node"))
       .agg(sort_array(collect_set(col("ancestor"))).as("ancestors"))
+
+  /** Descendant closure: the same algorithm over reversed edges
+    * (GraphNode.scala computes descendants from the jgrapht DAG).
+    */
+  def descendantsPerNode(edges: DataFrame): DataFrame = {
+    val Array(childCol, parentCol) = edges.columns
+    transitiveClosure(edges.select(col(parentCol).as("child"), col(childCol).as("parent")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_set(col("ancestor"))).as("descendants"))
+  }
+
+  /** Root paths: for each node, every path to a root (a node with no
+    * parent), as a child-first array (the reference's
+    * `path: Seq[Seq[String]]`, GraphNode.scala:26,63-80). Iterative
+    * frontier extension — depth shuffles, bounded by `maxDepth`; paths
+    * are only tractable on shallow ontology-like DAGs (path count is
+    * exponential in general).
+    */
+  def rootPaths(edges: DataFrame, maxDepth: Int = 25): DataFrame = {
+    val Array(childCol, parentCol) = edges.columns
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent")).distinct()
+    val roots = e.select(col("parent").as("n")).distinct()
+      .join(e.select(col("child").as("n")).distinct(), Seq("n"), "left_anti")
+    var frontier = e
+      .select(col("child").as("node"), col("parent").as("head"), array(col("child"), col("parent")).as("path"))
+      .localCheckpoint()
+    var done = frontier.join(roots, frontier("head") === roots("n")).drop("n")
+    var depth = 1
+    var active = frontier.join(roots, frontier("head") === roots("n"), "left_anti")
+    var activeCount = active.count()
+    while (activeCount > 0 && depth < maxDepth) {
+      frontier = active
+        .join(e, active("head") === e("child"))
+        .select(col("node"), col("parent").as("head"), concat(col("path"), array(col("parent"))).as("path"))
+        .localCheckpoint()
+      done = done.unionByName(frontier.join(roots, frontier("head") === roots("n")).drop("n"))
+      active = frontier.join(roots, frontier("head") === roots("n"), "left_anti")
+      activeCount = active.count()
+      depth += 1
+    }
+    done.select(col("node"), col("path"))
+  }
 }

@@ -124,6 +124,64 @@ object SimilarityQueries {
           .orderBy("qid", "rk")
       },
       None
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_similarity_ivf",
+      (s, dir) => {
+        // IVF (inverted-file) ANN: a seeded k-means coarse quantizer
+        // partitions the corpus into cells; each query probes its 2
+        // nearest centroids and ranks exact cosine only within those
+        // cells. The centroid table is tiny (k rows) — probe
+        // assignment happens on the driver, candidate selection is a
+        // broadcast semi-join on the cell id. This is the classic
+        // billion-vector layout (IVF-Flat): cells shard across
+        // executors, probes bound per-query work. Approximate ->
+        // rows-only check; exact top-k is covered by
+        // q_similarity_cosine_topk.
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .withColumn("fv", array_to_vector(col("e")))
+          .persist()
+        val model = new KMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(emb)
+        val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+        val centers = model.clusterCenters.map(_.toArray)
+        // per query: 2 nearest centroids, computed where the centroid
+        // table lives (driver) — k is tiny by construction
+        val queries = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+        val qRows = queries.collect()
+        val probes = qRows.flatMap { r =>
+          val qe = r.getSeq[Double](1).toArray
+          centers.zipWithIndex
+            .map { case (c, i) =>
+              val d = qe.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+              (i, d)
+            }
+            .sortBy(_._2).take(2)
+            .map { case (cell, _) => (r.getLong(0), cell) }
+        }.toSeq
+        import s.implicits._
+        val probeDf = probes.toDF("qid", "cell")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+        assigned
+          .join(broadcast(probeDf), Seq("cell"))
+          .join(broadcast(queries.drop("cell")), Seq("qid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("nid"),
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
+          .orderBy("qid", "rk")
+      },
+      None
     )
   )
 }

@@ -51,17 +51,22 @@ object TextQueries {
         val w = TextKit.tokens(col("text"))
         val stopLit = typedLit(stop)
         Tables(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), w.as("w"))
+          .select(col("doc_id"), col("text"), w.as("w"))
           .select(
             col("doc_id"),
             size(col("w")).as("n_tokens"),
             size(array_distinct(col("w"))).as("n_unique"),
-            size(filter(col("w"), x => array_contains(stopLit, x))).as("n_stop")
+            size(filter(col("w"), x => array_contains(stopLit, x))).as("n_stop"),
+            // BPE-style pre-tokenizer count: letter runs, digit runs,
+            // and single punctuation marks (the subword budget a
+            // tokenizer would see, before merges)
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_subtokens")
           )
           .select(
             col("doc_id"),
             col("n_tokens"),
             col("n_unique"),
+            col("n_subtokens"),
             round(col("n_unique") / col("n_tokens"), 6).as("ttr"),
             round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
             round(
@@ -73,12 +78,13 @@ object TextQueries {
           )
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
         c AS (SELECT doc_id, len(w) AS n_tokens,
                 len(list_distinct(w)) AS n_unique,
-                len(list_filter(w, x -> list_contains($stopSqlList, x))) AS n_stop
+                len(list_filter(w, x -> list_contains($stopSqlList, x))) AS n_stop,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subtokens
               FROM t)
-        SELECT doc_id, n_tokens, n_unique,
+        SELECT doc_id, n_tokens, n_unique, n_subtokens,
           ROUND(n_unique / n_tokens, 6) AS ttr,
           ROUND(n_stop / n_tokens, 6) AS stop_ratio,
           ROUND(n_unique / n_tokens * 0.5 + (CAST(1 AS DOUBLE) - n_stop / n_tokens) * 0.3

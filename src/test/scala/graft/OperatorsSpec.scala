@@ -30,6 +30,61 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     rows(2L) shouldBe Seq(1L)
   }
 
+  test("Graph.descendantsPerNode reverses the closure") {
+    import spark.implicits._
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
+    val rows = Graph.descendantsPerNode(edges).as[(Long, Seq[Long])].collect().toMap
+    rows(1L) shouldBe Seq(2L, 3L)
+    rows(2L) shouldBe Seq(3L)
+  }
+
+  test("Graph.rootPaths finds every child-first path to a root") {
+    import spark.implicits._
+    // diamond: 4 -> {2, 3} -> 1
+    val edges = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L)).toDF("child", "parent")
+    val paths = Graph.rootPaths(edges).as[(Long, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    paths(4L) shouldBe Set(Seq(4L, 2L, 1L), Seq(4L, 3L, 1L))
+    paths(2L) shouldBe Set(Seq(2L, 1L))
+  }
+
+  test("ColumnKit.saltedSum matches the direct aggregate") {
+    import spark.implicits._
+    import graft.functions.ColumnKit
+    val df = (1L to 1000L).map(i => (i % 3, i, i * 0.5)).toDF("k", "row_id", "v")
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_v"))
+      .as[(Long, Double)].collect().toMap
+    val salted = ColumnKit.saltedSum(df, Seq("k"), "v", saltFrom = "row_id", salts = 8)
+      .as[(Long, Double)].collect().toMap
+    salted shouldBe direct
+  }
+
+  test("ColumnKit.castArrayToStruct casts anonymous structs to a schema") {
+    import spark.implicits._
+    import graft.functions.ColumnKit
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", StringType), StructField("n", LongType)))
+    val df = Seq(Tuple1(Seq(("a", 1)))).toDF("xs")
+      .select(transform(col("xs"), x =>
+        struct(x.getField("_1").as("id"), x.getField("_2").as("n"))).as("xs"))
+      .select(ColumnKit.castArrayToStruct(col("xs"), schema).as("xs"))
+    df.schema.fields.head.dataType shouldBe ArrayType(schema)
+    df.select(explode(col("xs")).as("x")).select("x.id", "x.n")
+      .as[(String, Long)].head shouldBe ("a", 1L)
+  }
+
+  test("Word2Vec model save/load round-trips (ML sink/source)") {
+    import spark.implicits._
+    import graft.functions.EmbeddingModel
+    val corpus = Seq(Seq("a", "b", "c"), Seq("a", "c", "d")).toDF("tokens")
+    val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 4, windowSize = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v").toString
+    model.write.overwrite().save(s"$dir/m")
+    val back = org.apache.spark.ml.feature.Word2VecModel.load(s"$dir/m")
+    back.getVectors.count() shouldBe model.getVectors.count()
+  }
+
   test("TextKit.charHash matches a reference fold") {
     import spark.implicits._
     val got = Seq("ab").toDF("s").select(TextKit.charHash(col("s"))).head.getLong(0)
