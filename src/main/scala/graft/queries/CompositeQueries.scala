@@ -137,27 +137,26 @@ object CompositeQueries {
         import graft.functions.ColumnKit
         val base = Tables(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_brand"))
-        val liStats = Tables(s, dir, "lineitem")
+        // All per-source stats in ONE pass over the fact table:
+        // orders joined on the shuffle key, supplier broadcast (dim),
+        // then a single groupBy with conditional collects — instead of
+        // three lineitem scans + three left joins.
+        val enriched = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(
+            broadcast(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))),
+            col("l_suppkey") === col("s_suppkey")
+          )
           .groupBy(col("l_partkey"))
           .agg(
             count(lit(1)).as("n_lines"),
-            sort_array(collect_set(col("l_suppkey"))).as("supp_seen")
+            sort_array(collect_set(col("l_suppkey"))).as("supp_seen"),
+            sort_array(collect_set(when(col("s_acctbal") > 5000, col("s_suppkey"))))
+              .as("supp_rich"),
+            sort_array(collect_set(year(col("o_orderdate")))).as("yrs")
           )
-        val richSupp = Tables(s, dir, "lineitem")
-          .join(
-            Tables(s, dir, "supplier").filter(col("s_acctbal") > 5000),
-            col("l_suppkey") === col("s_suppkey")
-          )
-          .groupBy(col("l_partkey").as("pk2"))
-          .agg(sort_array(collect_set(col("s_suppkey"))).as("supp_rich"))
-        val years = Tables(s, dir, "lineitem")
-          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_partkey").as("pk3"))
-          .agg(sort_array(collect_set(year(col("o_orderdate")))).as("yrs"))
         base
-          .join(liStats, col("p_partkey") === col("l_partkey"), "left_outer")
-          .join(richSupp, col("p_partkey") === col("pk2"), "left_outer")
-          .join(years, col("p_partkey") === col("pk3"), "left_outer")
+          .join(enriched, col("p_partkey") === col("l_partkey"), "left_outer")
           .select(
             col("p_partkey"),
             coalesce(col("n_lines"), lit(0L)).as("n_lines"),
