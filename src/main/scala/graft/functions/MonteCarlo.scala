@@ -57,7 +57,7 @@ object MonteCarlo {
   private def binomialDraw(rng: Well19937c, n: Int, p: Double): Int = {
     val u = rng.nextDouble()
     val npq = n * p * (1 - p)
-    if (npq > 25.0) {
+    if (npq > 9.0) {
       val z = org.apache.commons.math3.special.Erf.erfInv(2 * u - 1) * math.sqrt(2.0)
       val x = math.rint(n * p + z * math.sqrt(npq))
       math.max(0, math.min(n, x.toInt))

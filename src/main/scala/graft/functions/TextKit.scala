@@ -92,6 +92,35 @@ object TextKit {
     )
   }
 
+  /** JIT-compiled shingling kernel: same output as `shingles` (distinct
+    * space-joined n-grams) but as one compiled pass per document
+    * instead of per-element interpreted slice/concat expressions —
+    * this is the dominant cost of the text-dedup queries' scan stage.
+    */
+  def shinglesKernel(n: Int): Column => Column = {
+    val f = udf { (w: Seq[String]) =>
+      if (w.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= w.length - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(w(i + k))
+            k += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+    w => f(w)
+  }
+
   /** MinHash signature + LSH band keys in one JIT-compiled pass: the
     * pure-column minhashSignature/bandKeys pair evaluates
     * numPerms x |shingles| interpreted expressions per document, while

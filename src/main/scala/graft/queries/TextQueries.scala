@@ -159,7 +159,7 @@ object TextQueries {
           // hash each shingle once; min/max read the same array
           .withColumn(
             "shfp",
-            transform(TextKit.shingles(col("w"), 3), sh => TextKit.charHash(sh))
+            transform(TextKit.shinglesKernel(3)(col("w")), sh => TextKit.charHash(sh))
           )
           .select(
             col("doc_id"),
@@ -221,7 +221,7 @@ object TextQueries {
         val ex = Tables(s, dir, "documents")
           .select(col("doc_id"), w.as("w"))
           .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
+          .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
           .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
           .persist()
         ex.as("x")
@@ -264,7 +264,7 @@ object TextQueries {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), w.as("w"))
           .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), TextKit.shingles(col("w"), 3).as("ss"))
+          .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
           .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
           .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
           .persist()

@@ -98,6 +98,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     got should contain theSameElementsAs Seq("a b c", "b c a", "c a b")
   }
 
+  test("TextKit.shinglesKernel matches the pure-column shingles") {
+    import spark.implicits._
+    val df = Seq(Seq("a", "b", "c", "a", "b", "c", "d")).toDF("w")
+    val colVersion = df.select(TextKit.shingles(col("w"), 3).as("s")).as[Seq[String]].head
+    val kernel = df.select(TextKit.shinglesKernel(3)(col("w")).as("s")).as[Seq[String]].head
+    kernel.toSet shouldBe colVersion.toSet
+    // short inputs produce empty, not an error
+    Seq(Seq("a", "b")).toDF("w")
+      .select(TextKit.shinglesKernel(3)(col("w"))).as[Seq[String]].head shouldBe empty
+  }
+
   test("TextKit.minhashSignature is a per-permutation minimum") {
     import spark.implicits._
     val hashes = Seq(Seq(5L, 11L, 23L)).toDF("hs")
