@@ -282,6 +282,34 @@ object ScalarQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_array_sort_comparator",
+      (s, dir) => {
+        // 2-arg array_sort with a SQL-registered UDF comparator inside
+        // the lambda (reference target/Target.scala:331-334,358-361:
+        // speciesDistanceSort registered then used in array_sort SQL).
+        // Comparator: by (length asc, lexicographic asc).
+        s.udf.register(
+          "len_name_cmp",
+          (x: String, y: String) => {
+            val c = Integer.compare(x.length, y.length)
+            if (c != 0) c else x.compareTo(y)
+          }
+        )
+        Tables(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(collect_list(col("p_name")).as("names"))
+          .selectExpr(
+            "p_brand",
+            "array_join(array_sort(names, (x, y) -> len_name_cmp(x, y)), ',') AS names_by_len"
+          )
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+          STRING_AGG(p_name, ',' ORDER BY LENGTH(p_name), p_name) AS names_by_len
+        FROM part GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_na_fill_drop",
       (s, dir) => {
         // DataFrameNaFunctions (reference literature/Processing
