@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("streaming sink writes parquet with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .windowedTypeCounts(in.toDF(), delay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row(1, 5), row(2, 10))
+      q.processAllAvailable()
+      in.addData(row(3, 600)) // advance watermark to close the window
+      q.processAllAvailable()
+      spark.read.parquet(s"$base/out").count() should be >= 1L
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap and emits on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
