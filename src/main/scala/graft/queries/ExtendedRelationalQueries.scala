@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.AsOfJoin
+import OracleSql.decSumExpr
+
+/** Relational surface beyond the reference's own operator set: as-of
+  * join (custom operator — Spark lacks it), rollup grouping, pivot
+  * (the reference only has the melt direction, SURVEY.md §2.8).
+  */
+object ExtendedRelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_join_asof",
+      (s, dir) => {
+        // For every click, the user's most recent view at-or-before it
+        // (graft.operators.AsOfJoin: union + running-last, one shuffle).
+        // DuckDB verifies with its native ASOF LEFT JOIN.
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts"), col("value"))
+        AsOfJoin.leftAsOf(clicks, views, Seq("user_id"), "ts", "ts")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("matched").getField("view_id").as("last_view_id"),
+            col("matched").getField("value").as("last_view_value")
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, v.view_id AS last_view_id, v.value AS last_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_agg_rollup",
+      (s, dir) => {
+        // Rollup grouping (region -> nation -> grand total). Keys are
+        // never null in the data, so null marks the rollup level —
+        // folded to 'ALL' for a grouping-function-free oracle.
+        val D18_4 = DecimalType(18, 4)
+        val D38_2 = DecimalType(38, 2)
+        Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum(col("c_acctbal").cast(D18_4)).cast(D38_2).cast(DoubleType).as("total_bal")
+          )
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_cust"),
+            col("total_bal")
+          )
+          .orderBy("region", "nation")
+      },
+      Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+          COUNT(*) AS n_cust,
+          CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_pivot_segment_year",
+      (s, dir) =>
+        // Pivot (the wide direction the reference lacks): order counts
+        // per market segment x order year, years as columns. The value
+        // list is explicit, so the plan is a single pass with
+        // conditional aggregates — same shape as the oracle.
+        Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), year(col("o_orderdate")).as("y"))
+          .groupBy(col("c_mktsegment"))
+          .pivot("y", Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001))
+          .count()
+          .na.fill(0L)
+          .withColumnsRenamed((1995 to 2001).map(y => y.toString -> s"y$y").toMap)
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 1995 THEN 1 END) AS y1995,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 END) AS y1996,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 1997 THEN 1 END) AS y1997,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 1998 THEN 1 END) AS y1998,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 1999 THEN 1 END) AS y1999,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 2000 THEN 1 END) AS y2000,
+          COUNT(CASE WHEN YEAR(o_orderdate) = 2001 THEN 1 END) AS y2001
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")
+    )
+  )
+}

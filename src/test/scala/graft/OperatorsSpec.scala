@@ -30,6 +30,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     rows(2L) shouldBe Seq(1L)
   }
 
+  test("AsOfJoin.leftAsOf picks the latest right row at-or-before, inclusive") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1")).toDF("k", "t", "rv")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t")
+      .select(col("lv"), col("matched").getField("rv").as("rv"))
+      .as[(String, Option[String])].collect().toMap
+    out("l1") shouldBe Some("r10") // same-instant right row matches (inclusive)
+    out("l2") shouldBe Some("r15") // latest at-or-before
+    out("l3") shouldBe None        // no right row for key 2
+  }
+
   test("Graph.descendantsPerNode reverses the closure") {
     import spark.implicits._
     val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
