@@ -43,6 +43,33 @@ object ExtendedRelationalQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_join_range_interval",
+      (s, dir) => {
+        // Interval-containment join via binned equi-join
+        // (graft.operators.RangeJoin): 45-day demand windows anchored
+        // at each order month, counting lineitem shipments inside each
+        // window. The oracle states the same range predicate directly.
+        val windows = Tables(s, dir, "orders")
+          .select(date_trunc("month", col("o_orderdate")).as("win_start"))
+          .distinct()
+          .withColumn("win_end", col("win_start") + expr("INTERVAL 45 DAYS"))
+        val shipments = Tables(s, dir, "lineitem").select(col("l_shipdate"))
+        graft.operators.RangeJoin
+          .pointInInterval(shipments, "l_shipdate", windows, "win_start", "win_end",
+            binSeconds = 45L * 86400)
+          .groupBy(col("win_start"))
+          .agg(count(lit(1)).as("n_shipped"))
+          .orderBy("win_start")
+      },
+      Some("""WITH w AS (SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS win_start
+                FROM orders)
+        SELECT win_start, COUNT(*) AS n_shipped
+        FROM w JOIN lineitem
+          ON l_shipdate >= win_start AND l_shipdate < win_start + INTERVAL 45 DAY
+        GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_agg_rollup",
       (s, dir) => {
         // Rollup grouping (region -> nation -> grand total). Keys are

@@ -43,6 +43,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     out("l3") shouldBe None        // no right row for key 2
   }
 
+  test("RangeJoin.pointInInterval pairs points with containing intervals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.RangeJoin
+    def ts(h: Int) = new Timestamp(h * 3600000L)
+    val points = Seq((1L, ts(1)), (2L, ts(5)), (3L, ts(10))).toDF("pid", "t")
+    val ivs = Seq(("a", ts(0), ts(6)), ("b", ts(4), ts(11)), ("c", ts(20), ts(21)))
+      .toDF("iv", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "t", ivs, "s", "e", binSeconds = 3600)
+      .select("iv", "pid").as[(String, Long)].collect().toSet
+    out shouldBe Set(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+  }
+
   test("Graph.descendantsPerNode reverses the closure") {
     import spark.implicits._
     val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
