@@ -68,6 +68,40 @@ object Streaming {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with a time-range condition: each click
+    * joins the same user's views from the preceding hour. Watermarks on
+    * both sides bound the join state (Spark buffers each side until the
+    * other's watermark passes the range horizon). The batch twin of
+    * this shape is the as-of/range join pair in graft.operators.
+    */
+  def clicksWithRecentViews(
+      events: DataFrame,
+      delay: String = "10 minutes"
+  ): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts").as("click_ts")
+      )
+      .withWatermark("click_ts", delay)
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("view_user"),
+        col("ts").as("view_ts")
+      )
+      .withWatermark("view_ts", delay)
+    clicks.join(
+      views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR")
+    ).select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay below `gapMinutes`; a session is
     * emitted when the event-time watermark passes its gap horizon (or

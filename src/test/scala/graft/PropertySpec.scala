@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{ColumnKit, Stemmer, TextKit}
+
+/** Property-based invariants for the pure kernels (the reference has
+  * only table-driven checks, SURVEY.md §5 — these generalize them).
+  * Driver-side properties run without Spark where the function has a
+  * pure twin; column-expression properties run through a tiny DF.
+  */
+class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  // scalatestplus-scalacheck is not on the offline classpath; this is a
+  // minimal deterministic forAll over scalacheck generators (fixed
+  // seeds -> reproducible runs).
+  private def forAll[A](gen: Gen[A], cases: Int = 25)(f: A => Unit): Unit =
+    (1 to cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), 25) { case (a, b) => f(a, b) }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("Stemmer is idempotent-ish: stems are never longer than input") {
+    forAll(word) { w =>
+      Stemmer.stem(w).length should be <= math.max(w.length, 3)
+    }
+  }
+
+  test("Stemmer output is stable (pure function)") {
+    forAll(word) { w =>
+      Stemmer.stem(w) shouldBe Stemmer.stem(w)
+    }
+  }
+
+  test("charHash stays within [0, P) and is deterministic") {
+    import spark.implicits._
+    forAll(Gen.listOfN(5, word)) { ws =>
+      val out = ws.toDF("w").select(TextKit.charHash(col("w"))).collect().map(_.getLong(0))
+      all(out) should (be >= 0L and be < TextKit.HashP)
+      val again = ws.toDF("w").select(TextKit.charHash(col("w"))).collect().map(_.getLong(0))
+      out shouldBe again
+    }
+  }
+
+  test("minhash signature of a superset is elementwise <= the subset's") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.posNum[Long]), Gen.nonEmptyListOf(Gen.posNum[Long])) {
+      (a, b) =>
+        val sub = a.distinct
+        val sup = (a ++ b).distinct
+        val df = Seq((sub, sup)).toDF("sub", "sup")
+        val row = df.select(
+          TextKit.minhashSignature(col("sub"), 8).as("s1"),
+          TextKit.minhashSignature(col("sup"), 8).as("s2")
+        ).head
+        val s1 = row.getSeq[Long](0)
+        val s2 = row.getSeq[Long](1)
+        s1.zip(s2).foreach { case (x, y) => y should be <= x }
+    }
+  }
+
+  test("harmonicSum is bounded by maxHarmonicSum times the max element") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 1.0))) { xs =>
+      val row = Seq(Tuple1(xs)).toDF("xs")
+        .select(
+          ColumnKit.harmonicSum(col("xs")).as("h"),
+          ColumnKit.maxHarmonicSum(org.apache.spark.sql.functions.size(col("xs"))).as("m")
+        ).head
+      row.getDouble(0) should be <= row.getDouble(1) * xs.max + 1e-9
+      row.getDouble(0) should be >= 0.0
+    }
+  }
+
+  test("priorityDedup output ids are unique and priority-sorted") {
+    import spark.implicits._
+    val pairGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 3), Gen.choose(1, 9).map(i => s"id$i")))
+    forAll(pairGen) { pairs =>
+      val out = Seq(Tuple1(pairs)).toDF("raw")
+        .select(
+          ColumnKit.priorityDedup(
+            transform(col("raw"), x => struct(x.getField("_1").as("priority"), x.getField("_2").as("id")))
+          ).as("ids")
+        ).as[Seq[String]].head
+      out.distinct shouldBe out                      // unique
+      out.toSet shouldBe pairs.map(_._2).toSet        // same id universe
+    }
+  }
+
+  test("unionDifferentSchema preserves total row count and unions columns") {
+    import spark.implicits._
+    forAll(Gen.choose(0, 5), Gen.choose(0, 5)) { (n, m) =>
+      val a = (1 to n).map(i => (i.toLong, s"a$i")).toDF("id", "x")
+      val b = (1 to m).map(i => (i.toLong, i * 1.5)).toDF("id", "y")
+      val u = ColumnKit.unionDifferentSchema(a, b)
+      u.count() shouldBe (n + m).toLong
+      u.columns.toSet shouldBe Set("id", "x", "y")
+    }
+  }
+}

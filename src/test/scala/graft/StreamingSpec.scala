@@ -73,6 +73,29 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with the last hour's views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .clicksWithRecentViews(in.toDF(), delay = "5 minutes")
+      .writeStream.format("memory").queryName("cv_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        row(1, 0, typ = "view"),
+        row(2, 30, typ = "view"),
+        row(3, 40, typ = "click"),  // joins views at 0 and 30
+        row(4, 90, typ = "view"),
+        row(5, 120, typ = "click") // joins only the view at 90 (30 is >1h back)
+      )
+      q.processAllAvailable()
+      val pairs = spark.table("cv_join")
+        .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+      pairs shouldBe Set((3L, 1L), (3L, 2L), (5L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap and emits on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
