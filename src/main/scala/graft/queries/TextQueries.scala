@@ -231,11 +231,12 @@ object TextQueries {
             col("x.n").as("n1"), col("y.n").as("n2")
           )
           .agg(count(lit(1)).as("shared"))
-          .select(
-            col("d1"), col("d2"),
-            round(col("shared") / (col("n1") + col("n2") - col("shared")), 6).as("jaccard")
-          )
-          .filter(col("jaccard") >= tau)
+          .withColumn("j", col("shared") / (col("n1") + col("n2") - col("shared")))
+          .filter(col("j") >= tau)
+          // floor-micros, not round6: jaccard is an exact rational and
+          // power-of-two denominators land on rounding half-boundaries
+          // where Spark (decimal-string) and DuckDB (binary) disagree
+          .select(col("d1"), col("d2"), floor(col("j") * 1e6).cast("long").as("jaccard_micros"))
           .orderBy("d1", "d2")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -244,9 +245,10 @@ object TextQueries {
         n AS (SELECT doc_id, len(ss) AS n FROM d),
         shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
           FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-        SELECT d1, d2, ROUND(shared / (n1.n + n2.n - shared), 6) AS jaccard
+        SELECT d1, d2,
+          CAST(FLOOR(shared / (n1.n + n2.n - shared) * 1000000) AS BIGINT) AS jaccard_micros
         FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        WHERE ROUND(shared / (n1.n + n2.n - shared), 6) >= 0.5
+        WHERE shared / (n1.n + n2.n - shared) >= 0.5
         ORDER BY d1, d2""")
     ),
     // ------------------------------------------------------------------
@@ -293,7 +295,7 @@ object TextQueries {
               (size(col("s1.ss")) + size(col("s2.ss")) - col("inter"))).as("j")
           )
           .filter(col("j") >= 0.8)
-          .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+          .select(col("d1"), col("d2"), floor(col("j") * 1e6).cast("long").as("jaccard_micros"))
           .orderBy("d1", "d2")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -302,7 +304,8 @@ object TextQueries {
         n AS (SELECT doc_id, len(ss) AS n FROM d),
         shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
           FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-        SELECT d1, d2, ROUND(shared / (n1.n + n2.n - shared), 6) AS jaccard
+        SELECT d1, d2,
+          CAST(FLOOR(shared / (n1.n + n2.n - shared) * 1000000) AS BIGINT) AS jaccard_micros
         FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         WHERE shared / (n1.n + n2.n - shared) >= 0.8
         ORDER BY d1, d2""")

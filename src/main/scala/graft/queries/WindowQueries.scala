@@ -127,23 +127,28 @@ object WindowQueries {
       "q_window_rank_family",
       (s, dir) => {
         // row_number / percent_rank / cume_dist side by side, per
-        // nation over customer balances. percent_rank is an exact
-        // rational of two ints -> bit-identical across engines.
+        // nation over customer balances.
         val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
         Tables(s, dir, "customer")
           .select(
             col("c_nationkey"),
             col("c_custkey"),
             row_number().over(w).as("rn"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume")
+            // floor-micros instead of round6: percent_rank/cume_dist are
+            // exact rationals (rn/n), and Spark rounds the decimal repr
+            // while DuckDB rounds the binary double — they disagree at
+            // exact 7th-decimal halves (e.g. 333/640). floor(x*1e6) is
+            // a pure function of the bit-identical double, so both
+            // engines always agree.
+            floor(percent_rank().over(w) * 1e6).cast("long").as("pct_rank_micros"),
+            floor(cume_dist().over(w) * 1e6).cast("long").as("cume_micros")
           )
           .orderBy("c_nationkey", "rn")
       },
       Some("""SELECT c_nationkey, c_custkey,
         ROW_NUMBER() OVER w AS rn,
-        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        ROUND(CUME_DIST() OVER w, 6) AS cume
+        CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_micros,
+        CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_micros
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_nationkey, rn""")
