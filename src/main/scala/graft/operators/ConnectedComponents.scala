@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative minimum-label propagation —
+  * the clustering step of a near-dup dedup stack (pairs alone don't
+  * dedup; transitive groups do).
+  *
+  * Each node starts labeled with its own id; every round each node
+  * takes the minimum of its label and its neighbors' labels. Converges
+  * in O(component diameter) rounds — near-dup graphs are
+  * small-diameter by construction (pairs/cliques), so this terminates
+  * in 2-4 rounds where a general graph would want the large-star/
+  * small-star alternation.
+  *
+  * Scale: each round is one shuffle join on the node key plus an
+  * aggregate; lineage truncated per round (cluster: swap
+  * localCheckpoint for checkpoint).
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges.
+    * @return (node, cluster) where cluster = min node id reachable.
+    */
+  def labels(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val Array(aCol, bCol) = edges.columns
+    val sym = edges
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("node"))
+        .groupBy(col("a"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
+        .select(
+          col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")
+        )
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+}

@@ -312,6 +312,69 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters",
+      (s, dir) => {
+        // Near-dup CLUSTERING: pairs alone don't dedup — the canonical
+        // mapping needs transitive components. Pairs come from the
+        // MinHash+LSH pipeline (identical to the exact-Jaccard set at
+        // tau=0.8, see q_dedup_minhash_lsh), components via min-label
+        // propagation (operators.ConnectedComponents). Oracle: a
+        // recursive-CTE reachability closure over the exact pair set.
+        val w = TextKit.tokens(col("text"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
+          .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
+          .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
+          .persist()
+        val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+        val cand = buckets.as("x")
+          .join(
+            buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id")
+          )
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), sort_array(col("ss")).as("ss"))
+        val pairs = cand
+          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+          .withColumn(
+            "inter",
+            graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss"))
+          )
+          .filter(
+            col("inter").cast(DoubleType) /
+              (size(col("s1.ss")) + size(col("s2.ss")) - col("inter")) >= 0.8
+          )
+          .select(col("d1"), col("d2"))
+        graft.operators.ConnectedComponents
+          .labels(pairs)
+          .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM shared
+          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE shared / (n1.n + n2.n - shared) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_simhash",
       (s, dir) => {
         // 62-bit SimHash per document: sign of the tf-weighted sum of

@@ -43,6 +43,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     out("l3") shouldBe None        // no right row for key 2
   }
 
+  test("ConnectedComponents.labels finds transitive min-label components") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // components: {1,2,3} (chain), {7,9}, singleton edges only
+    val edges = Seq((2L, 1L), (3L, 2L), (9L, 7L)).toDF("a", "b")
+    val out = ConnectedComponents.labels(edges).as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L
+    out(7L) shouldBe 7L
+    out(9L) shouldBe 7L
+  }
+
   test("RangeJoin.pointInInterval pairs points with containing intervals") {
     import spark.implicits._
     import java.sql.Timestamp
