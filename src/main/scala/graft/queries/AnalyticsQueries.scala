@@ -207,6 +207,35 @@ object AnalyticsQueries {
           UNION
           SELECT node, a // 2 FROM anc WHERE a >= 2)
         SELECT node, a AS ancestor FROM anc ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_graph_root_paths",
+      (s, dir) => {
+        // All-root-paths (reference GraphNodeDocument.path:
+        // Seq[Seq[String]], graph/GraphNode.scala:26,63-80) over the
+        // same synthetic binary tree, distributed frontier iteration
+        // (operators.Graph.rootPaths). Paths are child-first, joined
+        // '/' for a portable compare.
+        val edges = Tables(s, dir, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+        graft.operators.Graph.rootPaths(edges)
+          .select(
+            col("node"),
+            array_join(transform(col("path"), x => x.cast("string")), "/").as("root_path")
+          )
+          .orderBy("node", "root_path")
+      },
+      Some("""WITH RECURSIVE p(node, head, path) AS (
+          SELECT p_partkey, p_partkey // 2,
+                 CAST(p_partkey AS VARCHAR) || '/' || CAST(p_partkey // 2 AS VARCHAR)
+          FROM part WHERE p_partkey >= 2
+          UNION ALL
+          SELECT node, head // 2, path || '/' || CAST(head // 2 AS VARCHAR)
+          FROM p WHERE head >= 2)
+        SELECT node, path AS root_path FROM p WHERE head = 1
+        ORDER BY node, root_path""")
     )
   )
 }
