@@ -24,7 +24,12 @@ object Session {
     "spark.sql.parquet.filterPushdown" -> "true",
     // The reference relies on permissive (non-ANSI) casts, e.g.
     // string->int in target/GeneticConstraints.scala:58-90.
-    "spark.sql.ansi.enabled" -> "false"
+    "spark.sql.ansi.enabled" -> "false",
+    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4
+    // rejects outright (PARQUET_TYPE_ILLEGAL); read nanos as raw longs
+    // session-wide (Tables truncates ns->us to match DuckDB). Set here
+    // — not inside query functions — so queries stay side-effect-free.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
   )
 
   def build(

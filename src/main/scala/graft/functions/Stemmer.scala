@@ -98,21 +98,19 @@ object Stemmer {
       if (measure(stemPart) > 0) w = stemPart + r
     }
 
-    // Step 4
+    // Step 4: a single longest-match dispatch over the full suffix set
+    // (including "ion" with its s/t guard) — Porter applies AT MOST ONE
+    // rule per step, and only the longest matching suffix's condition
+    // is consulted (no fallback to shorter suffixes, no second strip:
+    // "provisional" -> "provision", never "provis").
     val step4 = Seq(
       "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-      "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"
+      "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize"
     )
-    step4.collectFirst { case s if w.endsWith(s) => s }.foreach { s =>
+    step4.filter(w.endsWith).sortBy(-_.length).headOption.foreach { s =>
       val stemPart = w.dropRight(s.length)
-      if (measure(stemPart) > 1) w = stemPart
-      else if (s == "ion" && stemPart.nonEmpty && "st".contains(stemPart.last) && measure(stemPart) > 1)
-        w = stemPart
-    }
-    // "ion" needs its s/t guard, handled separately from the plain list
-    if (w.endsWith("ion")) {
-      val stemPart = w.dropRight(3)
-      if (measure(stemPart) > 1 && stemPart.nonEmpty && "st".contains(stemPart.last)) w = stemPart
+      val ionGuard = s != "ion" || (stemPart.nonEmpty && "st".contains(stemPart.last))
+      if (measure(stemPart) > 1 && ionGuard) w = stemPart
     }
 
     // Step 5a

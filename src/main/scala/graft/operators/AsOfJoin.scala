@@ -53,9 +53,16 @@ object AsOfJoin {
 
     val unioned = graft.functions.ColumnKit.unionDifferentSchema(taggedRight, taggedLeft)
 
+    // Ordering: (__t, __tag) puts right rows before left rows at the
+    // same instant (inclusive match); __payload breaks ties among right
+    // rows sharing (key, time) — struct comparison is field-by-field,
+    // so the winning payload is the field-wise greatest, deterministic
+    // under any partitioning/scheduling. Left rows all carry a null
+    // payload, so their relative order within a tie cannot change
+    // last(ignoreNulls).
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(col("__t").asc, col("__tag").asc, col("__payload").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned

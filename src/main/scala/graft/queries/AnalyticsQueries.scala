@@ -41,7 +41,7 @@ object AnalyticsQueries {
         SELECT l_partkey,
                ROUND(SUM(l_discount / (rn*rn)), 6) AS harmonic,
                ROUND(SUM(CAST(1 AS DOUBLE) / (rn*rn)), 6) AS max_score,
-               COUNT(*) AS n
+               CAST(COUNT(*) AS INTEGER) AS n
         FROM r GROUP BY 1 ORDER BY 1""")
     ),
     // ------------------------------------------------------------------

@@ -243,18 +243,18 @@ object CompositeQueries {
       Some("""WITH t AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS items
                FROM lineitem GROUP BY 1)
         SELECT l_orderkey,
-          len(items) AS n_items,
+          CAST(len(items) AS INTEGER) AS n_items,
           items[1] AS first_item,
           items[-1] AS last_item,
-          list_position(items, items[-1]) AS pos_of_last,
+          CAST(list_position(items, items[-1]) AS BIGINT) AS pos_of_last,
           len(items) != len(list_distinct(items)) AS has_dup,
-          len(list_filter(items, x -> x % 2 = 0)) AS n_even,
+          CAST(len(list_filter(items, x -> x % 2 = 0)) AS INTEGER) AS n_even,
           len(list_filter(items, x -> x > 1900)) > 0 AS any_gt_1900,
           len(list_filter(items, x -> x >= 0)) = len(items) AS all_nonneg,
           array_to_string(items[1:2], ',') AS first_two,
           COALESCE(array_to_string(list_transform(list_filter(items, x -> x != items[1]),
             x -> CAST(x AS VARCHAR)), ','), '') AS without_first,
-          len(range(1, len(items) + 1)) AS seq_len
+          CAST(len(range(1, len(items) + 1)) AS INTEGER) AS seq_len
         FROM t ORDER BY l_orderkey""")
     )
   )

@@ -40,9 +40,11 @@ object MultimodalQueries {
                  CASE octet_length(CAST(text AS BLOB)) % 3
                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
           FROM documents)
-        SELECT source, format, COUNT(*) AS n_media, SUM(byte_len) AS total_bytes,
-               MAX(width) AS max_width, MAX(height) AS max_height,
-               SUM(n_frames) AS total_frames
+        SELECT source, format, COUNT(*) AS n_media,
+               CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+               CAST(MAX(width) AS INTEGER) AS max_width,
+               CAST(MAX(height) AS INTEGER) AS max_height,
+               CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM f GROUP BY 1, 2 ORDER BY 1, 2""")
     )
   )

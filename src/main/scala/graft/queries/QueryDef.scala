@@ -35,12 +35,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4
-      // rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-      // truncate to microseconds — the same ns->us truncation DuckDB
-      // applies when it reads the file, so both engines see identical
-      // timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.parquet stores ts as TIMESTAMP(NANOS): the session must
+      // be built with spark.sql.legacy.parquet.nanosAsLong=true (see
+      // Session.defaultConf / the entry-point mains) so the column
+      // arrives as a raw nanos long; here it is truncated to
+      // microseconds — the same ns->us truncation DuckDB applies when
+      // it reads the file, so both engines see identical timestamps.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn(
         "ts",

@@ -40,7 +40,7 @@ object ScalarQueries {
         CONCAT_WS('|', p_brand, p_type) AS brand_type,
         CAST(SPLIT_PART(p_brand, '#', 2) AS BIGINT) AS brand_num,
         UPPER(p_name) AS name_upper,
-        LENGTH(p_name) AS name_len,
+        CAST(LENGTH(p_name) AS INTEGER) AS name_len,
         TRANSLATE(p_name, 'aeiou', 'AEIOU') AS name_tr,
         REGEXP_EXTRACT(p_name, '^(\w+)', 1) AS first_word,
         REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS name_starred,
@@ -72,13 +72,13 @@ object ScalarQueries {
           .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
         CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_s,
-        YEAR(o_orderdate) AS y,
-        QUARTER(o_orderdate) AS q,
-        MONTH(o_orderdate) AS m,
-        DAY(o_orderdate) AS d,
+        CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+        CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+        CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+        CAST(DAY(o_orderdate) AS INTEGER) AS d,
         CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
         LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
-        DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+        CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
         CAST(o_orderdate AS DATE) + 30 AS due_date
         FROM orders ORDER BY o_orderkey""")
     ),
@@ -116,8 +116,8 @@ object ScalarQueries {
         ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
         ROUND(POW(l_discount, 2), 6) AS disc_sq,
         l_orderkey % 7 AS key_mod7,
-        FLOOR(l_extendedprice) AS price_floor,
-        CEIL(l_extendedprice) AS price_ceil,
+        CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
         CAST(SIGN(l_quantity - 50) AS INT) AS qty_sign
         FROM lineitem WHERE l_quantity >= 45
         ORDER BY l_orderkey, l_linenumber""")
@@ -169,7 +169,7 @@ object ScalarQueries {
           )
           .orderBy("event_type"),
       Some("""SELECT event_type,
-        SUM(k) AS sum_k,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
         COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
         FROM (SELECT event_type,
                 CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS INT) AS k
@@ -326,7 +326,7 @@ object ScalarQueries {
           .filter(col("cnt") === -1)
           .orderBy("c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, -1 AS cnt, COUNT(*) AS n
+      Some("""SELECT c_mktsegment, CAST(-1 AS BIGINT) AS cnt, COUNT(*) AS n
         FROM customer WHERE NOT EXISTS
           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY 1 ORDER BY 1""")

@@ -57,7 +57,7 @@ object SimilarityQueries {
                FROM q, embeddings e WHERE e.vec_id != qid),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
               FROM sc)
-        SELECT qid, rk, nid, ROUND(cos, 6) AS cosine
+        SELECT qid, CAST(rk AS INTEGER) AS rk, nid, ROUND(cos, 6) AS cosine
         FROM r WHERE rk <= 5 ORDER BY qid, rk""")
     ),
     // ------------------------------------------------------------------
@@ -132,44 +132,56 @@ object SimilarityQueries {
         // IVF (inverted-file) ANN: a seeded k-means coarse quantizer
         // partitions the corpus into cells; each query probes its 2
         // nearest centroids and ranks exact cosine only within those
-        // cells. The centroid table is tiny (k rows) — probe
-        // assignment happens on the driver, candidate selection is a
-        // broadcast semi-join on the cell id. This is the classic
+        // cells. Probe assignment is DISTRIBUTED: the k centroid rows
+        // (k tiny by construction) are broadcast and cross-joined
+        // against the query set, then row_number() <= nprobe picks the
+        // probes — no query data ever touches the driver, so a 1M-query
+        // batch works the same as a 10-query one. This is the classic
         // billion-vector layout (IVF-Flat): cells shard across
         // executors, probes bound per-query work. Approximate ->
         // rows-only check; exact top-k is covered by
         // q_similarity_cosine_topk.
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
+        val nprobe = 2
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
           .withColumn("fv", array_to_vector(col("e")))
           .persist()
+        // persist() covers the k-means training iterations (many full
+        // passes); after fit the remaining plan reads emb once, so the
+        // cache is released before the query's own action runs.
         val model = new KMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(emb)
+        emb.unpersist()
         val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
-        val centers = model.clusterCenters.map(_.toArray)
-        // per query: 2 nearest centroids, computed where the centroid
-        // table lives (driver) — k is tiny by construction
+        // centroid table: k rows -> a broadcast DataFrame, not driver math
+        import s.implicits._
+        val centroids = model.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("cell", "centroid")
         val queries = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-        val qRows = queries.collect()
-        val probes = qRows.flatMap { r =>
-          val qe = r.getSeq[Double](1).toArray
-          centers.zipWithIndex
-            .map { case (c, i) =>
-              val d = qe.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-              (i, d)
-            }
-            .sortBy(_._2).take(2)
-            .map { case (cell, _) => (r.getLong(0), cell) }
-        }.toSeq
-        import s.implicits._
-        val probeDf = probes.toDF("qid", "cell")
+        // distributed probe assignment: queries x k centroids
+        // (broadcast NLJ), squared L2 via the codegen'd fold, top-nprobe
+        // cells per query by row_number
+        val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+        val probeDf = queries
+          .select(col("qid"), col("qe"))
+          .crossJoin(broadcast(centroids))
+          .withColumn(
+            "d2",
+            aggregate(
+              zip_with(col("qe"), col("centroid"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+          )
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nprobe)
+          .select(col("qid"), col("cell"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
         assigned
           .join(broadcast(probeDf), Seq("cell"))
-          .join(broadcast(queries.drop("cell")), Seq("qid"))
+          .join(broadcast(queries), Seq("qid"))
           .filter(col("vec_id") =!= col("qid"))
           .select(
             col("qid"),

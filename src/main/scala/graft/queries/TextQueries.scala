@@ -84,7 +84,9 @@ object TextQueries {
                 len(list_filter(w, x -> list_contains($stopSqlList, x))) AS n_stop,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subtokens
               FROM t)
-        SELECT doc_id, n_tokens, n_unique, n_subtokens,
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+          CAST(n_unique AS INTEGER) AS n_unique,
+          CAST(n_subtokens AS INTEGER) AS n_subtokens,
           ROUND(n_unique / n_tokens, 6) AS ttr,
           ROUND(n_stop / n_tokens, 6) AS stop_ratio,
           ROUND(n_unique / n_tokens * 0.5 + (CAST(1 AS DOUBLE) - n_stop / n_tokens) * 0.3
@@ -145,7 +147,7 @@ object TextQueries {
             WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
             WHEN h_fr >= h_zh THEN 'fr'
             ELSE 'zh' END AS pred_lang,
-          GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS n_hits
+          CAST(GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS INTEGER) AS n_hits
         FROM h ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
@@ -408,7 +410,7 @@ object TextQueries {
                 SUM(CASE WHEN ((hh >> i) & 1) = 1 THEN c ELSE -c END) AS s
               FROM h, (SELECT unnest(range(0, 62)) AS i) GROUP BY 1, 2)
         SELECT doc_id,
-          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY 1 ORDER BY 1""")
     )
   )

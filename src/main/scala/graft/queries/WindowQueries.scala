@@ -36,8 +36,45 @@ object WindowQueries {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,
-        NTILE(6) OVER (ORDER BY c_acctbal DESC, c_custkey) AS tile
+        CAST(NTILE(6) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS tile
         FROM customer ORDER BY c_custkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_ntile_approx",
+      (s, dir) => {
+        // The fact-scale cutover for global ntile binning (the
+        // single-partition-sort trap flagged on q_window_ntile):
+        // approx_percentile computes the 5 sextile cutpoints as a
+        // partial-aggregable sketch (one shuffle-free reduce, no global
+        // sort), then a broadcast of the 1-row cutpoint array assigns
+        // each row its bin with a codegen'd range lookup — the plan
+        // scales to any row count because nothing is ever globally
+        // sorted. The sketch makes bin sizes approximate, so (like the
+        // HLL slice) the oracle checks the CONTRACT: 6 bins, each
+        // within 5% of the exact sextile size.
+        import org.apache.spark.sql.types.IntegerType
+        val fact = Tables(s, dir, "orders")
+          .select(col("o_totalprice").cast(DoubleType).as("v"))
+        val cuts = fact.agg(
+          expr("approx_percentile(v, array(CAST(1 AS DOUBLE)/6, CAST(2 AS DOUBLE)/6, " +
+            "CAST(3 AS DOUBLE)/6, CAST(4 AS DOUBLE)/6, CAST(5 AS DOUBLE)/6), 10000)")
+            .as("cuts"))
+        val binned = fact
+          .crossJoin(broadcast(cuts))
+          .select((size(filter(col("cuts"), c => col("v") > c)) + 1).as("tile"))
+        val binCounts = binned.groupBy(col("tile")).agg(count(lit(1)).as("n"))
+        val tot = fact.agg(count(lit(1)).as("total"))
+        binCounts
+          .crossJoin(broadcast(tot))
+          .select(
+            col("tile").cast(IntegerType).as("tile"),
+            (abs(col("n") - col("total") / 6.0) <= col("total") * 0.05)
+              .as("within_tol"))
+          .orderBy("tile")
+      },
+      Some("""SELECT CAST(r AS INTEGER) AS tile, TRUE AS within_tol
+        FROM (SELECT unnest(range(1, 7)) AS r) t ORDER BY 1""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -146,7 +183,7 @@ object WindowQueries {
           .orderBy("c_nationkey", "rn")
       },
       Some("""SELECT c_nationkey, c_custkey,
-        ROW_NUMBER() OVER w AS rn,
+        CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
         CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_micros,
         CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_micros
         FROM customer

@@ -142,7 +142,14 @@ object Streaming {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.last + gapMs)
+            // flatMapGroupsWithState does NOT auto-drop late rows: a
+            // straggler can leave s.last + gap at or below the current
+            // watermark, and setTimeoutTimestamp below the watermark
+            // throws and kills the stream. Clamp to watermark + 1 ms so
+            // the session still times out (immediately, on the next
+            // trigger) instead of crashing.
+            val timeout = math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs)
+            state.setTimeoutTimestamp(timeout)
           }
           closed.reverseIterator
         }

@@ -112,6 +112,11 @@ class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup
     Stemmer.stem("relational") shouldBe "relat"
     Stemmer.stem("rational") shouldBe "ration"
     Stemmer.stem("happy") shouldBe "happi"
+    // step-4 applies at most ONE rule (the 'ion' strip must not re-run
+    // on the already-stripped word): provisional -> provision, not provis
+    Stemmer.stem("provisional") shouldBe "provision"
+    Stemmer.stem("adoption") shouldBe "adopt"
+    Stemmer.stem("replacement") shouldBe "replac"
   }
 
   test("Stemmer column form applies per token") {

@@ -28,15 +28,20 @@ def canon(rows, cols):
 def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+    # TYPE-STRICT (round 2): the driver hashes typed values, so an int
+    # on one side and a float/Decimal on the other must FAIL here even
+    # when numerically equal. Only int==int, float==float, etc. pass.
+    ta, tb = type(a), type(b)
+    if ta is not tb:
+        # bool is an int subclass; keep bool vs int distinct anyway.
+        return False
+    if isinstance(a, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb  # exact: our determinism recipe should give bit-equality
-    return str(a) == str(b)
+        return a == b  # exact: our determinism recipe should give bit-equality
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b if not isinstance(a, str) else a == b
 
 
 def main(sf_dir, out_dir):
@@ -55,16 +60,18 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
-        got_cols = [d[0] for d in got.description]
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        got_cols = list(got.columns)
+        got_types = {c: str(t) for c, t in zip(got.columns, got.types)}
         got_rows = got.fetchall()
         if name not in oracles:
             n_noracle += 1
             print(f"  ~ {name}: no oracle ({len(got_rows)} rows)")
             continue
         try:
-            exp = con.execute(oracles[name])
-            exp_cols = [d[0] for d in exp.description]
+            exp = con.sql(oracles[name])
+            exp_cols = list(exp.columns)
+            exp_types = {c: str(t) for c, t in zip(exp.columns, exp.types)}
             exp_rows = exp.fetchall()
         except Exception as e:
             n_fail += 1
@@ -75,6 +82,15 @@ def main(sf_dir, out_dir):
         if gc != ec:
             n_fail += 1
             print(f"  ✗ {name}: column mismatch got={gc} exp={ec}")
+            continue
+        # DuckDB-level result-type check: the Spark parquet (read back
+        # through DuckDB) and the oracle query must agree on logical
+        # type per column (BIGINT vs HUGEINT, BIGINT vs DOUBLE, ...).
+        tdiff = [(c, got_types[c], exp_types[c]) for c in gc
+                 if got_types[c] != exp_types[c]]
+        if tdiff:
+            n_fail += 1
+            print(f"  ✗ {name}: RESULT TYPE mismatch {tdiff}")
             continue
         if len(gr) != len(er):
             n_fail += 1
