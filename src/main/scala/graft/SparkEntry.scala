@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
       ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ CompositeQueries.defs ++
-      TypedQueries.defs ++ ExtendedRelationalQueries.defs
+      TypedQueries.defs ++ ExtendedRelationalQueries.defs ++ SourceModelQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 

@@ -236,6 +236,35 @@ object AnalyticsQueries {
           FROM p WHERE head >= 2)
         SELECT node, path AS root_path FROM p WHERE head = 1
         ORDER BY node, root_path""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_graph_descendants",
+      (s, dir) => {
+        // Descendant closure per node (reference GraphNodeDocument
+        // carries descendants alongside ancestors, graph/GraphNode
+        // .scala:22-30,56-80) — same path-doubling closure over
+        // reversed edges (operators.Graph.descendantsPerNode), checked
+        // against a recursive-CTE oracle. Output is the sorted
+        // '/'-joined descendant list for a portable compare.
+        val edges = Tables(s, dir, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+        Graph.descendantsPerNode(edges)
+          .select(
+            col("node"),
+            array_join(transform(col("descendants"), x => x.cast("string")), "/")
+              .as("descendants")
+          )
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE anc(node, a) AS (
+          SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 2
+          UNION
+          SELECT node, a // 2 FROM anc WHERE a >= 2)
+        SELECT a AS node,
+               STRING_AGG(CAST(node AS VARCHAR), '/' ORDER BY node) AS descendants
+        FROM anc GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -74,6 +75,145 @@ object CompositeQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_search_index_cascade",
+      (s, dir) => {
+        // Full-fidelity Search-step shape (reference Search.scala:
+        // 98-180 setIdAndSelectFromTargets + 600-660 the study-index
+        // global max-rank fold): multi-LUT assembly (two label LUTs
+        // joined into the association table), a cascaded top-50/25/5
+        // rank window whose tiers are collected IN ONE aggregate via
+        // collect_list(when(rank <= k, labels)) + array_distinct
+        // (flatten(...)), and the global max-rank driver fold feeding
+        // the relevance multiplier 1 + (max-rank)/(max-1).
+        //
+        // Analogue mapping: target=part, association=(part, customer)
+        // revenue cell, disease-LUT=customer segment+nation labels,
+        // drug-LUT=supplier nation labels per association.
+        val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(s, dir, "lineitem")
+        val nat = broadcast(Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+        val assoc = li
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"), col("o_custkey"))
+          .agg(sum(graft.functions.ColumnKit.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revdec"))
+        // LUT 1 (diseases analogue): per-customer label array
+        val custLut = Tables(s, dir, "customer")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), array(col("c_mktsegment"), col("n_name")).as("cust_labels"))
+        // LUT 2 (drugsByTarget analogue): distinct supplier-nation
+        // labels grouped per association id, left-joined back
+        val suppLut = li
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("l_partkey"), col("o_custkey"))
+          .agg(sort_array(collect_set(col("n_name"))).as("supp_labels"))
+        val w = Window.partitionBy(col("l_partkey")).orderBy(col("revdec").desc, col("o_custkey").asc)
+        val ranked = assoc
+          .join(suppLut, Seq("l_partkey", "o_custkey"), "left_outer")
+          .withColumn("rank", rank().over(w))
+          .where(col("rank") <= 50)
+          .join(custLut, col("o_custkey") === col("c_custkey"))
+        def tier(c: Column, r: Int): Column =
+          array_join(sort_array(array_distinct(flatten(collect_list(when(col("rank") <= r, c))))), ",")
+        val agged = ranked
+          .groupBy(col("l_partkey"))
+          .agg(
+            tier(col("cust_labels"), 50).as("cust_labels_50"),
+            tier(col("cust_labels"), 25).as("cust_labels_25"),
+            tier(col("cust_labels"), 5).as("cust_labels_5"),
+            tier(col("supp_labels"), 50).as("supp_labels_50"),
+            tier(col("supp_labels"), 25).as("supp_labels_25"),
+            tier(col("supp_labels"), 5).as("supp_labels_5"),
+            count(lit(1)).as("n_assoc"),
+            sum(col("revdec")).as("totdec")
+          )
+          // consumed twice (max-rank fold + final projection): pin the
+          // part-level aggregate, mirroring the reference's persists
+          // around the fold (Search.scala:652-787)
+          .persist()
+        // Global relevance rank: dimension-sized input (one row per
+        // part), same justification as the reference's global study
+        // window (Search.scala:600-605); fact-sized inputs would use
+        // the approx-percentile cutover instead (q_window_ntile_approx).
+        val gw = Window.orderBy(col("totdec").desc, col("l_partkey").asc)
+        val g = agged.withColumn("grank", rank().over(gw))
+        // the reference's driver scalar fold: max rank -> multiplier
+        // literal (Search.scala:605-606)
+        val maxRank = g.agg(max(col("grank"))).first().getInt(0)
+        val mult = lit(1.0) +
+          (lit(maxRank) - col("grank")).cast(DoubleType) / lit((maxRank - 1).toDouble)
+        g.select(
+            col("l_partkey"),
+            col("cust_labels_50"), col("cust_labels_25"), col("cust_labels_5"),
+            col("supp_labels_50"), col("supp_labels_25"), col("supp_labels_5"),
+            col("n_assoc"),
+            // multiplier in micro-units: (max-grank)/(max-1) is an
+            // exact rational, so round6 would risk the exact-half trap
+            // (see ColumnKit determinism recipe); floor(x*1e6) is a
+            // pure function of the bit-identical double
+            floor(mult * 1e6).cast("long").as("multiplier_micros")
+          )
+          .orderBy("l_partkey")
+      },
+      Some(s"""WITH assoc AS (
+          SELECT l_partkey, o_custkey, SUM($revTerm) AS revdec
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        supp AS (
+          SELECT l_partkey, o_custkey,
+                 list_sort(list_distinct(list(n_name))) AS supp_labels
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT a.l_partkey, a.o_custkey, a.revdec, supp.supp_labels,
+                 RANK() OVER (PARTITION BY a.l_partkey
+                              ORDER BY a.revdec DESC, a.o_custkey) AS rank
+          FROM assoc a LEFT JOIN supp
+            ON a.l_partkey = supp.l_partkey AND a.o_custkey = supp.o_custkey),
+        withcust AS (
+          SELECT r.*, [c_mktsegment, n_name] AS cust_labels
+          FROM ranked r JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE rank <= 50),
+        lab AS (
+          SELECT l_partkey, rank, unnest(cust_labels) AS lab, 'cust' AS kind FROM withcust
+          UNION ALL
+          SELECT l_partkey, rank, unnest(supp_labels) AS lab, 'supp' AS kind FROM withcust),
+        tiers AS (
+          SELECT l_partkey,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'cust' THEN lab END) AS cust_labels_50,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' AND rank <= 25 THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'cust' AND rank <= 25 THEN lab END) AS cust_labels_25,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' AND rank <= 5 THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'cust' AND rank <= 5 THEN lab END) AS cust_labels_5,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'supp' THEN lab END) AS supp_labels_50,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' AND rank <= 25 THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'supp' AND rank <= 25 THEN lab END) AS supp_labels_25,
+            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' AND rank <= 5 THEN lab END, ','
+              ORDER BY CASE WHEN kind = 'supp' AND rank <= 5 THEN lab END) AS supp_labels_5
+          FROM lab GROUP BY 1),
+        base AS (
+          SELECT l_partkey, COUNT(*) AS n_assoc, SUM(revdec) AS totdec
+          FROM withcust GROUP BY 1),
+        g AS (
+          SELECT b.l_partkey, t.cust_labels_50, t.cust_labels_25, t.cust_labels_5,
+                 t.supp_labels_50, t.supp_labels_25, t.supp_labels_5, b.n_assoc,
+                 RANK() OVER (ORDER BY b.totdec DESC, b.l_partkey) AS grank
+          FROM base b JOIN tiers t USING (l_partkey)),
+        mx AS (SELECT MAX(grank) AS mr FROM g)
+        SELECT l_partkey, cust_labels_50, cust_labels_25, cust_labels_5,
+               supp_labels_50, supp_labels_25, supp_labels_5, n_assoc,
+               CAST(FLOOR((1 + (mr - grank) / CAST(mr - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS multiplier_micros
+        FROM g, mx ORDER BY l_partkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_text_grounding",
       (s, dir) => {
         // Grounding-lite: normalize tokens (lower + accent fold +
@@ -84,8 +224,12 @@ object CompositeQueries {
         // asc) — the dense_rank argmax pattern of
         // literature/Grounding.scala:187-194.
         val stopLit = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
+        // accent fold + the reference's greek->latin normalise
+        // (literature/Grounding.scala:148-150)
         val toks = filter(
-          split(translate(lower(col("text")), "áéíóú", "aeiou"), "\\s+"),
+          split(translate(lower(col("text")),
+            "\u00e1\u00e9\u00ed\u00f3\u00fa\u03b1\u03b2\u03b3\u03b4\u03b5\u03b6\u03b7\u03b9\u03ba\u03bb\u03bc\u03bd\u03be\u03c0\u03c4\u03c5\u03c9",
+            "aeiouabgdezhiklmnxptuo"), "\\s+"),
           t => t =!= "" && !array_contains(stopLit, t)
         )
         val ex = Tables(s, dir, "documents")
@@ -110,7 +254,7 @@ object CompositeQueries {
       },
       Some("""WITH ex AS (
           SELECT doc_id, lang,
-            unnest(list_filter(string_split_regex(translate(lower(text), 'áéíóú', 'aeiou'), '\s+'),
+            unnest(list_filter(string_split_regex(translate(lower(text), 'áéíóúαβγδεζηικλμνξπτυω', 'aeiouabgdezhiklmnxptuo'), '\s+'),
               t -> t != '' AND NOT list_contains(['the','a','of','and','to','in','is'], t))) AS tok
           FROM documents),
         lut AS (SELECT tok AS entity FROM ex WHERE lang = 'en'
@@ -121,6 +265,50 @@ object CompositeQueries {
                 ORDER BY n_mentions DESC, entity) AS rnk FROM m)
         SELECT doc_id, entity AS best_entity, n_mentions
         FROM r WHERE rnk = 1 ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_grounding_stemmed",
+      (s, dir) => {
+        // The FULL grounding chain of the reference — normalize
+        // (lower + accent fold + greek->latin) -> Porter STEM ->
+        // ground against the LUT -> disambiguate (literature/
+        // Grounding.scala:41-104,148-150; the stemmer is the Spark-NLP
+        // Stemmer stage replaced by graft.functions.Stemmer). Porter
+        // stemming is not expressible in ANSI SQL, so this entry is
+        // rows-only (driver checks rows>0); the unstemmed stages are
+        // oracled by q_text_grounding and the stemmer itself by its
+        // ScalaTest vectors.
+        import graft.functions.Stemmer
+        val stopLit = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
+        val toks = filter(
+          split(translate(lower(col("text")),
+            "áéíóúαβγδεζηικλμνξπτυω",
+            "aeiouabgdezhiklmnxptuo"), "\\s+"),
+          t => t =!= "" && !array_contains(stopLit, t)
+        )
+        val ex = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+          .select(col("doc_id"), col("lang"), Stemmer.stemCol(col("tok")).as("stem"))
+          .persist()
+        val lut = ex
+          .filter(col("lang") === "en")
+          .groupBy(col("stem"))
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= 100)
+          .select(col("stem").as("entity"))
+        val mentions = ex
+          .join(broadcast(lut), col("stem") === col("entity"))
+          .groupBy(col("doc_id"), col("entity"))
+          .agg(count(lit(1)).as("n_mentions"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("n_mentions").desc, col("entity").asc)
+        mentions
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("doc_id"), col("entity").as("best_entity"), col("n_mentions"))
+          .orderBy("doc_id")
+      },
+      None
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -14,10 +14,13 @@ object MultimodalQueries {
     QueryDef(
       "q_multimodal_features",
       (s, dir) => {
-        // documents -> binary media records -> mapPartitions batch
-        // "decode" -> per-source feature aggregate. The decode output
-        // is a deterministic function of payload length, so DuckDB can
-        // recompute it from octet_length.
+        // documents -> payloads wrapped in REAL container headers (PNG
+        // for even doc_ids, JPEG for odd, deterministic fixture
+        // dimensions) -> mapPartitions batch decode that PARSES the
+        // headers back (Media.parseHeader is a genuine PNG/JPEG/GIF
+        // header reader) -> per-source feature aggregate. DuckDB
+        // recomputes the fixture dims/format/byte overheads from the
+        // documents metadata.
         val media = Media.fromDocuments(s, Tables(s, dir, "documents"))
         Media.extractFeatures(media)
           .toDF()
@@ -33,12 +36,12 @@ object MultimodalQueries {
       },
       Some("""WITH f AS (
           SELECT doc_id, source,
-                 octet_length(CAST(text AS BLOB)) AS byte_len,
-                 octet_length(CAST(text AS BLOB)) % 640 AS width,
-                 (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
+                 octet_length(CAST(text AS BLOB))
+                   + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END AS byte_len,
+                 n_chars % 640 + 1 AS width,
+                 n_chars * 7 % 480 + 1 AS height,
                  1 + n_chars % 16 AS n_frames,
-                 CASE octet_length(CAST(text AS BLOB)) % 3
-                   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
           FROM documents)
         SELECT source, format, COUNT(*) AS n_media,
                CAST(SUM(byte_len) AS BIGINT) AS total_bytes,

@@ -255,6 +255,72 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_jaccard_ppjoin",
+      (s, dir) => {
+        // PPJoin-style prefix-filtered exact Jaccard (the middle rung
+        // of the dedup ladder, between the plain shingle join and
+        // MinHash+LSH): under a global shingle order (ascending
+        // document frequency, rarest first), any pair with J >= tau
+        // must share its smallest common shingle inside BOTH prefixes
+        // of length n - ceil(tau*n) + 1 — so joining only prefixes is
+        // LOSSLESS, and the join fanout is driven by rare shingles
+        // instead of the hottest shared shingle. Candidates are then
+        // verified exactly with the native codegen'd sorted-merge
+        // intersect, so the oracle is the same exact-Jaccard SQL as
+        // q_dedup_jaccard_ngram. (Bayardo et al., WWW'07 all-pairs;
+        // prefix filter per Chaudhuri et al., ICDE'06.)
+        val tau = 0.5
+        val w = TextKit.tokens(col("text"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
+          .persist()
+        val ex = docs.select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
+        // global canonical order = (document frequency asc, shingle)
+        val df = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+        val prefixes = ex
+          .join(df, "s")
+          .withColumn("pos", row_number().over(wDoc))
+          .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+          .select(col("doc_id"), col("s"))
+        val cand = prefixes.as("x")
+          .join(prefixes.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), sort_array(col("ss")).as("ss"))
+        cand
+          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+          .withColumn(
+            "inter",
+            graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss"))
+          )
+          .select(
+            col("d1"), col("d2"),
+            (col("inter").cast(DoubleType) /
+              (size(col("s1.ss")) + size(col("s2.ss")) - col("inter"))).as("j")
+          )
+          .filter(col("j") >= tau)
+          .select(col("d1"), col("d2"), floor(col("j") * 1e6).cast("long").as("jaccard_micros"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT d1, d2,
+          CAST(FLOOR(shared / (n1.n + n2.n - shared) * 1000000) AS BIGINT) AS jaccard_micros
+        FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE shared / (n1.n + n2.n - shared) >= 0.5
+        ORDER BY d1, d2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_minhash_lsh",
       (s, dir) => {
         // MinHash(64) + LSH(32 bands x 2 rows) near-dup at tau=0.8:

@@ -234,17 +234,79 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) => hi1 should be < lo2 }
   }
 
-  test("Media.extractFeatures runs the batch decode over partitions") {
+  test("Media.extractFeatures parses real container headers per batch") {
     import spark.implicits._
-    val docs = Seq((1L, "hello world", "srcA", "en", 11L))
-      .toDF("doc_id", "text", "source", "lang", "n_chars")
-    val feats = Media.extractFeatures(Media.fromDocuments(spark, docs)).collect()
-    feats should have length 1
-    val f = feats.head
-    f.byte_len shouldBe 11L
-    f.width shouldBe 11
-    f.height shouldBe 77
-    f.n_frames shouldBe (1 + 11 % 16)
-    f.format shouldBe "webp" // 11 % 3 == 2
+    val docs = Seq(
+      (1L, "hello world", "srcA", "en", 11L), // odd id -> JPEG container
+      (2L, "bonjour",     "srcA", "fr", 7L)   // even id -> PNG container
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val feats = Media.extractFeatures(Media.fromDocuments(spark, docs))
+      .collect().sortBy(_.doc_id)
+    feats should have length 2
+    val jpeg = feats(0)
+    jpeg.format shouldBe "jpeg"
+    jpeg.byte_len shouldBe (11L + 15) // SOI+SOF0 header + payload
+    jpeg.width shouldBe Media.fixtureWidth(11)
+    jpeg.height shouldBe Media.fixtureHeight(11)
+    jpeg.n_frames shouldBe (1 + 11 % 16)
+    val png = feats(1)
+    png.format shouldBe "png"
+    png.byte_len shouldBe (7L + 33) // signature+IHDR + payload
+    png.width shouldBe Media.fixtureWidth(7)
+    png.height shouldBe Media.fixtureHeight(7)
+  }
+
+  test("Media.parseHeader reads PNG/JPEG/GIF dimensions and rejects junk") {
+    Media.parseHeader(Media.pngContainer(640, 480, Array[Byte](1, 2, 3))) shouldBe
+      Some(Media.MediaHeader("png", 640, 480))
+    Media.parseHeader(Media.jpegContainer(320, 200, Array[Byte]())) shouldBe
+      Some(Media.MediaHeader("jpeg", 320, 200))
+    // GIF89a, 13x10 logical screen
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](13, 0, 10, 0, 0, 0, 0)
+    Media.parseHeader(gif) shouldBe Some(Media.MediaHeader("gif", 13, 10))
+    Media.parseHeader("not an image".getBytes) shouldBe None
+    Media.parseHeader(Array[Byte]()) shouldBe None
+  }
+
+  test("PPJoin prefix filter prunes skewed-shingle candidates and stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Skewed fixture: every doc shares one hot 3-gram ("x y z ...");
+    // only docs 100/101 are true near-dups. The plain shingle join
+    // generates a candidate pair for EVERY doc pair (hot-shingle hub);
+    // the prefix filter (tau=0.5) must keep the true pair and prune
+    // most of the hub.
+    val tau = 0.5
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"x y z unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e")
+    } ++ Seq(
+      (100L, "p q r s t u v w"),
+      (101L, "p q r s t u v different")
+    )).toDF("doc_id", "text")
+    val w = TextKit.tokens(col("text"))
+    val ex = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("ss")).as("n"),
+        explode(col("ss")).as("s"))
+    val plainCand = ex.as("x")
+      .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val df = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    val prefixes = ex.join(df, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val prefixCand = prefixes.as("x")
+      .join(prefixes.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val nPrefix = prefixCand.count()
+    // all 30 hub docs pair with each other in the plain join
+    plainCand should be >= (30L * 29 / 2)
+    nPrefix should be < plainCand / 4
+    // losslessness: the true near-dup pair survives the filter
+    prefixCand.filter(col("d1") === 100 && col("d2") === 101).count() shouldBe 1L
   }
 }
