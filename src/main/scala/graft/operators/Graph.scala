@@ -75,6 +75,30 @@ object Graph {
       .agg(sort_array(collect_set(col("ancestor"))).as("descendants"))
   }
 
+  /** The reference's full GraphNodeDocument shape (GraphNode.scala:
+    * 19-25: ancestors, descendants, children, parents per node),
+    * assembled distributedly: two path-doubling closures + two
+    * direct-neighbor aggregations, full-outer-joined on the node key
+    * (all four aggregates share the node partitioning, so AQE folds
+    * the joins onto one exchange).
+    */
+  def nodeDocument(edges: DataFrame): DataFrame = {
+    val Array(childCol, parentCol) = edges.columns
+    val e = edges
+      .select(col(childCol).as("child"), col(parentCol).as("parent"))
+      .distinct()
+    val anc = ancestorsPerNode(e)
+    val desc = descendantsPerNode(e)
+    val par = e.groupBy(col("child").as("node"))
+      .agg(sort_array(collect_set(col("parent"))).as("parents"))
+    val chi = e.groupBy(col("parent").as("node"))
+      .agg(sort_array(collect_set(col("child"))).as("children"))
+    anc
+      .join(desc, Seq("node"), "full_outer")
+      .join(chi, Seq("node"), "full_outer")
+      .join(par, Seq("node"), "full_outer")
+  }
+
   /** Root paths: for each node, every path to a root (a node with no
     * parent), as a child-first array (the reference's
     * `path: Seq[Seq[String]]`, GraphNode.scala:26,63-80). Iterative

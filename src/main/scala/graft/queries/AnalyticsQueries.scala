@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -265,6 +266,55 @@ object AnalyticsQueries {
         SELECT a AS node,
                STRING_AGG(CAST(node AS VARCHAR), '/' ORDER BY node) AS descendants
         FROM anc GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_graph_node_document",
+      (s, dir) => {
+        // The complete GraphNodeDocument assembly (reference
+        // graph/GraphNode.scala:19-25: ancestors + descendants +
+        // children + parents per node) over the synthetic binary tree
+        // — the driver-side jgrapht build re-expressed as
+        // operators.Graph.nodeDocument. Lists are '/'-joined for a
+        // portable compare; absent relations become '' (the root has
+        // no ancestors/parents, leaves no descendants/children).
+        val edges = Tables(s, dir, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+        def j(c: String): Column =
+          array_join(
+            transform(coalesce(col(c), array().cast("array<bigint>")), x => x.cast("string")),
+            "/").as(c)
+        Graph.nodeDocument(edges)
+          .select(col("node"), j("ancestors"), j("descendants"), j("children"), j("parents"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT p_partkey AS c, p_partkey // 2 AS p FROM part WHERE p_partkey >= 2),
+        anc(node, a) AS (
+          SELECT c, p FROM e
+          UNION
+          SELECT node, a // 2 FROM anc WHERE a >= 2),
+        nodes AS (SELECT DISTINCT n FROM (SELECT c AS n FROM e UNION ALL SELECT p FROM e) t),
+        ancs AS (SELECT node, STRING_AGG(CAST(a AS VARCHAR), '/' ORDER BY a) AS x
+                 FROM anc GROUP BY 1),
+        descs AS (SELECT a AS node, STRING_AGG(CAST(node AS VARCHAR), '/' ORDER BY node) AS x
+                  FROM anc GROUP BY 1),
+        chis AS (SELECT p AS node, STRING_AGG(CAST(c AS VARCHAR), '/' ORDER BY c) AS x
+                 FROM e GROUP BY 1),
+        pars AS (SELECT c AS node, STRING_AGG(CAST(p AS VARCHAR), '/' ORDER BY p) AS x
+                 FROM e GROUP BY 1)
+        SELECT n.n AS node,
+               COALESCE(ancs.x, '') AS ancestors,
+               COALESCE(descs.x, '') AS descendants,
+               COALESCE(chis.x, '') AS children,
+               COALESCE(pars.x, '') AS parents
+        FROM nodes n
+          LEFT JOIN ancs ON ancs.node = n.n
+          LEFT JOIN descs ON descs.node = n.n
+          LEFT JOIN chis ON chis.node = n.n
+          LEFT JOIN pars ON pars.node = n.n
+        ORDER BY node""")
     )
   )
 }
