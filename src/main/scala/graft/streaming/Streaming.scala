@@ -142,12 +142,14 @@ object Streaming {
           }
           cur.foreach { s =>
             state.update(s)
-            // flatMapGroupsWithState does NOT auto-drop late rows: a
-            // straggler can leave s.last + gap at or below the current
-            // watermark, and setTimeoutTimestamp below the watermark
-            // throws and kills the stream. Clamp to watermark + 1 ms so
-            // the session still times out (immediately, on the next
-            // trigger) instead of crashing.
+            // Defense-in-depth: Spark 4's FlatMapGroupsWithStateExec
+            // drops input rows older than the watermark before they
+            // reach this function (verified by StreamingSpec's
+            // late-event test), but that filter is an exec detail, not
+            // a contract — and setTimeoutTimestamp at-or-below the
+            // watermark throws and kills the stream. Clamp to
+            // watermark + 1 ms so any state that slips through times
+            // out immediately on the next trigger instead of crashing.
             val timeout = math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs)
             state.setTimeoutTimestamp(timeout)
           }

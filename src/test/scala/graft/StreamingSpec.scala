@@ -123,4 +123,38 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       sessions should contain(1L -> 2L) // second session closed by timeout
     } finally q.stop()
   }
+
+  test("sessionize survives a late event behind the watermark (timeout clamp)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // advance the watermark far ahead with user 2
+      in.addData(row(1, 1000, user = 2L))
+      q.processAllAvailable()
+      in.addData(row(2, 2000, user = 2L))
+      q.processAllAvailable()
+      // now a LATE event for user 1, far behind the watermark. On
+      // Spark 4.1 FlatMapGroupsWithStateExec drops rows older than
+      // the watermark before they reach the state function, so the
+      // event must vanish silently — and in any case the stream must
+      // stay alive (the timeout clamp in sessionize guards the
+      // remaining path where state outlives the watermark).
+      in.addData(row(3, 0, user = 1L))
+      q.processAllAvailable()
+      in.addData(row(4, 3000, user = 2L))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_late")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .toSet
+      q.exception shouldBe empty // stream alive: late event did not kill it
+      sessions.filter(_._1 == 1L) shouldBe empty // late row dropped pre-state
+      sessions should contain(2L -> 1L)
+    } finally q.stop()
+  }
 }
