@@ -172,6 +172,35 @@ object ColumnKit {
     )
   }
 
+  /** Linear-time variant of [[priorityDedup]] for hot paths: takes an
+    * ALREADY-MATERIALIZED column holding the id-major-sorted pairs
+    * (array<struct<id,priority>> sorted ascending, so the best
+    * priority is first within each id run) and keeps each run's head
+    * via an indexed filter against the bound column — O(n) per row
+    * where the fold in priorityDedup copies its accumulator per
+    * element (O(n^2)). The input MUST be its own projected column, not
+    * an inline expression: referencing an expression inside its own
+    * lambda re-evaluates it per element (the 20x CSE trap, see
+    * README determinism/perf notes), while a bound column is computed
+    * once per row. CollapseProject keeps the materialization because
+    * the alias is non-cheap and multiply-referenced.
+    */
+  def priorityDedupIndexed(sortedPairs: Column): Column =
+    transform(
+      array_sort(
+        transform(
+          filter(
+            sortedPairs,
+            (x, i) =>
+              (i === 0) ||
+                (x.getField("id") =!= element_at(sortedPairs, i).getField("id"))
+          ),
+          p => struct(p.getField("priority").as("priority"), p.getField("id").as("id"))
+        )
+      ),
+      p => p.getField("id")
+    )
+
   // --------------------------------------------------------------------
   // Schema surgery.
   // --------------------------------------------------------------------

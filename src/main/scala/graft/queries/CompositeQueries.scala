@@ -345,6 +345,23 @@ object CompositeQueries {
           )
         base
           .join(enriched, col("p_partkey") === col("l_partkey"), "left_outer")
+          // id kit: rich suppliers win (priority 1) over merely-seen
+          // suppliers (priority 2). The id-major sort is MATERIALIZED
+          // as its own column so the indexed linear dedup can reference
+          // it as a bound value (see priorityDedupIndexed: an inline
+          // expression would re-evaluate per element — the 20x CSE
+          // trap; the old fold formulation was O(n^2) in accumulator
+          // copies).
+          .withColumn(
+            "pairs_sorted",
+            array_sort(transform(
+              ColumnKit.safeArrayUnion(
+                transform(col("supp_rich"), x => struct(lit(1).as("priority"), concat(lit("s"), x).as("id"))),
+                transform(col("supp_seen"), x => struct(lit(2).as("priority"), concat(lit("s"), x).as("id")))
+              ),
+              p => struct(p.getField("id").as("id"), p.getField("priority").as("priority"))
+            ))
+          )
           .select(
             col("p_partkey"),
             coalesce(col("n_lines"), lit(0L)).as("n_lines"),
@@ -353,18 +370,8 @@ object CompositeQueries {
               sort_array(ColumnKit.safeArrayUnion(split(col("p_name"), " "), array(lower(col("p_brand"))))),
               ","
             ).as("aliases"),
-            // id kit: rich suppliers win (priority 1) over merely-seen
-            // suppliers (priority 2)
             coalesce(
-              array_join(
-                ColumnKit.priorityDedup(
-                  ColumnKit.safeArrayUnion(
-                    transform(col("supp_rich"), x => struct(lit(1).as("priority"), concat(lit("s"), x).as("id"))),
-                    transform(col("supp_seen"), x => struct(lit(2).as("priority"), concat(lit("s"), x).as("id")))
-                  )
-                ),
-                ","
-              ),
+              array_join(ColumnKit.priorityDedupIndexed(col("pairs_sorted")), ","),
               lit("")
             ).as("supplier_ids"),
             coalesce(array_join(transform(col("yrs"), y => y.cast("string")), ","), lit(""))

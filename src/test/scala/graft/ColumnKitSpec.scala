@@ -58,6 +58,30 @@ class ColumnKitSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     df.as[Seq[String]].head shouldBe Seq("P1", "Z3", "A9")
   }
 
+  test("priorityDedupIndexed matches priorityDedup on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      Tuple1(Seq.fill(rng.nextInt(12))((1 + rng.nextInt(3), s"P${rng.nextInt(6)}")))
+    }
+    val pairs = transform(col("raw"),
+      x => struct(x.getField("_1").as("priority"), x.getField("_2").as("id")))
+    val df = rows.toDF("raw")
+      .withColumn(
+        "pairs_sorted",
+        array_sort(transform(pairs,
+          p => struct(p.getField("id").as("id"), p.getField("priority").as("priority"))))
+      )
+      .select(
+        ColumnKit.priorityDedup(pairs).as("fold"),
+        ColumnKit.priorityDedupIndexed(col("pairs_sorted")).as("indexed")
+      )
+    df.as[(Seq[String], Seq[String])].collect().foreach { case (fold, indexed) =>
+      indexed shouldBe fold
+    }
+  }
+
   test("nest collapses columns into a struct") {
     val df = Seq((1, "a", 2.0)).toDF("id", "s", "v")
     val nested = ColumnKit.nest(df, Seq("s", "v"), "payload")

@@ -95,6 +95,33 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("PPJoin prefix filter is lossless for Jaccard >= tau on random corpora") {
+    // The theorem behind q_dedup_jaccard_ppjoin: under a global
+    // (document-frequency asc, value) order, any pair with J >= tau
+    // shares its smallest common element inside BOTH prefixes of
+    // length n - ceil(tau*n) + 1. Verified against brute force on
+    // random small-vocab corpora (small vocab -> dense overlaps).
+    val tau = 0.5
+    val docGen = Gen.nonEmptyListOf(Gen.choose(0, 14)).map(_.map(i => s"w$i"))
+    forAll(Gen.listOfN(12, docGen), 25) { corpus =>
+      val sets = corpus.map(_.toSet).zipWithIndex.filter(_._1.nonEmpty)
+      val df = sets.flatMap(_._1).groupBy(identity).map { case (k, v) => k -> v.size }
+      def prefix(s: Set[String]): Set[String] = {
+        val sorted = s.toSeq.sortBy(x => (df(x), x))
+        sorted.take(s.size - math.ceil(tau * s.size).toInt + 1).toSet
+      }
+      for {
+        (a, i) <- sets
+        (b, j2) <- sets if i < j2
+        inter = (a & b).size
+        jac = inter.toDouble / (a.size + b.size - inter)
+        if jac >= tau
+      } withClue(s"pair ($a, $b) jac=$jac escaped the prefix filter: ") {
+        (prefix(a) & prefix(b)) should not be empty
+      }
+    }
+  }
+
   test("unionDifferentSchema preserves total row count and unions columns") {
     import spark.implicits._
     forAll(Gen.choose(0, 5), Gen.choose(0, 5)) { (n, m) =>
