@@ -77,8 +77,9 @@ object Graph {
 
   /** The reference's full GraphNodeDocument shape (GraphNode.scala:
     * 19-25: ancestors, descendants, children, parents per node),
-    * assembled distributedly: two path-doubling closures + two
-    * direct-neighbor aggregations, full-outer-joined on the node key
+    * assembled distributedly: ONE path-doubling closure read in both
+    * directions + two direct-neighbor aggregations, full-outer-joined
+    * on the node key
     * (all four aggregates share the node partitioning, so AQE folds
     * the joins onto one exchange).
     */
@@ -87,8 +88,17 @@ object Graph {
     val e = edges
       .select(col(childCol).as("child"), col(parentCol).as("parent"))
       .distinct()
-    val anc = ancestorsPerNode(e)
-    val desc = descendantsPerNode(e)
+    // ONE closure serves both directions: (n, a) in the ancestor
+    // closure <=> n is a descendant of a, so the descendant aggregate
+    // is just the transposed closure — half the iteration cost of
+    // running ancestorsPerNode + descendantsPerNode separately.
+    val closure = transitiveClosure(e)
+    val anc = closure.groupBy(col("node"))
+      .agg(sort_array(collect_set(col("ancestor"))).as("ancestors"))
+    val desc = closure
+      .select(col("ancestor").as("node"), col("node").as("descendant"))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_set(col("descendant"))).as("descendants"))
     val par = e.groupBy(col("child").as("node"))
       .agg(sort_array(collect_set(col("parent"))).as("parents"))
     val chi = e.groupBy(col("parent").as("node"))
@@ -117,15 +127,18 @@ object Graph {
     var done = frontier.join(roots, frontier("head") === roots("n")).drop("n")
     var depth = 1
     var active = frontier.join(roots, frontier("head") === roots("n"), "left_anti")
-    var activeCount = active.count()
-    while (activeCount > 0 && depth < maxDepth) {
+    // convergence test via isEmpty (a limit-1 probe on the
+    // checkpointed frontier) — the full count() the loop used before
+    // scanned every frontier row once per round just to compare > 0
+    var activeEmpty = active.isEmpty
+    while (!activeEmpty && depth < maxDepth) {
       frontier = active
         .join(e, active("head") === e("child"))
         .select(col("node"), col("parent").as("head"), concat(col("path"), array(col("parent"))).as("path"))
         .localCheckpoint()
       done = done.unionByName(frontier.join(roots, frontier("head") === roots("n")).drop("n"))
       active = frontier.join(roots, frontier("head") === roots("n"), "left_anti")
-      activeCount = active.count()
+      activeEmpty = active.isEmpty
       depth += 1
     }
     done.select(col("node"), col("path"))
