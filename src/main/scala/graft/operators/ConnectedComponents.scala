@@ -35,9 +35,9 @@ object ConnectedComponents {
       .withColumn("cluster", col("node"))
       .localCheckpoint()
 
-    var changed = 1L
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val neighborMin = sym
         .join(labels, sym("b") === labels("node"))
         .groupBy(col("a"))
@@ -49,10 +49,12 @@ object ConnectedComponents {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")
         )
         .localCheckpoint()
-      changed = next.as("n")
+      // limit-1 probe instead of a full count: both sides are
+      // checkpointed, and convergence only needs "any row changed?"
+      changed = !next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.cluster") =!= col("o.cluster"))
-        .count()
+        .isEmpty
       labels = next
       rounds += 1
     }
