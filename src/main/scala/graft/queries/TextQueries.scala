@@ -227,7 +227,14 @@ object TextQueries {
           .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
           .persist()
         ex.as("x")
-          .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .join(
+            ex.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+              // PPJoin length filter (lossless): J >= tau forces
+              // tau * max(n1,n2) <= min(n1,n2), so size-incompatible
+              // pairs are pruned before the pair aggregate
+              greatest(col("x.n"), col("y.n")) * tau <= least(col("x.n"), col("y.n"))
+          )
           .groupBy(
             col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
             col("x.n").as("n1"), col("y.n").as("n2")
@@ -284,10 +291,14 @@ object TextQueries {
           .join(df, "s")
           .withColumn("pos", row_number().over(wDoc))
           .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-          .select(col("doc_id"), col("s"))
+          .select(col("doc_id"), col("n"), col("s"))
         val cand = prefixes.as("x")
-          .join(prefixes.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .join(
+            prefixes.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+              // PPJoin length filter (lossless, same bound as above)
+              greatest(col("x.n"), col("y.n")) * tau <= least(col("x.n"), col("y.n"))
+          )
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
         val sets = docs.select(col("doc_id"), sort_array(col("ss")).as("ss"))
