@@ -22,9 +22,15 @@ object VectorKit {
   /** Exact float->double widening of an embedding column. */
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product. */
+  /** Sequential-fold dot product — the native codegen'd expression
+    * (graft.plans.DotProduct), bit-identical to the HOF fold
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaces (same
+    * left-to-right double accumulation) but generated as a primitive
+    * loop inside whole-stage codegen instead of interpreted
+    * per-element closures.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.GraftExtensions.dotProduct(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * — see SortedIntersectCount.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -31,11 +33,31 @@ object GraftExtensions {
     }
   )
 
+  private val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    }
+  )
+
   /** Register into a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = sortedIntersectCountDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(sortedIntersectCountDescriptor, dotProductDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
+
+  /** Column-DSL handle, usable without registration. */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
+      )
+    )
 
   /** Column-DSL handle, usable without registration. */
   def sortedIntersectCount(a: Column, b: Column): Column =

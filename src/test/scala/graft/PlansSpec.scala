@@ -54,6 +54,42 @@ class PlansSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("DotProduct matches the HOF fold bit-for-bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 40).map(_ => (Seq.fill(64)(rng.nextGaussian()), Seq.fill(64)(rng.nextGaussian())))
+    val df = rows.toDF("x", "y")
+    val hof = df.select(
+      aggregate(zip_with(col("x"), col("y"), (a, b) => a * b), lit(0.0), (acc, v) => acc + v))
+      .collect().map(_.getDouble(0))
+    val native = df.select(GraftExtensions.dotProduct(col("x"), col("y")))
+      .collect().map(_.getDouble(0))
+    // exact double equality: same left-to-right accumulation order
+    native.toSeq shouldBe hof.toSeq
+  }
+
+  test("dot_product registers as SQL, nulls yield null, codegen applies") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0) shouldBe 11.0
+    val dfn = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("x", "y")
+    dfn.select(GraftExtensions.dotProduct(col("x"), col("y"))).head.isNullAt(0) shouldBe true
+    // repartition defeats the LocalRelation constant-fold; AQE off so
+    // the codegen dump is visible (same recipe as the merge test above)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("x", "y")
+        .repartition(2)
+        .select(GraftExtensions.dotProduct(col("x"), col("y")).as("d"))
+      val generated =
+        org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      generated should include("WholeStageCodegen")
+      generated should include(".getDouble(")
+      df.collect().map(_.getDouble(0)).toSeq shouldBe Seq(11.0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables co-locate the join and eliminate the shuffle") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
