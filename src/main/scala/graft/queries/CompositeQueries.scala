@@ -92,26 +92,30 @@ object CompositeQueries {
         val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val li = Tables(s, dir, "lineitem")
         val nat = broadcast(Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
-        val assoc = li
-          .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_partkey"), col("o_custkey"))
-          .agg(sum(graft.functions.ColumnKit.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revdec"))
         // LUT 1 (diseases analogue): per-customer label array
         val custLut = Tables(s, dir, "customer")
           .join(nat, col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), array(col("c_mktsegment"), col("n_name")).as("cust_labels"))
-        // LUT 2 (drugsByTarget analogue): distinct supplier-nation
-        // labels grouped per association id, left-joined back
-        val suppLut = li
+        // LUT 2 (drugsByTarget analogue): the reference materializes
+        // drugsByTarget as a separate aggregate and left-joins it back
+        // (Search.scala:106-124); the supplier side here is a
+        // broadcast dim, so the same labels fold into the association
+        // aggregate in ONE fact pass — one scan and one shuffle fewer,
+        // with the structural mirror preserved in the tier cascade
+        // below. (supp_labels is never null this way; the reference's
+        // left-outer nullability is exercised by q_entity_merge.)
+        val assoc = li
           .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          .join(broadcast(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
             col("l_suppkey") === col("s_suppkey"))
           .join(nat, col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("l_partkey"), col("o_custkey"))
-          .agg(sort_array(collect_set(col("n_name"))).as("supp_labels"))
+          .agg(
+            sum(graft.functions.ColumnKit.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revdec"),
+            sort_array(collect_set(col("n_name"))).as("supp_labels")
+          )
         val w = Window.partitionBy(col("l_partkey")).orderBy(col("revdec").desc, col("o_custkey").asc)
         val ranked = assoc
-          .join(suppLut, Seq("l_partkey", "o_custkey"), "left_outer")
           .withColumn("rank", rank().over(w))
           .where(col("rank") <= 50)
           .join(custLut, col("o_custkey") === col("c_custkey"))
