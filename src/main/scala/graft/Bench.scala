@@ -25,8 +25,13 @@ object Bench {
     // count() would let Catalyst prune the projections being measured.
     // A failed query is recorded as NEGATIVE elapsed time (sentinel),
     // never silently folded into the total as if it succeeded.
+    // SPARK_GRAFT_ONLY=<comma-separated names> restricts the run for
+    // local single-query profiling; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -38,22 +43,55 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
-    val errJson = errors.reverse.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver keeps only the last 2000 bytes of stdout, and sbt
+    // appends its own "[success] Total time: ..." line after ours — so
+    // the stdout line must stay under ~1900 bytes to be parsed whole
+    // (BenchLineSpec guards this). Full-precision detail goes to the
+    // bench_out.json file below.
+    val line = Bench.renderLine(total, results, errors.reverse, sfDir, compact = true)
     println(line)
+    val fullLine = Bench.renderLine(total, results, errors.reverse, sfDir, compact = false)
     // Belt and braces against stdout-tail truncation: the same line is
     // written whole to a file (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** One bench JSON line. `compact = true` is the stdout form sized for
+    * the driver's 2000-byte tail capture: adaptive-precision seconds
+    * (2 decimals below 10s, 1 decimal below 100s, whole seconds above —
+    * relative error < 1% in every band), query keys without the `q_`
+    * prefix (1:1 with the CORRECTNESS names), sf basename, empty errors
+    * omitted. `compact = false` is the full 3-decimal form written to
+    * bench_out.json.
+    */
+  def renderLine(
+      total: Double,
+      results: Seq[(String, Double)],
+      errors: Seq[String],
+      sfDir: String,
+      compact: Boolean): String = {
+    def r(v: Double): String = {
+      val scale =
+        if (!compact) 3
+        else if (math.abs(v) < 10) 2
+        else if (math.abs(v) < 100) 1
+        else 0
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+    def key(k: String): String = if (compact) k.stripPrefix("q_") else k
+    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + r(v) }
+      .mkString("{", ",", "}")
+    val sf = if (compact) new java.io.File(sfDir).getName else sfDir
+    val errJson =
+      if (compact && errors.isEmpty) ""
+      else errors.map(e => "\"" + e + "\"").mkString(""","errors":[""", ",", "]")
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sf"}"""
   }
 }

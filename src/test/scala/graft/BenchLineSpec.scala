@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the LAST 2000 bytes of bench stdout and sbt
+  * appends a "[success] Total time: ..." line (~80 bytes) after ours.
+  * If the bench JSON line outgrows ~1920 bytes it is head-truncated and
+  * the driver records parsed=null (this happened in rounds 1 and 2).
+  * Guard the compact stdout form at worst-case timing widths so adding
+  * queries fails HERE instead of silently in the driver.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("compact bench line fits the driver tail with headroom for sbt's trailer") {
+    // worst case per band: ">=100s" renders whole seconds ("123", 3
+    // chars); the widest realistic mix is every query in the 10-100s
+    // band ("99.9", 4 chars) — check both.
+    for (worst <- Seq(123.45, 99.94)) {
+      val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> worst)
+      val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1", compact = true)
+      assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query; " +
+        "driver tail keeps 2000 and sbt's [success] trailer needs ~80 - shorten keys or split")
+    }
+  }
+
+  test("compact values keep error small in every band (rel <= 1% or abs <= 5ms)") {
+    for (v <- Seq(0.123, 1.234, 9.876, 12.34, 98.76, 123.4, 987.6)) {
+      val line = Bench.renderLine(v, Seq("q_x" -> v), Nil, "sf", compact = true)
+      val rendered = "\"x\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+      val abs = math.abs(rendered - v)
+      assert(abs / v <= 0.01 || abs <= 0.005, s"$v rendered as $rendered")
+    }
+  }
+
+  test("compact line parses as JSON-shaped key:value pairs and keys map 1:1 to queries") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.0)
+    val line = Bench.renderLine(1.0, results, Nil, "/root/testdata/sf0.1", compact = true)
+    SparkEntry.queries.keys.foreach { q =>
+      assert(line.contains("\"" + q.stripPrefix("q_") + "\":"), s"missing key for $q")
+    }
+    assert(!line.contains("\"errors\""))
+    assert(line.contains("\"sf\":\"sf0.1\""))
+  }
+
+  test("full line keeps original q_ names and 3-decimal precision") {
+    val results = Seq("q_x" -> 1.2345)
+    val line = Bench.renderLine(1.2345, results, Seq("q_y: Boom"), "/root/testdata/sf0.1", compact = false)
+    assert(line.contains("\"q_x\":1.234") || line.contains("\"q_x\":1.235"))
+    assert(line.contains("\"errors\":[\"q_y: Boom\"]"))
+    assert(line.contains("\"sf\":\"/root/testdata/sf0.1\""))
+  }
+}
