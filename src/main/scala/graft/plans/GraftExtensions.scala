@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.priorityDedupIdsDescriptor)
   }
 }
 
@@ -42,9 +43,18 @@ object GraftExtensions {
     }
   )
 
+  private val priorityDedupIdsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("priority_dedup_ids"),
+    new ExpressionInfo(classOf[PriorityDedupIds].getName, "priority_dedup_ids"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "priority_dedup_ids takes exactly 1 argument")
+      PriorityDedupIds(children.head)
+    }
+  )
+
   /** Register into a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    Seq(sortedIntersectCountDescriptor, dotProductDescriptor).foreach {
+    Seq(sortedIntersectCountDescriptor, dotProductDescriptor, priorityDedupIdsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -57,6 +67,12 @@ object GraftExtensions {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)
       )
+    )
+
+  /** Column-DSL handle, usable without registration. */
+  def priorityDedupIds(pairs: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PriorityDedupIds(org.apache.spark.sql.graft.ColumnBridge.expression(pairs))
     )
 
   /** Column-DSL handle, usable without registration. */

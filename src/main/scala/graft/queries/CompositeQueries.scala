@@ -327,12 +327,17 @@ object CompositeQueries {
         // Entity = part; sources = lineitem stats, rich-supplier LUT,
         // order years.
         import graft.functions.ColumnKit
+        import graft.plans.GraftExtensions
         val base = Tables(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_brand"))
         // All per-source stats in ONE pass over the fact table:
         // orders joined on the shuffle key, supplier broadcast (dim),
         // then a single groupBy with conditional collects — instead of
-        // three lineitem scans + three left joins.
+        // three lineitem scans + three left joins. The id sources are
+        // collected ALREADY TAGGED with their priority (rich suppliers
+        // win, priority 1, over merely-seen suppliers, priority 2) so
+        // the per-row cleanup below is one expression, not a
+        // build-union-sort-dedup chain.
         val enriched = Tables(s, dir, "lineitem")
           .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(
@@ -342,30 +347,19 @@ object CompositeQueries {
           .groupBy(col("l_partkey"))
           .agg(
             count(lit(1)).as("n_lines"),
-            sort_array(collect_set(col("l_suppkey"))).as("supp_seen"),
-            sort_array(collect_set(when(col("s_acctbal") > 5000, col("s_suppkey"))))
-              .as("supp_rich"),
+            // No sort_array: priority_dedup_ids canonicalizes (dedup +
+            // (priority, id) order), so collect_set's nondeterministic
+            // order never reaches the output.
+            collect_set(
+              struct(
+                when(col("s_acctbal") > 5000, lit(1)).otherwise(lit(2)).as("priority"),
+                concat(lit("s"), col("l_suppkey")).as("id")
+              )
+            ).as("supp_tagged"),
             sort_array(collect_set(year(col("o_orderdate")))).as("yrs")
           )
         base
           .join(enriched, col("p_partkey") === col("l_partkey"), "left_outer")
-          // id kit: rich suppliers win (priority 1) over merely-seen
-          // suppliers (priority 2). The id-major sort is MATERIALIZED
-          // as its own column so the indexed linear dedup can reference
-          // it as a bound value (see priorityDedupIndexed: an inline
-          // expression would re-evaluate per element — the 20x CSE
-          // trap; the old fold formulation was O(n^2) in accumulator
-          // copies).
-          .withColumn(
-            "pairs_sorted",
-            array_sort(transform(
-              ColumnKit.safeArrayUnion(
-                transform(col("supp_rich"), x => struct(lit(1).as("priority"), concat(lit("s"), x).as("id"))),
-                transform(col("supp_seen"), x => struct(lit(2).as("priority"), concat(lit("s"), x).as("id")))
-              ),
-              p => struct(p.getField("id").as("id"), p.getField("priority").as("priority"))
-            ))
-          )
           .select(
             col("p_partkey"),
             coalesce(col("n_lines"), lit(0L)).as("n_lines"),
@@ -374,8 +368,12 @@ object CompositeQueries {
               sort_array(ColumnKit.safeArrayUnion(split(col("p_name"), " "), array(lower(col("p_brand"))))),
               ","
             ).as("aliases"),
+            // id kit: native codegen'd dedup (best priority per id,
+            // (priority, id)-ordered) — replaces the interpreted
+            // HOF chain (ColumnKit.priorityDedup, kept as the
+            // portable rung), which cost ~5s over 20k rows at sf0.1.
             coalesce(
-              array_join(ColumnKit.priorityDedupIndexed(col("pairs_sorted")), ","),
+              array_join(GraftExtensions.priorityDedupIds(col("supp_tagged")), ","),
               lit("")
             ).as("supplier_ids"),
             coalesce(array_join(transform(col("yrs"), y => y.cast("string")), ","), lit(""))

@@ -82,6 +82,49 @@ class ColumnKitSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("priority_dedup_ids native expression matches priorityDedup on random inputs") {
+    import graft.plans.GraftExtensions
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 80).map { _ =>
+      Tuple1(Seq.fill(rng.nextInt(15))((1 + rng.nextInt(4), s"P${rng.nextInt(8)}")))
+    }
+    val pairs = transform(col("raw"),
+      x => struct(x.getField("_1").as("priority"), x.getField("_2").as("id")))
+    val df = rows.toDF("raw")
+      .select(
+        ColumnKit.priorityDedup(pairs).as("fold"),
+        GraftExtensions.priorityDedupIds(pairs).as("native")
+      )
+    df.as[(Seq[String], Seq[String])].collect().foreach { case (fold, native) =>
+      native shouldBe fold
+    }
+  }
+
+  test("priority_dedup_ids handles null array, null ids and null priorities") {
+    import graft.plans.GraftExtensions
+    // null array -> null; null id entries dropped; null priority loses
+    // to any real priority (UDF drop/last semantics)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(named_struct('priority', 2, 'id', 'a'),
+        |         named_struct('priority', CAST(NULL AS INT), 'id', 'b'),
+        |         named_struct('priority', 1, 'id', CAST(NULL AS STRING)),
+        |         named_struct('priority', 1, 'id', 'b'))),
+        |  (CAST(NULL AS ARRAY<STRUCT<priority: INT, id: STRING>>))
+        |AS t(raw)""".stripMargin)
+      .select(GraftExtensions.priorityDedupIds(col("raw")).as("ids"))
+    df.as[Option[Seq[String]]].collect().toSet shouldBe Set(Some(Seq("b", "a")), None)
+  }
+
+  test("priority_dedup_ids is SQL-registrable via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT priority_dedup_ids(array(named_struct('priority', 2, 'id', 'x')," +
+        " named_struct('priority', 1, 'id', 'x'))) AS ids")
+      .as[Seq[String]].head()
+    got shouldBe Seq("x")
+  }
+
   test("nest collapses columns into a struct") {
     val df = Seq((1, "a", 2.0)).toDF("id", "s", "v")
     val nested = ColumnKit.nest(df, Seq("s", "v"), "payload")
