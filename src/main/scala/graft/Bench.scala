@@ -41,6 +41,14 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene between queries: several queries persist()/
+      // localCheckpoint() intermediates (the reference's own pattern)
+      // and a single shared session would otherwise accumulate their
+      // blocks across all ~70 queries, degrading later timings via
+      // eviction pressure. Dropping caches is OUTSIDE the timed
+      // window, so each query is measured cold-cache and independent.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (ok) dt else -dt)
     }
     val total = results.collect { case (_, v) if v > 0 => v }.sum
