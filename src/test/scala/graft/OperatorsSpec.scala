@@ -268,6 +268,30 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Media.parseHeader(Array[Byte]()) shouldBe None
   }
 
+  test("Media GIF block-walker counts frames through real container structure") {
+    val gif = Media.gifAnimContainer(64, 48, nFrames = 7, payload = "tail".getBytes)
+    Media.countGifFrames(gif) shouldBe 7
+    Media.parseHeader(gif) shouldBe Some(Media.MediaHeader("gif", 64, 48))
+    // an extension block before the frames must be skipped, not counted
+    val withExt = gif.take(13) ++
+      Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) ++ // graphic control ext
+      gif.drop(13)
+    Media.countGifFrames(withExt) shouldBe 7
+    Media.countGifFrames("GIF89a".getBytes) shouldBe 0
+    Media.countGifFrames("junk".getBytes) shouldBe 0
+    Media.countGifFrames(Media.pngContainer(2, 2, Array[Byte]())) shouldBe 0
+  }
+
+  test("Media.sampleFrameIndices and resizeFit implement the sampling/fit contracts") {
+    Media.sampleFrameIndices(10, 4) shouldBe Seq(0, 4, 8)
+    Media.sampleFrameIndices(1, 4) shouldBe Seq(0)
+    Media.sampleFrameIndices(0, 4) shouldBe Seq()
+    Media.resizeFit(640, 480, 224) shouldBe ((224, 168))
+    Media.resizeFit(480, 640, 224) shouldBe ((168, 224))
+    Media.resizeFit(100, 100, 224) shouldBe ((224, 224))
+    Media.resizeFit(0, 0, 224) shouldBe ((0, 0))
+  }
+
   test("PPJoin prefix filter prunes skewed-shingle candidates and stays exact") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
