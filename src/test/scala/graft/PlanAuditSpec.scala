@@ -20,14 +20,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_window_ntile_approx"     // fact x broadcast 1-row cutpoint array (range lookup)
   )
 
+  /** Partition-less windows funnel the whole input through ONE task —
+    * acceptable only on provably dimension-sized inputs, whitelisted
+    * with the justification the code comments carry.
+    */
+  private val globalWindowWhitelist = Set(
+    "q_window_ntile",         // the documented single-partition rung; the
+                              // fact-scale cutover is q_window_ntile_approx
+    "q_search_index_cascade"  // global relevance rank over one-row-per-part
+                              // aggregate (dimension-sized; Search.scala:600-605)
+  )
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+      val qe = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString()
       plan should not include "CartesianProduct"
       if (!bnljWhitelist.contains(name)) {
         withClue(s"unexpected BroadcastNestedLoopJoin in $name — " +
           "either make the condition an equi-join or whitelist it deliberately: ") {
           plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+      if (!globalWindowWhitelist.contains(name)) {
+        val globalWindows = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        withClue(s"partition-less window in $name — a single-task sort at scale; " +
+          "partition it or whitelist with justification: ") {
+          globalWindows shouldBe empty
         }
       }
     }

@@ -37,6 +37,39 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("streaming windowed aggregation equals the batch plan on the real events table") {
+    // The transforms are readStream/writeStream-agnostic by design: the
+    // SAME function must produce identical results replayed as a stream
+    // and run as a batch backfill. Replay sf0.001 events through a
+    // MemoryStream in arrival-order chunks and compare to the batch run.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val batchDf = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = batchDf.as[EventRow].collect()
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .windowedTypeCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_equiv")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Double, Double)] =
+        df.select(col("bucket_start").cast("string"), col("event_type"),
+            col("n_events"), col("min_value"), col("max_value"))
+          .as[(String, String, Long, Double, Double)]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+      val streamed = canon(spark.table("win_equiv"))
+      val batch = canon(Streaming.windowedTypeCounts(batchDf))
+      streamed should have size batch.size.toLong
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
