@@ -71,14 +71,21 @@ object Bench {
     spark.stop()
   }
 
+  /** How many per-query entries the compact stdout line carries. Keeps
+    * the line length INDEPENDENT of registry growth: the slowest 40
+    * dominate the total (the omitted tail is sub-second noise), and 40
+    * entries sit ~800 bytes under the driver's tail budget.
+    */
+  val CompactTopN = 40
+
   /** One bench JSON line. `compact = true` is the stdout form sized for
-    * the driver's 2000-byte tail capture: adaptive-precision seconds
-    * (1 decimal below 10s, whole seconds above — at most 3 chars up to
-    * 999s, error <= max(5%, 50ms), far below the documented run-to-run
-    * bench noise), query keys without the `q_` prefix (1:1 with the
-    * CORRECTNESS names), sf basename, empty errors omitted.
-    * `compact = false` is the full 3-decimal form written to
-    * bench_out.json.
+    * the driver's 2000-byte tail capture: only the `CompactTopN`
+    * slowest queries (plus an `omitted` count), adaptive-precision
+    * seconds (1 decimal below 10s, whole seconds above — error <=
+    * max(5%, 50ms), far below the documented run-to-run bench noise),
+    * query keys without the `q_` prefix (1:1 with the CORRECTNESS
+    * names), sf basename, empty errors omitted. `compact = false` is
+    * the complete 3-decimal form written to bench_out.json.
     */
   def renderLine(
       total: Double,
@@ -94,12 +101,17 @@ object Bench {
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     }
     def key(k: String): String = if (compact) k.stripPrefix("q_") else k
-    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + r(v) }
+    val kept =
+      if (!compact) results
+      else results.sortBy { case (_, v) => -math.abs(v) }.take(CompactTopN).sortBy(_._1)
+    val omitted = results.size - kept.size
+    val qs = kept.map { case (k, v) => "\"" + key(k) + "\":" + r(v) }
       .mkString("{", ",", "}")
     val sf = if (compact) new java.io.File(sfDir).getName else sfDir
+    val omittedJson = if (compact && omitted > 0) s""","omitted":$omitted""" else ""
     val errJson =
       if (compact && errors.isEmpty) ""
       else errors.map(e => "\"" + e + "\"").mkString(""","errors":[""", ",", "]")
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$omittedJson$errJson,"sf":"$sf"}"""
   }
 }

@@ -216,6 +216,40 @@ object ExtendedRelationalQueries {
       },
       Some("""SELECT o_orderstatus, TRUE AS in_range
         FROM orders GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_zorder_layout",
+      (s, dir) => {
+        // Z-order layout key (functions.Layout.zorder2, the Morton
+        // interleave behind lakehouse OPTIMIZE ZORDER): two bounded
+        // dimension keys interleaved bit-by-bit so that writing in
+        // zval order clusters BOTH dimensions — per-file min/max
+        // ranges stay tight on each, and range predicates on either
+        // column prune the scan (the single-dimension sort only prunes
+        // its leading column). Pure codegen'd integer bit ops; the
+        // oracle replays the identical interleave. The locality win is
+        // quantified in LayoutSpec.
+        import graft.functions.Layout
+        val x = pmod(col("p_partkey"), lit(1024)).cast("int")
+        val y = pmod(floor(col("p_retailprice")).cast("long"), lit(1024)).cast("int")
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            x.as("x"),
+            y.as("y"),
+            Layout.zorder2(x, y, bits = 10).cast("int").as("zval")
+          )
+          .orderBy("zval", "p_partkey")
+      },
+      Some(s"""WITH d AS (
+          SELECT p_partkey,
+                 CAST(p_partkey % 1024 AS INTEGER) AS x,
+                 CAST(CAST(FLOOR(p_retailprice) AS BIGINT) % 1024 AS INTEGER) AS y
+          FROM part)
+        SELECT p_partkey, x, y,
+               CAST(${graft.functions.Layout.zorder2Sql("x", "y", bits = 10)} AS INTEGER) AS zval
+        FROM d ORDER BY zval, p_partkey""")
     )
   )
 }

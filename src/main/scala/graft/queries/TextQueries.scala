@@ -292,6 +292,10 @@ object TextQueries {
           .withColumn("pos", row_number().over(wDoc))
           .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
           .select(col("doc_id"), col("n"), col("s"))
+        // NB deliberately NOT persisted: AQE reuses the window
+        // exchange across the self-join's two identical subtrees, and
+        // a persist here measured ~1.8x slower (materialization cost
+        // exceeds the recompute it saves).
         val cand = prefixes.as("x")
           .join(
             prefixes.as("y"),

@@ -13,13 +13,30 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver tail with headroom for sbt's trailer") {
     // widest case per band: "9.9" (3), "99" (2), "123" (3) — every
-    // band renders at most 3 chars below 1000s/query
-    for (worst <- Seq(9.94, 99.4, 123.45)) {
-      val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> worst)
+    // band renders at most 3 chars below 1000s/query. The top-N cap
+    // makes the length independent of registry size: check with the
+    // real registry AND a 300-query synthetic one.
+    val registries = Seq(
+      SparkEntry.queries.keys.toSeq.sorted,
+      (1 to 300).map(i => f"q_synthetic_query_with_a_long_name_$i%03d")
+    )
+    for (names <- registries; worst <- Seq(9.94, 99.4, 123.45)) {
+      val results = names.map(_ -> worst)
       val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1", compact = true)
-      assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query; " +
-        "driver tail keeps 2000 and sbt's [success] trailer needs ~80 - shorten keys or split")
+      assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query " +
+        s"x ${names.size} queries; driver tail keeps 2000 and sbt's trailer needs ~80")
     }
+  }
+
+  test("compact line keeps the slowest CompactTopN queries and counts the omitted tail") {
+    val names = (1 to 60).map(i => f"q_q$i%02d")
+    // q_q01 slowest ... q_q60 fastest
+    val results = names.zipWithIndex.map { case (n, i) => n -> (60.0 - i) }
+    val line = Bench.renderLine(1.0, results, Nil, "sf", compact = true)
+    assert(line.contains("\"q01\":"))
+    assert(line.contains(s""""q${Bench.CompactTopN}":"""))
+    assert(!line.contains(s""""q${Bench.CompactTopN + 1}":"""))
+    assert(line.contains(s""""omitted":${60 - Bench.CompactTopN}"""))
   }
 
   test("compact values keep error small in every band (rel <= 5% or abs <= 50ms)") {
@@ -31,12 +48,15 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("compact line parses as JSON-shaped key:value pairs and keys map 1:1 to queries") {
+  test("compact line keys are q_-stripped registry names; kept + omitted covers the registry") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.0)
     val line = Bench.renderLine(1.0, results, Nil, "/root/testdata/sf0.1", compact = true)
-    SparkEntry.queries.keys.foreach { q =>
-      assert(line.contains("\"" + q.stripPrefix("q_") + "\":"), s"missing key for $q")
-    }
+    val queriesObj = line.substring(line.indexOf("\"queries\":{") + 11, line.indexOf("}"))
+    val keptKeys = "\"([a-z0-9_]+)\":".r.findAllMatchIn(queriesObj).map(_.group(1)).toSet
+    val strippedRegistry = SparkEntry.queries.keys.map(_.stripPrefix("q_")).toSet
+    assert(keptKeys.subsetOf(strippedRegistry), s"unknown keys: ${keptKeys -- strippedRegistry}")
+    val omitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
+    assert(keptKeys.size + omitted == SparkEntry.queries.size)
     assert(!line.contains("\"errors\""))
     assert(line.contains("\"sf\":\"sf0.1\""))
   }
