@@ -218,6 +218,123 @@ object CompositeQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_expression_profile",
+      (s, dir) => {
+        // Expression-step composite (reference backend/Expression.scala:
+        // 15-55 transformNormalTissue + 200-254 tissue/protein
+        // assembly): literal-map lookups as functions (reliability ->
+        // bool, level -> label), a tissue-level aggregate nesting an
+        // `rna` struct and a `protein` struct with collected cell-type
+        // structs, then the gene-level collect of full tissue structs.
+        // Analogue: gene=part, tissue=nation (via supplier), cell
+        // line=supplier. The output EXPLODES the assembled nested
+        // document back to flat leaves (getField chains) so the
+        // struct-building round trip is exercised end-to-end while the
+        // oracle stays flat-typed.
+        val levelLabel = typedLit(Map(0 -> "Not detected", 1 -> "Low", 2 -> "Medium", 3 -> "High"))
+        val reliabilityOf = typedLit(Map("A" -> false, "N" -> true, "R" -> true))
+        val D18_4 = DecimalType(18, 4)
+        val cells = Tables(s, dir, "lineitem")
+          .join(
+            broadcast(Tables(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey")
+          )
+          .join(
+            broadcast(Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey")
+          )
+          .groupBy(col("l_partkey"), col("n_name"))
+          .agg(
+            sum(col("l_quantity").cast(D18_4)).as("qty_dec"),
+            max(col("l_returnflag")).as("max_flag"),
+            sort_array(collect_set(struct(col("s_name").as("name")))).as("cell_type")
+          )
+        val wNation = Window.partitionBy(col("n_name"))
+        val tissue = cells
+          .withColumn("qty", col("qty_dec").cast(D38_2).cast(DoubleType))
+          // nation mean via exact decimal window sum -> one double
+          // division (the decAvg recipe, order-independent)
+          .withColumn(
+            "nation_mean",
+            (sum(col("qty_dec")).over(wNation).cast(D38_2).cast(DoubleType) /
+              count(lit(1)).over(wNation))
+          )
+          .withColumn(
+            "level",
+            when(col("qty") < 25, lit(0)).when(col("qty") < 50, lit(1))
+              .when(col("qty") < 100, lit(2)).otherwise(lit(3))
+          )
+          .select(
+            col("l_partkey"),
+            struct(
+              col("n_name").as("label"),
+              struct(
+                col("qty").as("value"),
+                floor((col("qty") - col("nation_mean")) * 1e6).cast("long").as("zscore_micros"),
+                col("level").as("level"),
+                levelLabel(col("level")).as("level_label"),
+                lit("qty").as("unit")
+              ).as("rna"),
+              struct(
+                reliabilityOf(col("max_flag")).as("reliability"),
+                col("cell_type").as("cell_type")
+              ).as("protein")
+            ).as("tissue")
+          )
+        val gene = tissue
+          .groupBy(col("l_partkey"))
+          .agg(sort_array(collect_set(col("tissue"))).as("tissues"))
+        // round-trip: explode the nested document, read every leaf back
+        gene
+          .select(col("l_partkey"), explode(col("tissues")).as("t"))
+          .select(
+            col("l_partkey"),
+            col("t.label").as("tissue_label"),
+            col("t.rna.value").as("qty"),
+            col("t.rna.zscore_micros").as("zscore_micros"),
+            col("t.rna.level").as("level"),
+            col("t.rna.level_label").as("level_label"),
+            col("t.protein.reliability").as("reliability"),
+            size(col("t.protein.cell_type")).as("n_cell_types"),
+            col("t.protein.cell_type").getItem(0).getField("name").as("top_cell")
+          )
+          .orderBy("l_partkey", "tissue_label")
+      },
+      Some("""WITH cells AS (
+          SELECT l_partkey, n_name,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec,
+                 MAX(l_returnflag) AS max_flag,
+                 COUNT(DISTINCT s_name) AS n_cell_types,
+                 MIN(s_name) AS top_cell
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        t AS (
+          SELECT l_partkey, n_name,
+                 CAST(ROUND(qty_dec, 2) AS DOUBLE) AS qty,
+                 CAST(ROUND(SUM(qty_dec) OVER (PARTITION BY n_name), 2) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY n_name) AS nation_mean,
+                 max_flag, n_cell_types, top_cell
+          FROM cells),
+        lv AS (
+          SELECT *, CASE WHEN qty < 25 THEN 0 WHEN qty < 50 THEN 1
+                         WHEN qty < 100 THEN 2 ELSE 3 END AS level
+          FROM t)
+        SELECT l_partkey, n_name AS tissue_label, qty,
+               CAST(FLOOR((qty - nation_mean) * 1000000) AS BIGINT) AS zscore_micros,
+               level,
+               CASE level WHEN 0 THEN 'Not detected' WHEN 1 THEN 'Low'
+                          WHEN 2 THEN 'Medium' ELSE 'High' END AS level_label,
+               CASE max_flag WHEN 'A' THEN FALSE WHEN 'N' THEN TRUE ELSE TRUE END
+                 AS reliability,
+               CAST(n_cell_types AS INTEGER) AS n_cell_types,
+               top_cell
+        FROM lv ORDER BY l_partkey, tissue_label""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_text_grounding",
       (s, dir) => {
         // Grounding-lite: normalize tokens (lower + accent fold +
