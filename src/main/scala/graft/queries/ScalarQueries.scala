@@ -152,6 +152,60 @@ object ScalarQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_map_function_kit",
+      (s, dir) => {
+        // Dynamic map-column surface beyond the literal lookup:
+        // map_from_entries over sorted collected pairs, then the map
+        // higher-order functions — transform_values, map_filter,
+        // map_zip_with — plus map_keys/map_values folds. All integer
+        // math, so every derived value is engine-exact; the oracle
+        // computes the same results relationally (DuckDB's map surface
+        // differs, the VALUES must not).
+        val q = Tables(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            floor(col("l_quantity")).cast("long").as("qv")
+          )
+          // line numbers repeat within an order in this corpus; map
+          // keys must be unique, so pre-aggregate per key first
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("qv")).as("qv"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            map_from_entries(
+              sort_array(collect_list(struct(col("l_linenumber"), col("qv"))))
+            ).as("qmap")
+          )
+        q.withColumn("doubled", transform_values(col("qmap"), (_, v) => v * 2))
+          .withColumn(
+            "zipped",
+            map_zip_with(col("qmap"), col("doubled"), (_, a, b) => b - a)
+          )
+          .select(
+            col("l_orderkey"),
+            size(col("qmap")).as("n_lines"),
+            array_join(transform(map_keys(col("qmap")), _.cast("string")), ",").as("line_keys"),
+            aggregate(map_values(col("doubled")), lit(0L), _ + _).as("total_doubled"),
+            size(map_filter(col("qmap"), (_, v) => v >= 25)).as("n_big"),
+            aggregate(map_values(col("zipped")), lit(0L), _ + _).as("total_zip")
+          )
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH q AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qv
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_orderkey,
+          CAST(COUNT(*) AS INTEGER) AS n_lines,
+          STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_keys,
+          CAST(SUM(qv * 2) AS BIGINT) AS total_doubled,
+          CAST(COUNT(CASE WHEN qv >= 25 THEN 1 END) AS INTEGER) AS n_big,
+          CAST(SUM(qv) AS BIGINT) AS total_zip
+        FROM q GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_json_extract",
       (s, dir) =>
         // JSON column extraction. The reference parses JSON only at

@@ -219,6 +219,48 @@ object WindowQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_window_session",
+      (s, dir) =>
+        // Built-in session_window (gap-based event-time sessions; the
+        // batch twin of the flatMapGroupsWithState sessionizer in
+        // graft.streaming, which covers the custom-state semantics the
+        // built-in can't). A session extends to last_ts + gap,
+        // half-open — an event exactly at the end starts a new
+        // session. The oracle is the classic gaps-and-islands
+        // formulation: new-session flag via LAG >= gap, cumulative-sum
+        // island ids, per-island aggregate.
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")
+          )
+          .select(
+            col("user_id"),
+            col("w.start").as("session_start"),
+            col("w.end").as("session_end"),
+            col("n_events"),
+            col("min_value"),
+            col("max_value")
+          )
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_agg_approx_distinct_bounded",
       (s, dir) =>
         // HLL++ sketch (reference openfda/stage/PrepareSummaryStatistics
