@@ -219,6 +219,38 @@ object ExtendedRelationalQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_join_udf_key",
+      (s, dir) => {
+        // Equi-join on a UDF-TRANSFORMED key (reference
+        // backend/Interaction.scala:153-155,228-237: getCodeFcn
+        // truncates 'uniprotkb:P12345-2' to its code before joining
+        // the mapping LUT). The key expression is evaluated before
+        // partitioning, so Catalyst still plans a hash join — the UDF
+        // only costs its per-row call, not the join strategy
+        // (PlanAuditSpec enforces no nested-loop fallback). Analogue:
+        // p_brand 'Brand#xy' -> numeric code, joined to a broadcast
+        // code->label LUT.
+        val codeOf = udf((brand: String) =>
+          if (brand == null) null else brand.dropWhile(!_.isDigit))
+        val lut = Tables(s, dir, "part")
+          .select(substring_index(col("p_brand"), "#", -1).as("code"))
+          .distinct()
+          .select(col("code"), concat(lit("B"), col("code")).as("brand_label"))
+        Tables(s, dir, "part")
+          .join(broadcast(lut), codeOf(col("p_brand")) === col("code"))
+          .groupBy(col("brand_label"))
+          .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("first_part"))
+          .orderBy("brand_label")
+      },
+      Some("""WITH lut AS (
+          SELECT DISTINCT string_split(p_brand, '#')[2] AS code FROM part),
+        l AS (SELECT code, 'B' || code AS brand_label FROM lut)
+        SELECT brand_label, COUNT(*) AS n_parts, MIN(p_partkey) AS first_part
+        FROM part JOIN l ON regexp_replace(p_brand, '^[^0-9]*', '') = code
+        GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_zorder_layout",
       (s, dir) => {
         // Z-order layout key (functions.Layout.zorder2, the Morton

@@ -50,6 +50,25 @@ class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup
     plan should include("PushedFilters")
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas with null padding") {
+    import spark.implicits._
+    // Two ingestion batches of the same dataset, the later one with an
+    // added column — the standard additive-evolution scenario for a
+    // long-lived 100 TB table. mergeSchema reconciles at read time;
+    // rows from the old batch carry nulls in the new column.
+    val base = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "name")
+      .write.parquet(s"$base/t/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.parquet(s"$base/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    merged.columns.toSet shouldBe Set("id", "name", "score", "batch")
+    val rows = merged.orderBy("id")
+      .select($"id", $"score")
+      .as[(Long, Option[Double])].collect()
+    rows shouldBe Array((1L, None), (2L, Some(9.5)))
+  }
+
   test("Io partitionBy write enables read-side partition pruning") {
     import spark.implicits._
     val df = Seq((1L, "x", "2024"), (2L, "y", "2025"), (3L, "z", "2025")).toDF("id", "v", "year")
