@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.priorityDedupIdsDescriptor)
+    ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
   }
 }
 

@@ -219,6 +219,40 @@ object ExtendedRelationalQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_join_asof_native",
+      (s, dir) => {
+        // The SAME as-of semantics as q_join_asof, but through the
+        // full custom-operator stack (graft.plans.AsOfJoinNative:
+        // LogicalPlan node -> planner Strategy -> co-partitioned
+        // sorted-merge SparkPlan). One hash exchange per side, a sort,
+        // and an O(|L|+|R|) per-partition merge — no union, no window
+        // state. Verified against the identical DuckDB ASOF LEFT JOIN
+        // oracle as the composed version.
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"), col("value"))
+        graft.plans.AsOfJoinNative
+          .leftAsOf(clicks, views, Seq("user_id"), "ts", "view_ts")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("view_id").as("last_view_id"),
+            col("value").as("last_view_value")
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, v.view_id AS last_view_id, v.value AS last_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_join_udf_key",
       (s, dir) => {
         // Equi-join on a UDF-TRANSFORMED key (reference

@@ -107,4 +107,64 @@ class PlansSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       spark.sql("DROP TABLE IF EXISTS t_right")
     }
   }
+
+
+  test("AsOfJoinNative matches the composed AsOfJoin operator on random data") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val rng = new scala.util.Random(31)
+    val left = (1 to 300).map { i =>
+      (i.toLong, rng.nextInt(6).toLong, rng.nextInt(100).toLong)
+    }.toDF("lid", "k", "t")
+    val right = (1 to 200).map { i =>
+      (rng.nextInt(6).toLong, rng.nextInt(100).toLong, i.toLong * 10)
+    }.toDF("k", "rt", "rv")
+
+    val native = AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+      .select($"lid", $"rv")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val composed = graft.operators.AsOfJoin
+      .leftAsOf(left, right, Seq("k"), "t", "rt")
+      .select($"lid", $"matched".getField("rv").as("rv"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    native.size shouldBe 300
+    native shouldBe composed
+  }
+
+  test("AsOfJoinNative handles empty right side and unmatched lefts with nulls") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val left = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("lid", "k", "t")
+    val right = Seq((1L, 11L, 99L)).toDF("k", "rt", "rv") // after left's t
+    val out = AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+      .select($"lid", $"rv").as[(Long, Option[Long])].collect().toMap
+    out shouldBe Map(1L -> None, 2L -> None)
+    val empty = right.filter($"k" < 0)
+    AsOfJoinNative.leftAsOf(left, empty, Seq("k"), "t", "rt")
+      .count() shouldBe 2L
+  }
+
+  test("AsOfJoinNative plans the custom exec: no window, no union, merge per partition") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "k", "t")
+    val right = Seq((1L, 5L, 99L)).toDF("k", "rt", "rv")
+    val df = AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString()
+    plan should include("AsOfJoin [") // AsOfJoinExec (Spark strips the Exec suffix)
+    plan should not include "Window"
+    plan should not include "Union"
+  }
+
+  test("AsOfJoinNative resolves same-(key,time) right ties to the sort-greatest payload") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "k", "t")
+    val right = Seq((1L, 10L, 5L), (1L, 10L, 7L), (1L, 10L, 3L)).toDF("k", "rt", "rv")
+    val out = AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+      .select($"rv").as[Long].collect()
+    out shouldBe Array(7L)
+  }
 }
