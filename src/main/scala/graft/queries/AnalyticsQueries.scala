@@ -222,6 +222,43 @@ object AnalyticsQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_graph_ancestry_dag",
+      (s, dir) => {
+        // Closure over a TRUE multi-parent DAG (the tree queries above
+        // have one parent per node; ontologies don't — reference DAGs
+        // carry multiple is-a parents, graph/GraphNode.scala:44-49).
+        // Parents of k: k div 2 and k div 3 — ancestor sets overlap
+        // heavily, so the per-round distinct genuinely dedups shared
+        // paths rather than being a no-op. Same path-doubling closure;
+        // the recursive-CTE oracle dedups via UNION.
+        val part = Tables(s, dir, "part").select(col("p_partkey"))
+        val edges = part.filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+          .union(
+            part.filter(col("p_partkey") >= 3)
+              .select(col("p_partkey").as("child"), expr("p_partkey div 3").as("parent"))
+          )
+        Graph.transitiveClosure(edges)
+          .groupBy(col("node"))
+          .agg(
+            count(lit(1)).as("n_ancestors"),
+            sum(col("ancestor")).as("ancestor_sum")
+          )
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT p_partkey AS c, p_partkey // 2 AS p FROM part WHERE p_partkey >= 2
+          UNION
+          SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 3),
+        anc(node, a) AS (
+          SELECT c, p FROM e
+          UNION
+          SELECT anc.node, e.p FROM anc JOIN e ON anc.a = e.c)
+        SELECT node, COUNT(*) AS n_ancestors, CAST(SUM(a) AS BIGINT) AS ancestor_sum
+        FROM anc GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_graph_root_paths",
       (s, dir) => {
         // All-root-paths (reference GraphNodeDocument.path:

@@ -50,4 +50,36 @@ class SkewJoinSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       case (k, None) => conf.unset(k)
     }
   }
+
+
+  test("runtime bloom-filter join pruning injects might_contain on the large side") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the join shuffled
+      // large side: parquet scan (file-source stats make it eligible);
+      // small side: selective filter -> bloom build candidate
+      val li = graft.queries.Tables(spark, sfDir, "lineitem")
+      val ords = graft.queries.Tables(spark, sfDir, "orders")
+        .filter($"o_orderstatus" === "P" && $"o_orderkey" % 97 === 0)
+      val joined = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      val optimized = joined.queryExecution.optimizedPlan.toString()
+      withClue(s"no bloom filter in optimized plan:\n$optimized\n") {
+        optimized should include("might_contain")
+        optimized should include("bloom_filter_agg")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
