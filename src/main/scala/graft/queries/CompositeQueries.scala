@@ -234,7 +234,7 @@ object CompositeQueries {
         val levelLabel = typedLit(Map(0 -> "Not detected", 1 -> "Low", 2 -> "Medium", 3 -> "High"))
         val reliabilityOf = typedLit(Map("A" -> false, "N" -> true, "R" -> true))
         val D18_4 = DecimalType(18, 4)
-        val cells = Tables(s, dir, "lineitem")
+        val base = Tables(s, dir, "lineitem")
           .join(
             broadcast(Tables(s, dir, "supplier")
               .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
@@ -244,22 +244,28 @@ object CompositeQueries {
             broadcast(Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
             col("s_nationkey") === col("n_nationkey")
           )
+        val cells = base
           .groupBy(col("l_partkey"), col("n_name"))
           .agg(
             sum(col("l_quantity").cast(D18_4)).as("qty_dec"),
             max(col("l_returnflag")).as("max_flag"),
             sort_array(collect_set(struct(col("s_name").as("name")))).as("cell_type")
           )
-        val wNation = Window.partitionBy(col("n_name"))
+        // Nation means as a 25-row aggregate broadcast back — NOT a
+        // window PARTITION BY n_name over the fact-scale cells table,
+        // which would funnel it into |nations| tasks. Computed from
+        // the pre-collect base (decimal addition is associative, so
+        // sum-over-cells == sum-over-rows EXACTLY; cell count =
+        // distinct part per nation) — a narrow second pass with no
+        // array baggage, then one double division (the decAvg recipe).
+        val nationMeans = base
+          .groupBy(col("n_name"))
+          .agg(
+            (sum(col("l_quantity").cast(D18_4)).cast(D38_2).cast(DoubleType) /
+              countDistinct(col("l_partkey"))).as("nation_mean"))
         val tissue = cells
           .withColumn("qty", col("qty_dec").cast(D38_2).cast(DoubleType))
-          // nation mean via exact decimal window sum -> one double
-          // division (the decAvg recipe, order-independent)
-          .withColumn(
-            "nation_mean",
-            (sum(col("qty_dec")).over(wNation).cast(D38_2).cast(DoubleType) /
-              count(lit(1)).over(wNation))
-          )
+          .join(broadcast(nationMeans), "n_name")
           .withColumn(
             "level",
             when(col("qty") < 25, lit(0)).when(col("qty") < 50, lit(1))
