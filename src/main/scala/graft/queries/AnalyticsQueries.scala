@@ -230,7 +230,12 @@ object AnalyticsQueries {
         // Parents of k: k div 2 and k div 3 — ancestor sets overlap
         // heavily, so the per-round distinct genuinely dedups shared
         // paths rather than being a no-op. Same path-doubling closure;
-        // the recursive-CTE oracle dedups via UNION.
+        // the recursive-CTE oracle dedups via UNION. Cost note: on
+        // overlap-heavy DAGs doubling's closure x closure join fans
+        // out quadratically in ancestor-set size before the distinct
+        // (the log-rounds/wide-join vs depth-rounds/narrow-join
+        // tradeoff of semi-naive edge iteration) — fine at ontology
+        // overlap, and the dedup keeps each round's OUTPUT linear.
         val part = Tables(s, dir, "part").select(col("p_partkey"))
         val edges = part.filter(col("p_partkey") >= 2)
           .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
