@@ -90,7 +90,17 @@ object AsOfJoinNative {
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
+    override lazy val metrics = Map(
+      "numOutputRows" ->
+        org.apache.spark.sql.execution.metric.SQLMetrics
+          .createMetric(sparkContext, "number of output rows"),
+      "numMatchedRows" ->
+        org.apache.spark.sql.execution.metric.SQLMetrics
+          .createMetric(sparkContext, "number of matched rows"))
+
     override protected def doExecute(): RDD[InternalRow] = {
+      val numOutputRows = longMetric("numOutputRows")
+      val numMatchedRows = longMetric("numMatchedRows")
       val leftOut = left.output
       val rightOut = right.output
       val outAttrs = output
@@ -131,6 +141,8 @@ object AsOfJoinNative {
             } else scan = false
           }
           val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           outProj(joined(lrow, if (matched) lastRow else nullRight))
         }
       }

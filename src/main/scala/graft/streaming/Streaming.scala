@@ -109,6 +109,48 @@ object Streaming {
     * flatMapGroupsWithState — the pattern for semantics beyond the
     * built-in operators.
     */
+  /** Incremental latest-wins upsert sink: merge each micro-batch into
+    * a parquet target keyed by `keyCol`, keeping the row with the
+    * greatest `versionCol` (ties: the incoming batch wins). The
+    * foreachBatch escape hatch is how a streaming pipeline maintains a
+    * mutable entity table on an append-only store without a lakehouse
+    * format — the streaming twin of the reference's latest-version
+    * dedup (literature/PreProcessing.scala:8-27). At scale the
+    * rewrite should be partition-scoped (partition the target by a key
+    * prefix and overwrite only touched partitions); the merge logic is
+    * identical.
+    */
+  def upsertBatch(
+      target: String,
+      keyCol: String,
+      versionCol: String
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val existing =
+      try Some(spark.read.parquet(target))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = existing match {
+      case Some(cur) => cur.withColumn("__new", lit(0)).unionByName(batch.withColumn("__new", lit(1)))
+      case None => batch.withColumn("__new", lit(1))
+    }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__new").desc)
+    val winner = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__new")
+    // can't overwrite the directory being read: write the merge to a
+    // scratch dir, then swap directories (distributed write, no
+    // driver-side materialization)
+    val tmp = target + ".__tmp"
+    winner.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+  }
+
   def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

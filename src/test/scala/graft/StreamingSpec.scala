@@ -129,6 +129,33 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert maintains a latest-wins entity table across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/entities"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val in = MemoryStream[EventRow]
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch(Streaming.upsertBatch(target, keyCol = "event_id", versionCol = "ts") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row(1, 10), row(2, 20))
+      q.processAllAvailable()
+      // batch 2: event 1 updated (later ts), event 3 new, stale event 2 ignored
+      in.addData(EventRow(1L, ts(30), 1L, "click", 9.0), row(3, 15), EventRow(2L, ts(5), 1L, "click", 7.0))
+      q.processAllAvailable()
+      val table = spark.read.parquet(target)
+        .select($"event_id", $"ts", $"value").as[(Long, Timestamp, Double)]
+        .collect().sortBy(_._1)
+      table.map(_._1) shouldBe Array(1L, 2L, 3L)
+      table(0)._2 shouldBe ts(30) // updated version won
+      table(0)._3 shouldBe 9.0
+      table(1)._2 shouldBe ts(20) // stale update lost
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap and emits on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
