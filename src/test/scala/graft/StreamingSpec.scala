@@ -156,6 +156,30 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("built-in session_window works under a watermark in streaming mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, session_window, count => cnt, lit}
+    val in = MemoryStream[EventRow]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(cnt(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 20min apart (one session), then a 40-min gap
+      in.addData(row(1, 0), row(2, 20), row(3, 60))
+      q.processAllAvailable()
+      in.addData(row(4, 600)) // watermark advances, sessions close
+      q.processAllAvailable()
+      val out = spark.table("stream_sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted
+      out should contain allOf ((1L, 1L), (1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap and emits on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
