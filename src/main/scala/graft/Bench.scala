@@ -49,6 +49,13 @@ object Bench {
       // window, so each query is measured cold-cache and independent.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Heap hygiene, also outside the timed window: dropped cache
+      // blocks, broadcast payloads, and codegen'd classes from earlier
+      // queries otherwise surface as GC pauses INSIDE later queries'
+      // timings (round-3 measured q_graph_node_document 2x slower
+      // in-run than isolated). An explicit collect pins that cost to
+      // the gap between queries where it belongs.
+      System.gc()
       name -> (if (ok) dt else -dt)
     }
     val total = results.collect { case (_, v) if v > 0 => v }.sum

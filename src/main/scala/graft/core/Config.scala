@@ -29,13 +29,44 @@ object Config {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** Inter-step wiring (the reference's HOCON substitution contract,
+    * reference.conf:118 `interaction.input.targets =
+    * ${steps.target.output.target}`): a step's `sfDir` or output path
+    * may reference an EARLIER step's output as
+    * `${steps.<name>.output.path}` (the path itself) or
+    * `${steps.<name>.output.dir}` (its parent directory — the table
+    * root when the producing step writes `<dir>/<table>.parquet`).
+    * Forward or unknown references fail fast at parse time, like the
+    * reference's config loader.
+    */
+  private val stepRef = """\$\{steps\.([A-Za-z0-9_-]+)\.output\.(path|dir)\}""".r
+
+  private def resolveStepRefs(steps: Seq[StepSpec]): Seq[StepSpec] =
+    steps
+      .foldLeft(Vector.empty[StepSpec]) { (done, s) =>
+        def sub(v: String): String = stepRef.replaceAllIn(
+          v,
+          m => {
+            val producer = done.find(_.name == m.group(1)).getOrElse {
+              throw new IllegalArgumentException(
+                s"step '${s.name}' references '${m.group(1)}', which is not an earlier step")
+            }
+            val p = producer.output.path
+            val resolved =
+              if (m.group(2) == "dir") p.substring(0, p.lastIndexOf('/')) else p
+            java.util.regex.Matcher.quoteReplacement(resolved)
+          }
+        )
+        done :+ s.copy(sfDir = sub(s.sfDir), output = s.output.copy(path = sub(s.output.path)))
+      }
+
   def fromJsonString(json: String): AppConfig = {
     val j = JsonMethods.parse(json)
     AppConfig(
       appName = (j \ "appName").extractOrElse[String]("graft"),
       master = (j \ "master").extractOpt[String],
       sparkConf = (j \ "sparkConf").extractOrElse[Map[String, String]](Map.empty),
-      steps = (j \ "steps") match {
+      steps = resolveStepRefs((j \ "steps") match {
         case JArray(items) =>
           items.map { s =>
             StepSpec(
@@ -52,7 +83,7 @@ object Config {
             )
           }
         case _ => Nil
-      }
+      })
     )
   }
 

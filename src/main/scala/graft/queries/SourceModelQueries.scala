@@ -45,6 +45,39 @@ object SourceModelQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_embedding_synonyms",
+      (s, dir) => {
+        // findSynonyms as a product surface (the reference ships
+        // synonym lists, literature/Embedding.scala:56-66). The cosine
+        // VALUES are MLlib-internal, so the oracle checks the synonym
+        // CONTRACT: exactly k rows, cosine within [-1, 1], scores
+        // non-increasing in rank, and the query word excluded from its
+        // own synonym list. The rank window is global but over the
+        // k-row model output (k = 5), not data-sized.
+        import org.apache.spark.sql.expressions.Window
+        val corpus = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 20)
+          .select(TextKit.tokens(col("text")).as("tokens"))
+        val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
+        val w = Window.orderBy(col("similarity").desc, col("word").asc)
+        EmbeddingModel.synonyms(model, "data", 5)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("prev", lag(col("similarity"), 1).over(w))
+          .select(
+            col("rk"),
+            (col("similarity") >= -1.0000001 && col("similarity") <= 1.0000001)
+              .as("cos_in_range"),
+            (col("prev").isNull || col("similarity") <= col("prev")).as("descending"),
+            (col("word") =!= "data").as("excludes_query")
+          )
+          .orderBy("rk")
+      },
+      Some("""SELECT CAST(rk AS INTEGER) AS rk, TRUE AS cos_in_range,
+          TRUE AS descending, TRUE AS excludes_query
+        FROM (VALUES (1), (2), (3), (4), (5)) r(rk) ORDER BY rk""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_flatfile_parse",
       (s, dir) => {
         // Distributed flat-file round-trip (reference parses UniprotKB

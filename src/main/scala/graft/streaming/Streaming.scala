@@ -127,6 +127,14 @@ object Streaming {
   )(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(conf)
+    // Crash recovery: a previous run may have died inside the swap
+    // below, after the current table was set aside but before the new
+    // one was renamed in. The data is intact at `__old`; restore it
+    // before reading so no crash ever loses the table.
+    recoverSwap(fs, target)
     val existing =
       try Some(spark.read.parquet(target))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -142,13 +150,32 @@ object Streaming {
       .drop("__rn", "__new")
     // can't overwrite the directory being read: write the merge to a
     // scratch dir, then swap directories (distributed write, no
-    // driver-side materialization)
-    val tmp = target + ".__tmp"
-    winner.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+    // driver-side materialization). The swap is CRASH-ATOMIC via two
+    // renames: set the current table aside, rename the new one in,
+    // only then delete the old — at every instant the full table
+    // exists at `target` or `target.__old`, and recoverSwap (above)
+    // restores the latter on restart. A delete-then-rename swap would
+    // lose the whole table to a crash between the two calls.
+    val tmp = new org.apache.hadoop.fs.Path(target + ".__tmp")
+    val old = new org.apache.hadoop.fs.Path(target + ".__old")
+    winner.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(targetPath)) {
+      fs.delete(old, true) // leftover from an interrupted cleanup
+      fs.rename(targetPath, old)
+    }
+    fs.rename(tmp, targetPath)
+    fs.delete(old, true)
+  }
+
+  /** Restore a table whose directory swap was interrupted: if `target`
+    * is absent but `target.__old` exists, the previous run crashed
+    * between the two renames of [[upsertBatch]] — the set-aside copy is
+    * the table; rename it back.
+    */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val old = new org.apache.hadoop.fs.Path(target + ".__old")
+    if (!fs.exists(targetPath) && fs.exists(old)) fs.rename(old, targetPath)
   }
 
   def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[Session] = {

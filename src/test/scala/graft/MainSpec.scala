@@ -34,6 +34,40 @@ class MainSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     spark.read.parquet(s"$out/pricing").count() should be > 0L
   }
 
+  test("two-step pipeline: step 2 reads step 1's written output via a step reference") {
+    // The reference's inter-step contract (reference.conf:118,
+    // interaction.input.targets = ${steps.target.output.target}):
+    // step 1 dedups the events table and writes it as a derived
+    // `events.parquet`; step 2's sfDir resolves to step 1's output
+    // directory, so its windowed aggregation runs over the DEDUPED
+    // table, not the raw one.
+    val out = Files.createTempDirectory("graft-pipe").toString
+    val cfg = Config.fromJsonString(
+      s"""{"appName":"t","steps":[
+            {"name":"dedup","query":"q_dedup_latest_wins",
+             "sfDir":"$sfDir","output":{"path":"$out/derived/events.parquet"}},
+            {"name":"distinct_users","query":"q_agg_approx_distinct_bounded",
+             "sfDir":"$${steps.dedup.output.dir}","output":{"path":"$out/final"}}]}"""
+    )
+    cfg.steps(1).sfDir shouldBe s"$out/derived"
+    cfg.steps.foreach(Main.runStep(spark, _))
+    val derived = spark.read.parquet(s"$out/derived/events.parquet")
+    val finalOut = spark.read.parquet(s"$out/final")
+    // step 2 consumed step 1's output: after latest-wins dedup every
+    // user has exactly one event, so n_exact per type sums to the
+    // derived row count (it would exceed it against the raw table)
+    finalOut.count() should be > 0L
+    import org.apache.spark.sql.functions.sum
+    finalOut.agg(sum("n_exact")).head.getLong(0) shouldBe derived.count()
+  }
+
+  test("step references to unknown or later steps fail fast at parse time") {
+    an[IllegalArgumentException] should be thrownBy Config.fromJsonString(
+      """{"steps":[{"name":"b","query":"q_dedup_exact",
+           "sfDir":"${steps.nope.output.dir}","output":{"path":"/o"}}]}"""
+    )
+  }
+
   test("unknown step query fails fast") {
     val cfg = Config.fromJsonString(
       """{"steps":[{"name":"x","query":"q_nope","sfDir":"/d","output":{"path":"/o"}}]}"""

@@ -77,6 +77,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     rows(2L) shouldBe Seq(3L)
   }
 
+  test("Graph.nodeDocument builds all four relation lists in one pass") {
+    import spark.implicits._
+    // diamond: 4 -> {2, 3} -> 1
+    val edges = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L)).toDF("child", "parent")
+    val docs = Graph.nodeDocument(edges)
+      .as[(Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // (ancestors, descendants, children, parents)
+    docs(1L) shouldBe ((Seq(), Seq(2L, 3L, 4L), Seq(2L, 3L), Seq()))
+    docs(2L) shouldBe ((Seq(1L), Seq(4L), Seq(4L), Seq(1L)))
+    docs(4L) shouldBe ((Seq(1L, 2L, 3L), Seq(), Seq(), Seq(2L, 3L)))
+  }
+
   test("Graph.rootPaths finds every child-first path to a root") {
     import spark.implicits._
     // diamond: 4 -> {2, 3} -> 1

@@ -27,8 +27,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
   private val globalWindowWhitelist = Set(
     "q_window_ntile",         // the documented single-partition rung; the
                               // fact-scale cutover is q_window_ntile_approx
-    "q_search_index_cascade"  // global relevance rank over one-row-per-part
+    "q_search_index_cascade", // global relevance rank over one-row-per-part
                               // aggregate (dimension-sized; Search.scala:600-605)
+    "q_embedding_synonyms"    // rank over the k-row (k=5) findSynonyms
+                              // output — model-sized, not data-sized
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -160,6 +160,22 @@ class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup
     out shouldBe Array("fli", "run")
   }
 
+  test("stemmed-grounding oracle vocabulary covers the documents corpus") {
+    // The q_text_grounding_stemmed oracle embeds a (token -> stem) LUT
+    // generated from OracleSql.stemmedGroundingVocab; if the corpus
+    // ever contains a token outside that list the LUT is stale. Guard
+    // it against the real testdata (same normalization chain).
+    import spark.implicits._
+    import graft.queries.OracleSql
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(translate(lower(col("text")),
+        "áéíóúαβγδεζηικλμνξπτυω", "aeiouabgdezhiklmnxptuo"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").isin(stop: _*))
+      .select("tok").distinct().as[String].collect().toSet
+    toks.diff(OracleSql.stemmedGroundingVocab.toSet) shouldBe empty
+  }
+
   // ------------------------------------------------------------------
   // Word2Vec (literature Embedding/Vectors phases)
   // ------------------------------------------------------------------

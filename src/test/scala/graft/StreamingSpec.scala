@@ -156,6 +156,38 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("upsert swap is crash-atomic: a kill between the two renames loses nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft-upsert-crash").toString + "/entities"
+    val upsert = Streaming.upsertBatch(target, keyCol = "event_id", versionCol = "ts") _
+    upsert(Seq(row(1, 10), row(2, 20)).toDF(), 0L)
+    // Emulate a crash at the worst instant of the swap: the current
+    // table was renamed aside but the new one was never renamed in
+    // (exactly the window where the old delete-then-rename swap lost
+    // the whole table).
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + ".__old"))
+    // a reader-side recovery restores the set-aside table...
+    Streaming.recoverSwap(fs, target)
+    spark.read.parquet(target).count() shouldBe 2L
+    // ...and so does the next micro-batch on restart (recovery is
+    // built into upsertBatch itself): nothing was lost, merge is right
+    fs.rename(
+      new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + ".__old"))
+    upsert(Seq(EventRow(1L, ts(30), 1L, "click", 9.0), row(3, 15)).toDF(), 1L)
+    val table = spark.read.parquet(target)
+      .select($"event_id", $"ts").as[(Long, Timestamp)].collect().sortBy(_._1)
+    table.map(_._1) shouldBe Array(1L, 2L, 3L)
+    table(0)._2 shouldBe ts(30)
+    table(1)._2 shouldBe ts(20) // survived the simulated crash
+    fs.exists(new org.apache.hadoop.fs.Path(target + ".__old")) shouldBe false
+  }
+
   test("built-in session_window works under a watermark in streaming mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
