@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global row-number: the catalog-scale cutover for a
   * partition-less rank window.
@@ -15,19 +14,31 @@ import org.apache.spark.sql.functions._
   *
   *  1. range-repartition on the sort key (Spark samples split points,
   *     so partitions are balanced) and sort within partitions;
-  *  2. count rows per partition — a #partitions-sized aggregate whose
-  *     result is broadcast back as cumulative offsets;
-  *  3. per-partition row_number + offset = the exact global number.
+  *  2. count rows per partition — an O(#partitions) driver fold whose
+  *     cumulative sums become per-partition offsets;
+  *  3. local position + offset = the exact global number.
   *
-  * The per-partition counts pass is the same "tiny scalar fold crosses
-  * the driver" boundary the reference's max-rank fold uses — it is
-  * O(#partitions), never O(rows).
+  * Steps 2-3 are `RDD.zipWithIndex` verbatim: both jobs share ONE RDD
+  * lineage, so the range shuffle's map stage is computed once and the
+  * second job reuses its outputs — no persist, nothing pinned in cache
+  * after the query. (The previous DataFrame-window formulation needed
+  * an explicit persist to get the same reuse, and leaked it.) The cost
+  * of this shape is one InternalRow->Row->InternalRow conversion
+  * confined to this operator; downstream plans codegen normally.
+  *
+  * The count pass is the same "tiny scalar fold crosses the driver"
+  * boundary the reference's max-rank fold uses — it is O(#partitions),
+  * never O(rows).
+  *
+  * The output column is LONG: a global row number is exactly the
+  * operator you reach for past 2^31 rows, so an Int would overflow in
+  * precisely its target regime.
   *
   * Note this is row_number semantics: ranks are exact and gap-free
   * when the sort key is a total order (unique). With duplicate keys,
   * equal rows get distinct consecutive numbers (arbitrary within the
   * tie) rather than rank()'s shared value — callers needing rank() on
-  * non-unique keys should add a tie-breaker column first.
+  * non-unique keys must add a unique tie-breaker column first.
   */
 object GlobalRank {
 
@@ -37,33 +48,17 @@ object GlobalRank {
       out: String,
       numPartitions: Int = 0
   ): DataFrame = {
+    val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
-            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // One shuffle, consumed twice (counts + numbering): persist so the
-    // sampled range boundaries are computed once and both passes see
-    // the identical partitioning.
-    val parts = df
-      .repartitionByRange(n, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    val counts = parts
-      .groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__pid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .toSeq
-    var acc = 0L
-    val offsets = counts.map { case (pid, cnt) =>
-      val o = (pid, acc); acc += cnt; o
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    // Dataset.rdd is a lazy val: the count job inside zipWithIndex and
+    // the final compute job walk the SAME lineage, so the range
+    // shuffle runs once (second job skips the finished map stage).
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    import df.sparkSession.implicits._
-    val offsetDf = offsets.toDF("__pid", "__offset")
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    parts
-      .withColumn("__local", row_number().over(wLocal))
-      .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn(out, (col("__local") + col("__offset")).cast("int"))
-      .drop("__pid", "__local", "__offset")
+    spark.createDataFrame(numbered, schema)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -91,65 +91,6 @@ object CompositeQueries {
       // correctness proof.
       (s, dir) => searchCascade(s, dir, scaledRank = true),
       Some(cascadeOracleSql)
-    ),
-    // ------------------------------------------------------------------
-    QueryDef(
-      "__CASCADE_ORACLE_PLACEHOLDER__",
-      (s, dir) => ???,
-      Some(s"""WITH assoc AS (
-          SELECT l_partkey, o_custkey, SUM($revTerm) AS revdec
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-        supp AS (
-          SELECT l_partkey, o_custkey,
-                 list_sort(list_distinct(list(n_name))) AS supp_labels
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ON s_nationkey = n_nationkey
-          GROUP BY 1, 2),
-        ranked AS (
-          SELECT a.l_partkey, a.o_custkey, a.revdec, supp.supp_labels,
-                 RANK() OVER (PARTITION BY a.l_partkey
-                              ORDER BY a.revdec DESC, a.o_custkey) AS rank
-          FROM assoc a LEFT JOIN supp
-            ON a.l_partkey = supp.l_partkey AND a.o_custkey = supp.o_custkey),
-        withcust AS (
-          SELECT r.*, [c_mktsegment, n_name] AS cust_labels
-          FROM ranked r JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-          WHERE rank <= 50),
-        lab AS (
-          SELECT l_partkey, rank, unnest(cust_labels) AS lab, 'cust' AS kind FROM withcust
-          UNION ALL
-          SELECT l_partkey, rank, unnest(supp_labels) AS lab, 'supp' AS kind FROM withcust),
-        tiers AS (
-          SELECT l_partkey,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'cust' THEN lab END) AS cust_labels_50,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' AND rank <= 25 THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'cust' AND rank <= 25 THEN lab END) AS cust_labels_25,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'cust' AND rank <= 5 THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'cust' AND rank <= 5 THEN lab END) AS cust_labels_5,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'supp' THEN lab END) AS supp_labels_50,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' AND rank <= 25 THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'supp' AND rank <= 25 THEN lab END) AS supp_labels_25,
-            STRING_AGG(DISTINCT CASE WHEN kind = 'supp' AND rank <= 5 THEN lab END, ','
-              ORDER BY CASE WHEN kind = 'supp' AND rank <= 5 THEN lab END) AS supp_labels_5
-          FROM lab GROUP BY 1),
-        base AS (
-          SELECT l_partkey, COUNT(*) AS n_assoc, SUM(revdec) AS totdec
-          FROM withcust GROUP BY 1),
-        g AS (
-          SELECT b.l_partkey, t.cust_labels_50, t.cust_labels_25, t.cust_labels_5,
-                 t.supp_labels_50, t.supp_labels_25, t.supp_labels_5, b.n_assoc,
-                 RANK() OVER (ORDER BY b.totdec DESC, b.l_partkey) AS grank
-          FROM base b JOIN tiers t USING (l_partkey)),
-        mx AS (SELECT MAX(grank) AS mr FROM g)
-        SELECT l_partkey, cust_labels_50, cust_labels_25, cust_labels_5,
-               supp_labels_50, supp_labels_25, supp_labels_5, n_assoc,
-               CAST(FLOOR((1 + (mr - grank) / CAST(mr - 1 AS DOUBLE)) * 1000000) AS BIGINT)
-                 AS multiplier_micros
-        FROM g, mx ORDER BY l_partkey""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
