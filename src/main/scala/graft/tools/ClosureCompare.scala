@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.queries.Tables
+
+/** Micro-bench: path-doubling vs semi-naive frontier transitive
+  * closure on the q_graph_node_document DAG (binary tree over part).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ClosureCompare
+  * Prints one line per variant: name, rows, seconds. Keeps the two
+  * row counts so a mismatch fails loudly here, not just in GraphSpec.
+  */
+object ClosureCompare {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def edges = Tables(spark, dir, "part")
+      .filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+
+    def time(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[closure-compare] $name%-10s rows=$n%d sec=$sec%.1f")
+      n
+    }
+
+    // warmup: scan + codegen
+    edges.count()
+    val a = time("doubling")(Graph.transitiveClosure(edges).count())
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val b = time("frontier")(Graph.transitiveClosureFrontier(edges).count())
+    require(a == b, s"closure row counts differ: doubling=$a frontier=$b")
+    spark.stop()
+  }
+}

@@ -22,6 +22,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     )
   }
 
+  test("Graph.transitiveClosureFrontier equals path-doubling on a multi-parent DAG") {
+    import spark.implicits._
+    // parents of k: k div 2 and k div 3 — overlap-heavy, re-derivations
+    // exercise the frontier's anti-join dedup
+    val edges = (2 to 200).map(k => (k.toLong, (k / 2).toLong))
+      .concat((3 to 200).map(k => (k.toLong, (k / 3).toLong)))
+      .toDF("child", "parent")
+    val doubling = Graph.transitiveClosure(edges).as[(Long, Long)].collect().toSet
+    val frontier = Graph.transitiveClosureFrontier(edges).as[(Long, Long)].collect().toSet
+    frontier shouldBe doubling
+    frontier.size should be > 200 // sanity: closure strictly larger than edge set
+  }
+
   test("Graph.ancestorsPerNode aggregates sorted ancestor lists") {
     import spark.implicits._
     val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
