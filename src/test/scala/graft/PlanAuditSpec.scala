@@ -35,9 +35,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
-      val qe = fn(spark, sfDir).queryExecution
+      // plan with AQE off: AdaptiveSparkPlanExec hides its inner tree
+      // from TreeNode.collect, and scan shape (pruning, pushdown) is
+      // decided before AQE anyway
+      val qe = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        fn(spark, sfDir).queryExecution
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       val plan = qe.executedPlan.toString()
       plan should not include "CartesianProduct"
+      // Column-pruning guard (tools/ScanAudit evidence, round 6): no
+      // scan of a wide table may read its full on-disk width — the
+      // widest legitimate read today is lineitem 6/11. Narrow tables
+      // (documents is 5 wide, fully consumed by the multimodal
+      // queries) are exempt; a SELECT-*-shaped regression on the fact
+      // tables trips this.
+      val scans = qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.foreach { s =>
+        val diskWidth = s.relation.dataSchema.size
+        if (diskWidth >= 6) {
+          withClue(s"$name reads all $diskWidth columns of a wide table " +
+            s"(${s.relation.location.rootPaths.headOption.getOrElse("?")}): ") {
+            s.requiredSchema.size should be < diskWidth
+          }
+        }
+      }
       if (!bnljWhitelist.contains(name)) {
         withClue(s"unexpected BroadcastNestedLoopJoin in $name — " +
           "either make the condition an equi-join or whitelist it deliberately: ") {
