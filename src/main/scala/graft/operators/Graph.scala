@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * memory, a hard wall at 100 TB. This operator re-expresses the same
   * semantics as a distributed transitive closure over DataFrames.
   *
-  * Algorithm: path-doubling semi-naive closure. Each iteration joins
-  * the closure-so-far with itself, so reachable distance doubles per
-  * round: ceil(log2(depth)) shuffles instead of depth shuffles for the
-  * edge-relation iteration. Ontology DAGs are shallow (depth < 20), so
-  * this converges in <= 5 rounds.
+  * Three closure algorithms, all log-or-depth bounded rounds of
+  * shuffle joins, all spec-verified equal (OperatorsSpec), all
+  * measured against each other at sf0.1 (tools.ClosureCompare):
+  * smart path-doubling (delta ∘ closure, the default), plain
+  * path-doubling (closure ∘ closure, best on overlap-heavy DAGs at
+  * local scale), and semi-naive frontier iteration (delta ∘ edges,
+  * for incremental-delta workloads). Ontology DAGs are shallow
+  * (depth < 20), so the doubling variants converge in <= 5 rounds.
   *
   * Scale notes:
   *  - every round is one shuffle join on the frontier key plus a
@@ -30,10 +33,29 @@ object Graph {
 
   /** Full ancestor closure of a child->parent edge list.
     *
+    * The default routes to [[transitiveClosureSmart]] — measured
+    * fastest on tree-like graphs and never catastrophically worse
+    * (tools.ClosureCompare numbers in each variant's doc). Callers on
+    * overlap-heavy DAGs can pick [[transitiveClosureDoubling]], which
+    * measured marginally faster there.
+    *
     * @param edges DataFrame with exactly two columns: (child, parent).
     * @return DataFrame(node, ancestor): every (n, a) with a path n -> a.
     */
-  def transitiveClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    transitiveClosureSmart(edges, maxRounds)
+
+  /** Plain path-doubling closure: each round joins the closure-so-far
+    * with ITSELF, so reachable distance doubles per round. Log-many
+    * rounds, but the self-join re-derives every already-known pair
+    * each round before the distinct — [[transitiveClosureSmart]]
+    * composes off the delta instead and skips that re-derivation.
+    * Measured (tools.ClosureCompare, sf0.1, two runs): binary tree
+    * 4.8-5.0 s vs smart 3.3-3.4 s; overlap-heavy DAG 6.7-7.0 s vs
+    * smart 7.4-7.5 s — kept as the pick for the DAG-shaped closure
+    * (q_graph_ancestry_dag) and as the measurement baseline.
+    */
+  def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(childCol, parentCol) = edges.columns
     var closure = edges
       .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
@@ -71,15 +93,13 @@ object Graph {
     * (log2 for doubling).
     *
     * MEASURED on the sf0.1 binary tree (20k nodes, depth ~14,
-    * |closure| = 247,234; tools.ClosureCompare, two runs): doubling
-    * 5.9 s vs frontier 6.3-6.5 s — a narrow doubling win on the
-    * shallow tree (the anti-join keeps frontier rounds cheap, but
-    * depth-many rounds of scheduling still cost more than log-many
-    * wide joins), and a 2x doubling win on the overlap-heavy
-    * multi-parent DAG (7.9 s vs 14.5 s, AnalyticsQueries
-    * q_graph_ancestry_dag). Doubling stays the default; this shape
-    * remains correct-by-spec (GraphSpec equality) for callers with
-    * incremental-delta workloads, where only the delta re-derives.
+    * |closure| = 247,234; tools.ClosureCompare): frontier 5.7-6.5 s
+    * vs plain doubling 4.8-5.9 s vs smart doubling 3.3-3.4 s — the
+    * depth-many rounds of scheduling cost more than log-many wide
+    * joins at this scale, so a doubling variant stays the default;
+    * this shape remains correct-by-spec (OperatorsSpec equality) for
+    * callers with incremental-delta workloads, where only the delta
+    * re-derives.
     */
   def transitiveClosureFrontier(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
     val Array(childCol, parentCol) = edges.columns
@@ -113,6 +133,77 @@ object Graph {
       else {
         frontiers = next :: frontiers
         frontier = next
+      }
+      rounds += 1
+    }
+    frontiers.reduce(_ union _)
+  }
+
+  /** Smart path-doubling: log-many rounds like [[transitiveClosure]],
+    * but each round composes only the DELTA (pairs first discovered
+    * last round) with the closure — `delta ∘ closure ∪ closure ∘
+    * delta` — instead of `closure ∘ closure`.
+    *
+    * Correctness: after round k the closure holds exactly the pairs
+    * with shortest distance <= 2^k, and the delta those in
+    * (2^(k-1), 2^k]. A pair at distance D in (2^k, 2^(k+1)] splits at
+    * its path midpoint into halves of length <= 2^k (both in the
+    * closure); at least one half has length > 2^(k-1) (else D <= 2^k),
+    * i.e. is in the delta — so one of the two delta-joins derives it.
+    *
+    * Why it can beat plain doubling on overlap-heavy DAGs: the
+    * closure x closure join materializes every re-derivation of every
+    * already-known pair before the distinct; composing off the delta
+    * skips re-deriving the old closure, so join OUTPUT (the distinct's
+    * input) shrinks from O(closure x overlap) toward O(new pairs x
+    * overlap). The anti-join keeps deltas disjoint, so the final
+    * result is a plain unionAll, no global distinct.
+    *
+    * MEASURED (tools.ClosureCompare, sf0.1, two runs): binary tree
+    * (|closure| = 247,234): smart 3.3-3.4 s vs doubling 4.8-5.0 s vs
+    * frontier 5.7-5.8 s — the re-derivation skip dominates, smart is
+    * the [[transitiveClosure]] default. Multi-parent DAG (div2+div3
+    * parents, |closure| = 897,357): smart 7.4-7.5 s vs doubling
+    * 6.7-7.0 s vs frontier 6.6-7.2 s — on heavy overlap the extra
+    * join + anti-join round trips outweigh the skip at this scale, so
+    * q_graph_ancestry_dag pins [[transitiveClosureDoubling]]. At
+    * cluster scale the balance shifts further toward smart: its join
+    * output is O(new pairs), doubling's is O(closure) per round.
+    */
+  def transitiveClosureSmart(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    def fresh(df: DataFrame): DataFrame =
+      df.select(col("node").as("node"), col("ancestor").as("ancestor"))
+    val e = fresh(
+      edges
+        .select(col(edges.columns(0)).as("node"), col(edges.columns(1)).as("ancestor"))
+        .distinct()
+        .localCheckpoint() // cluster: .checkpoint() against a reliable dir
+    )
+    var frontiers = List(e)
+    var delta = e
+    var rounds = 0
+    var done = delta.isEmpty
+    while (!done && rounds < maxRounds) {
+      val closure = frontiers.reduce(_ union _)
+      val forward = delta
+        .as("d")
+        .join(closure.as("c"), col("d.ancestor") === col("c.node"))
+        .select(col("d.node").as("node"), col("c.ancestor").as("ancestor"))
+      val backward = closure
+        .as("c")
+        .join(delta.as("d"), col("c.ancestor") === col("d.node"))
+        .select(col("c.node").as("node"), col("d.ancestor").as("ancestor"))
+      val next = fresh(
+        forward
+          .union(backward)
+          .distinct()
+          .join(closure, Seq("node", "ancestor"), "left_anti")
+          .localCheckpoint()
+      )
+      if (next.isEmpty) done = true
+      else {
+        frontiers = next :: frontiers
+        delta = next
       }
       rounds += 1
     }

@@ -267,13 +267,13 @@ object AnalyticsQueries {
         // carry multiple is-a parents, graph/GraphNode.scala:44-49).
         // Parents of k: k div 2 and k div 3 — ancestor sets overlap
         // heavily, so the per-round distinct genuinely dedups shared
-        // paths rather than being a no-op. Same path-doubling closure;
-        // the recursive-CTE oracle dedups via UNION. Cost note: on
-        // overlap-heavy DAGs doubling's closure x closure join fans
-        // out in ancestor-set size before the distinct, but MEASURED
-        // against semi-naive edge iteration on this DAG at sf0.1 the
-        // log-rounds shape still wins (7.9s vs 14.5s over 11 rounds)
-        // — per-round scheduling overhead dominates the wider join.
+        // paths rather than being a no-op. The recursive-CTE oracle
+        // dedups via UNION. PINS plain closure x closure doubling: on
+        // this overlap-heavy DAG it measured fastest of the three
+        // closure variants at sf0.1 (6.7-7.0s vs smart 7.4-7.5s vs
+        // frontier 6.6-7.2s over two tools.ClosureCompare runs, and
+        // 2x over plain edge iteration in the round-3 measurement) —
+        // see operators.Graph scaladoc for the full matrix.
         val part = Tables(s, dir, "part").select(col("p_partkey"))
         val edges = part.filter(col("p_partkey") >= 2)
           .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
@@ -281,7 +281,7 @@ object AnalyticsQueries {
             part.filter(col("p_partkey") >= 3)
               .select(col("p_partkey").as("child"), expr("p_partkey div 3").as("parent"))
           )
-        Graph.transitiveClosure(edges)
+        Graph.transitiveClosureDoubling(edges)
           .groupBy(col("node"))
           .agg(
             count(lit(1)).as("n_ancestors"),

@@ -24,24 +24,35 @@ object ClosureCompare {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def edges = Tables(spark, dir, "part")
+    def treeEdges = Tables(spark, dir, "part")
       .filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+    // the q_graph_ancestry_dag multi-parent DAG: parents k div 2, k div 3
+    def dagEdges = {
+      val part = Tables(spark, dir, "part").select(col("p_partkey"))
+      part.filter(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+        .union(part.filter(col("p_partkey") >= 3)
+          .select(col("p_partkey").as("child"), expr("p_partkey div 3").as("parent")))
+    }
 
     def time(name: String)(f: => Long): Long = {
       val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[closure-compare] $name%-10s rows=$n%d sec=$sec%.1f")
+      println(f"[closure-compare] $name%-14s rows=$n%d sec=$sec%.1f")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       n
     }
 
     // warmup: scan + codegen
-    edges.count()
-    val a = time("doubling")(Graph.transitiveClosure(edges).count())
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    val b = time("frontier")(Graph.transitiveClosureFrontier(edges).count())
-    require(a == b, s"closure row counts differ: doubling=$a frontier=$b")
+    treeEdges.count(); dagEdges.count()
+    for ((graph, edges) <- Seq("tree" -> (() => treeEdges), "dag" -> (() => dagEdges))) {
+      val a = time(s"$graph/doubling")(Graph.transitiveClosure(edges()).count())
+      val b = time(s"$graph/frontier")(Graph.transitiveClosureFrontier(edges()).count())
+      val c = time(s"$graph/smart")(Graph.transitiveClosureSmart(edges()).count())
+      require(a == b && b == c, s"$graph closure row counts differ: doubling=$a frontier=$b smart=$c")
+    }
     spark.stop()
   }
 }

@@ -22,17 +22,20 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     )
   }
 
-  test("Graph.transitiveClosureFrontier equals path-doubling on a multi-parent DAG") {
+  test("all three closure variants agree on a multi-parent DAG") {
     import spark.implicits._
     // parents of k: k div 2 and k div 3 — overlap-heavy, re-derivations
-    // exercise the frontier's anti-join dedup
+    // exercise the frontier/smart anti-join dedup and smart's
+    // two-sided delta composition
     val edges = (2 to 200).map(k => (k.toLong, (k / 2).toLong))
       .concat((3 to 200).map(k => (k.toLong, (k / 3).toLong)))
       .toDF("child", "parent")
-    val doubling = Graph.transitiveClosure(edges).as[(Long, Long)].collect().toSet
+    val doubling = Graph.transitiveClosureDoubling(edges).as[(Long, Long)].collect().toSet
     val frontier = Graph.transitiveClosureFrontier(edges).as[(Long, Long)].collect().toSet
+    val smart = Graph.transitiveClosureSmart(edges).as[(Long, Long)].collect().toSet
     frontier shouldBe doubling
-    frontier.size should be > 200 // sanity: closure strictly larger than edge set
+    smart shouldBe doubling
+    doubling.size should be > 200 // sanity: closure strictly larger than edge set
   }
 
   test("Graph.ancestorsPerNode aggregates sorted ancestor lists") {
