@@ -266,14 +266,21 @@ object Graph {
     * parent), as a child-first array (the reference's
     * `path: Seq[Seq[String]]`, GraphNode.scala:26,63-80).
     *
-    * Path-DOUBLING enumeration (same trick as the closure): the path
-    * relation P holds (node, head, path) for every path in the DAG;
-    * each round composes P with itself on head = node, so maximal
-    * path length doubles — ceil(log2(depth)) rounds instead of depth
-    * frontier extensions, which at cluster scale means ~4 barriers
-    * instead of ~15 for an ontology-depth DAG. The path SET is the
-    * same either way (path count bounds tractability: shallow
-    * ontology-like DAGs only — path count is exponential in general).
+    * SMART path-doubling enumeration (the delta-composition of
+    * [[transitiveClosureSmart]], forward-only): the path relation
+    * holds (node, head, path); each round composes only the DELTA
+    * (paths first built last round) as PREFIX with the closure as
+    * suffix. Unlike reachability, a path's length is a fixed property,
+    * so the canonical-split argument needs only the forward join: a
+    * path of length l in (2^k, 2^(k+1)] splits at position exactly 2^k
+    * into a prefix of length 2^k — in the delta, which holds all
+    * lengths in (2^(k-1), 2^k] — and a closure suffix of length
+    * <= 2^k. Still ceil(log2(depth)) rounds, but the join re-derives
+    * only new paths, not the whole relation (the tree-closure
+    * measurement: smart 3.3-3.4 s vs plain 4.8-5.0 s, and the path
+    * relation on a tree IS the closure). Path count bounds
+    * tractability: shallow ontology-like DAGs only — path count is
+    * exponential in general.
     */
   def rootPaths(edges: DataFrame, maxDepth: Int = 25): DataFrame = {
     val Array(childCol, parentCol) = edges.columns
@@ -281,29 +288,39 @@ object Graph {
     val roots = e.select(col("parent").as("n")).distinct()
       .join(e.select(col("child").as("n")).distinct(), Seq("n"), "left_anti")
     val maxRounds = math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt + 1
-    var paths = e
-      .select(col("child").as("node"), col("parent").as("head"), array(col("child"), col("parent")).as("path"))
-      .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    var pathCount = paths.count()
+    def fresh(df: DataFrame): DataFrame =
+      df.select(col("node").as("node"), col("head").as("head"), col("path").as("path"))
+    val base = fresh(
+      e.select(col("child").as("node"), col("parent").as("head"),
+          array(col("child"), col("parent")).as("path"))
+        .localCheckpoint() // cluster: .checkpoint() against a reliable dir
+    )
+    var frontiers = List(base)
+    var delta = base
     var rounds = 0
-    var grown = true
-    while (grown && rounds < maxRounds) {
-      val composed = paths.as("a")
-        .join(paths.as("b"), col("a.head") === col("b.node"))
+    var done = delta.isEmpty
+    while (!done && rounds < maxRounds) {
+      val closure = frontiers.reduce(_ union _)
+      val composed = delta.as("a")
+        .join(closure.as("b"), col("a.head") === col("b.node"))
         .select(
           col("a.node").as("node"),
           col("b.head").as("head"),
           concat(col("a.path"), slice(col("b.path"), lit(2), size(col("b.path")) - 1)).as("path")
         )
-      val merged = paths.union(composed).distinct().localCheckpoint()
-      val mergedSize = merged.count()
-      grown = mergedSize > pathCount
-      paths = merged
-      pathCount = mergedSize
+        .distinct()
+      val next = fresh(
+        composed.join(closure, Seq("node", "head", "path"), "left_anti").localCheckpoint()
+      )
+      if (next.isEmpty) done = true
+      else {
+        frontiers = next :: frontiers
+        delta = next
+      }
       rounds += 1
     }
-    paths
-      .join(roots, paths("head") === roots("n"))
+    frontiers.reduce(_ union _)
+      .join(roots, col("head") === col("n"))
       .select(col("node"), col("path"))
   }
 }

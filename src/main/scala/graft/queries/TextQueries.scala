@@ -493,6 +493,110 @@ object TextQueries {
         SELECT doc_id,
           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY 1 ORDER BY 1""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_chunking",
+      (s, dir) => {
+        // Overlapping token-window chunking — the canonical LLM
+        // training-data preprocessing step (context-window packing):
+        // window W=16 tokens, stride S=12 (overlap 4). Chunk count per
+        // doc: 1 if n<=W else ceil((n-W)/S)+1, so the final window
+        // always starts within the text and short tails are kept.
+        // Pure column expressions: sequence + explode generates the
+        // per-doc chunk ids WITHOUT a driver loop, slice with a column
+        // start extracts each window — embarrassingly parallel, no
+        // shuffle at all until the presentation orderBy.
+        val W = 16
+        val S = 12
+        val toks = TextKit.tokens(col("text"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .withColumn(
+            "nc",
+            when(size(col("toks")) <= W, lit(1))
+              .otherwise(ceil((size(col("toks")) - lit(W)).cast(DoubleType) / S).cast("int") + 1)
+          )
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+          .select(
+            col("doc_id"),
+            col("chunk_id"),
+            size(slice(col("toks"), col("chunk_id") * S + 1, lit(W))).as("n_tokens"),
+            array_join(slice(col("toks"), col("chunk_id") * S + 1, lit(W)), " ").as("chunk_text")
+          )
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, $wordsSql AS toks FROM documents),
+        n AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) <= 16 THEN 1
+                 ELSE CAST(CEIL((len(toks) - 16) / 12.0) AS INT) + 1 END AS nc
+          FROM t),
+        c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(toks[chunk_id*12+1 : chunk_id*12+16]) AS INT) AS n_tokens,
+          array_to_string(toks[chunk_id*12+1 : chunk_id*12+16], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_bm25",
+      (s, dir) => {
+        // BM25 relevance scoring of every (document, frequent-term)
+        // pair — the classic quality/retrieval scorer a training-data
+        // pipeline runs corpus-wide (k1=1.2, b=0.75, df>=20 LUT).
+        // ONE token explode feeds everything: tf on (doc, term); dl
+        // and df both derive from tf (dl = sum of tfs per doc, df =
+        // rows per term), so the fact table is scanned once. The
+        // corpus scalars (N, avgdl) cross the driver as an O(1) fold
+        // (the reference's scalar-fold pattern, Search.scala:605) and
+        // come back as literals; the df LUT broadcasts. The score is
+        // one double expression mirrored token-for-token in the
+        // oracle, surfaced as floor(x*1e6) micros (the bit-exact
+        // compare recipe — see searchCascade's multiplier).
+        val k1 = 1.2
+        val b = 0.75
+        val toks = TextKit.tokens(col("text"))
+        val tf = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // consumed 3x: dl, df, final join
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val firstRow = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
+        val nDocs = firstRow.getLong(0)
+        val avgdl = firstRow.getLong(1).toDouble / nDocs
+        val dfLut = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 20)
+        val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        val score = idf * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+        tf.join(broadcast(dfLut), "term")
+          .join(dl, "doc_id")
+          .select(
+            col("doc_id"),
+            col("term"),
+            col("tf"),
+            floor(score * lit(1e6)).cast("long").as("bm25_micros")
+          )
+          .orderBy("doc_id", "term")
+      },
+      Some(s"""WITH ex AS (
+          SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 20)
+        SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+          CAST(FLOOR(LN((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (t.tf * (1.2 + 1.0))
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+               * 1000000.0) AS BIGINT) AS bm25_micros
+        FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), corpus
+        ORDER BY 1, 2""")
     )
   )
 }
