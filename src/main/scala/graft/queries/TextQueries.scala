@@ -597,6 +597,72 @@ object TextQueries {
                * 1000000.0) AS BIGINT) AS bm25_micros
         FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), corpus
         ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_corpus_shuffle",
+      (s, dir) => {
+        // Deterministic corpus shuffle + shard assignment — the step
+        // before any large-scale training run: give every document a
+        // portable pseudo-random sort key (the engine-portable charHash
+        // of doc_id + a salt literal, so DuckDB derives the identical
+        // permutation), take the exact global position via the
+        // distributed two-pass GlobalRank (its second consumer after
+        // the scaled cascade — a partition-less window here would
+        // funnel the whole corpus through one task), and deal
+        // round-robin into 8 shards. At cluster scale the follow-on is
+        // write.partitionBy("shard"); the assignment itself never
+        // leaves the executors.
+        import graft.operators.GlobalRank
+        val skey = TextKit.charHash(concat(col("doc_id").cast("string"), lit("#shuf42")))
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), skey.as("skey"))
+        GlobalRank.rowNumber(docs, Seq(col("skey").asc, col("doc_id").asc), "pos")
+          .select(
+            col("doc_id"),
+            col("skey"),
+            col("pos"),
+            ((col("pos") - 1) % 8).cast("int").as("shard")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id,
+                 ${foldSql("CAST(doc_id AS VARCHAR) || '#shuf42'", 31)} AS skey
+          FROM documents),
+        r AS (SELECT doc_id, skey,
+                     ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos FROM h)
+        SELECT doc_id, skey, pos, CAST((pos - 1) % 8 AS INT) AS shard
+        FROM r ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_corpus_mixture",
+      (s, dir) => {
+        // Weighted source mixing — re-weight a multi-source corpus by
+        // per-source keep rates (the data-mixture step of a training
+        // pipeline). The keep decision is a pure function of the
+        // document id: portable hash mod 1000 under the per-source
+        // permille from a broadcast literal map (default 100 permille)
+        // — deterministic on any cluster, no RNG state, and the oracle
+        // replays the identical rule. Output is the kept rows
+        // themselves, so the gate checks exact membership, not counts.
+        val permille = typedLit(Map("src0" -> 1000, "src1" -> 750, "src2" -> 500, "src3" -> 250))
+        val hmod = TextKit.charHash(concat(col("doc_id").cast("string"), lit("#mix7"))) % 1000
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), hmod.as("hmod"),
+            coalesce(permille(col("source")), lit(100)).as("keep_permille"))
+          .filter(col("hmod") < col("keep_permille"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, source,
+                 ${foldSql("CAST(doc_id AS VARCHAR) || '#mix7'", 31)} % 1000 AS hmod,
+                 CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
+                             WHEN 'src2' THEN 500 WHEN 'src3' THEN 250
+                             ELSE 100 END AS keep_permille
+          FROM documents)
+        SELECT doc_id, source, hmod, CAST(keep_permille AS INT) AS keep_permille
+        FROM h WHERE hmod < keep_permille ORDER BY doc_id""")
     )
   )
 }
