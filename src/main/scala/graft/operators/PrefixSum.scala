@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed exact global running sum: the catalog-scale cutover for
+  * a partition-less `sum().over(Window.orderBy(...))`, which funnels
+  * the whole input through ONE task exactly like a global rank (see
+  * GlobalRank's scaladoc for the outage math).
+  *
+  * Classic two-pass shape over ONE range shuffle:
+  *
+  *  1. range-repartition on the sort key and sort within partitions —
+  *     partitions now hold contiguous, ordered key ranges;
+  *  2. first job: per-partition totals — an O(#partitions) driver fold
+  *     whose exclusive cumulative sums become per-partition offsets;
+  *  3. second job: local running sum + the partition's offset = the
+  *     exact global prefix sum.
+  *
+  * Both jobs walk the SAME RDD lineage (`Dataset.rdd` is a lazy val),
+  * so the range shuffle's map stage runs once, mirroring GlobalRank's
+  * persist-free reuse. The driver sees only #partitions longs, never
+  * rows.
+  *
+  * The running value is a Long: token counts, byte sizes, and row
+  * counts — the things a training pipeline accumulates — are integral,
+  * and integer addition is associative so the distributed sum is
+  * EXACTLY the sequential one (no float reassociation caveat).
+  *
+  * Output column semantics are INCLUSIVE (the row's own value is
+  * counted, SQL's `ROWS UNBOUNDED PRECEDING` frame); subtract the
+  * value column for the exclusive prefix.
+  */
+object PrefixSum {
+
+  def runningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      out: String,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd
+    // job 1: per-partition totals -> exclusive offsets (O(#partitions)
+    // driver state, the same boundary GlobalRank's count pass crosses)
+    val partials = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valueIdx))
+        Iterator((i, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _) // exclusive: offsets(i) = sum of partitions < i
+    // job 2: local running sum + offset (map stage of the range shuffle
+    // is already computed; only the reduce side re-runs)
+    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        acc += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(numbered, schema)
+  }
+}

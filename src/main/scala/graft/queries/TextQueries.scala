@@ -43,6 +43,50 @@ object TextQueries {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Overlapping token windows per document (window ChunkW tokens,
+    * stride ChunkS): the shared front half of q_text_chunking and
+    * q_chunk_packing. Chunk count: 1 if n<=W else ceil((n-W)/S)+1, so
+    * the final window always starts within the text. Pure column
+    * expressions — sequence+explode generates per-doc chunk ids with
+    * no driver loop and no shuffle.
+    */
+  private val ChunkW = 16
+  private val ChunkS = 12
+
+  private def chunkWindows(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = TextKit.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn(
+        "nc",
+        when(size(col("toks")) <= ChunkW, lit(1))
+          .otherwise(ceil((size(col("toks")) - lit(ChunkW)).cast(DoubleType) / ChunkS).cast("int") + 1)
+      )
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW))).as("n_tokens"),
+        array_join(slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)), " ").as("chunk_text")
+      )
+  }
+
+  /** DuckDB mirror of [[chunkWindows]]: CTE `c(doc_id, toks, chunk_id)`
+    * with the slice bounds left to the consumer.
+    */
+  private val chunkCteSql: String =
+    s"""t AS (
+          SELECT doc_id, $wordsSql AS toks FROM documents),
+        n AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) <= $ChunkW THEN 1
+                 ELSE CAST(CEIL((len(toks) - $ChunkW) / $ChunkS.0) AS INT) + 1 END AS nc
+          FROM t),
+        c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)"""
+
+  private val chunkSliceSql = s"toks[chunk_id*$ChunkS+1 : chunk_id*$ChunkS+$ChunkW]"
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     QueryDef(
@@ -499,46 +543,60 @@ object TextQueries {
       "q_text_chunking",
       (s, dir) => {
         // Overlapping token-window chunking — the canonical LLM
-        // training-data preprocessing step (context-window packing):
-        // window W=16 tokens, stride S=12 (overlap 4). Chunk count per
-        // doc: 1 if n<=W else ceil((n-W)/S)+1, so the final window
-        // always starts within the text and short tails are kept.
-        // Pure column expressions: sequence + explode generates the
-        // per-doc chunk ids WITHOUT a driver loop, slice with a column
-        // start extracts each window — embarrassingly parallel, no
-        // shuffle at all until the presentation orderBy.
-        val W = 16
-        val S = 12
-        val toks = TextKit.tokens(col("text"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), toks.as("toks"))
-          .withColumn(
-            "nc",
-            when(size(col("toks")) <= W, lit(1))
-              .otherwise(ceil((size(col("toks")) - lit(W)).cast(DoubleType) / S).cast("int") + 1)
-          )
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+        // training-data preprocessing step: window W=16 tokens, stride
+        // S=12 (overlap 4), short tails kept. See [[chunkWindows]];
+        // embarrassingly parallel, no shuffle until the presentation
+        // orderBy.
+        chunkWindows(s, dir).orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH $chunkCteSql
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len($chunkSliceSql) AS INT) AS n_tokens,
+          array_to_string($chunkSliceSql, ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_chunk_packing",
+      (s, dir) => {
+        // Concat-and-cut sequence packing: concatenate the chunk
+        // stream in (doc_id, chunk_id) order and cut every 256 tokens
+        // — each chunk's training bin is its global starting offset
+        // div 256, exactly how pipelines pack documents into fixed
+        // context windows. The global running token count is the
+        // partition-less-window scale killer AGAIN (sum flavor this
+        // time), so it runs through operators.PrefixSum — the
+        // range-partition two-pass exact prefix sum — and the
+        // hash-equality against the oracle's global window SUM is the
+        // cutover's correctness proof, like GlobalRank's in the scaled
+        // cascade. Integer addition is associative, so distributed ==
+        // sequential EXACTLY.
+        import graft.operators.PrefixSum
+        val ch = chunkWindows(s, dir)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"))
+        PrefixSum
+          .runningSum(ch, Seq(col("doc_id").asc, col("chunk_id").asc), "n_tokens", "cum_tokens")
           .select(
             col("doc_id"),
             col("chunk_id"),
-            size(slice(col("toks"), col("chunk_id") * S + 1, lit(W))).as("n_tokens"),
-            array_join(slice(col("toks"), col("chunk_id") * S + 1, lit(W)), " ").as("chunk_text")
+            col("n_tokens"),
+            col("cum_tokens"),
+            expr("(cum_tokens - n_tokens) div 256").cast("int").as("pack_id")
           )
           .orderBy("doc_id", "chunk_id")
       },
-      Some(s"""WITH t AS (
-          SELECT doc_id, $wordsSql AS toks FROM documents),
-        n AS (
-          SELECT doc_id, toks,
-            CASE WHEN len(toks) <= 16 THEN 1
-                 ELSE CAST(CEIL((len(toks) - 16) / 12.0) AS INT) + 1 END AS nc
-          FROM t),
-        c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
-        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-          CAST(len(toks[chunk_id*12+1 : chunk_id*12+16]) AS INT) AS n_tokens,
-          array_to_string(toks[chunk_id*12+1 : chunk_id*12+16], ' ') AS chunk_text
-        FROM c ORDER BY doc_id, chunk_id""")
+      Some(s"""WITH $chunkCteSql,
+        k AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                     CAST(len($chunkSliceSql) AS BIGINT) AS n_tokens
+              FROM c),
+        r AS (SELECT doc_id, chunk_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+              FROM k)
+        SELECT doc_id, chunk_id, n_tokens, cum_tokens,
+               CAST((cum_tokens - n_tokens) // 256 AS INT) AS pack_id
+        FROM r ORDER BY doc_id, chunk_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

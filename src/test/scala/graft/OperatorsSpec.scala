@@ -38,6 +38,15 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     doubling.size should be > 200 // sanity: closure strictly larger than edge set
   }
 
+  test("PrefixSum.runningSum matches the sequential prefix sum across partitions") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    val df = Seq((3L, 5L), (1L, 2L), (2L, 7L), (5L, 1L), (4L, 4L)).toDF("k", "n")
+    val out = PrefixSum.runningSum(df, Seq(col("k").asc), "n", "cum", numPartitions = 3)
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 2L -> 9L, 3L -> 14L, 4L -> 18L, 5L -> 19L)
+  }
+
   test("Graph.ancestorsPerNode aggregates sorted ancestor lists") {
     import spark.implicits._
     val edges = Seq((3L, 2L), (2L, 1L)).toDF("child", "parent")
