@@ -721,6 +721,49 @@ object TextQueries {
           FROM documents)
         SELECT doc_id, source, hmod, CAST(keep_permille AS INT) AS keep_permille
         FROM h WHERE hmod < keep_permille ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_contamination_ngram",
+      (s, dir) => {
+        // Train/eval contamination detection — the decontamination
+        // step every benchmark-respecting training pipeline runs:
+        // find training documents sharing word n-grams with a held-out
+        // eval set (here 4-grams; eval = doc_id % 50 == 0, a stand-in
+        // for a benchmark suite). Same shingle-collision equi-join
+        // shape as the Jaccard dedup candidate generation, but
+        // one-sided: the eval side is benchmark-sized, so it
+        // BROADCASTS and the corpus-side scan never shuffles on the
+        // shingle key — at 100 TB that is a map-side join over the
+        // whole corpus, which is exactly how production decontam runs.
+        // n_shared counts distinct shared 4-grams (both sides are
+        // per-doc distinct shingle sets); >= 3 flags contamination,
+        // 1-2 are reported for audit.
+        val w = TextKit.tokens(col("text"))
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextKit.shingles(w, 4)).as("s"))
+        val ev = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("s"), col("doc_id").as("eval_id"))
+        val tr = sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("s"), col("doc_id").as("train_id"))
+        tr.join(broadcast(ev), "s")
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .select(
+            col("train_id"), col("eval_id"), col("n_shared"),
+            (col("n_shared") >= 3).as("contaminated")
+          )
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        sh AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+               FROM t),
+        ev AS (SELECT s, doc_id AS eval_id FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT s, doc_id AS train_id FROM sh WHERE doc_id % 50 != 0)
+        SELECT train_id, eval_id, COUNT(*) AS n_shared, COUNT(*) >= 3 AS contaminated
+        FROM tr JOIN ev USING (s) GROUP BY 1, 2 ORDER BY 1, 2""")
     )
   )
 }
