@@ -316,6 +316,53 @@ object ExtendedRelationalQueries {
         SELECT p_partkey, x, y,
                CAST(${graft.functions.Layout.zorder2Sql("x", "y", bits = 10)} AS INTEGER) AS zval
         FROM d ORDER BY zval, p_partkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_agg_kmv_distinct",
+      (s, dir) => {
+        // KMV distinct-count sketch as a typed Aggregator (functions.
+        // KmvSketch) — the UDAF rung of the extension ladder, next to
+        // the HLL contract check (q_agg_approx_distinct_bounded).
+        // Distinct customers per order priority, estimated from the 64
+        // smallest portable hashes per group. The buffer merges by
+        // sorted-merge-take-k, so map-side partials compose exactly —
+        // and because every step is portable arithmetic, the oracle
+        // replays the ESTIMATE bit-for-bit (row_number over distinct
+        // hashes picks the same k-th value), not a tolerance band.
+        import graft.functions.{KmvSketch, TextKit}
+        import org.apache.spark.sql.Encoders
+        val kmv = udaf(new KmvSketch(64, TextKit.HashP), Encoders.scalaLong)
+        val hv = TextKit.charHash(concat(col("o_custkey").cast("string"), lit("#kmv")))
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_custkey"), hv.as("hv"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            floor(kmv(col("hv")) * lit(1e6)).cast("long").as("kmv_micros")
+          )
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH h AS (
+          SELECT o_orderpriority, o_custkey,
+                 ${OracleSql.foldSql("CAST(o_custkey AS VARCHAR) || '#kmv'", 31)} AS hv
+          FROM orders),
+        d AS (SELECT DISTINCT o_orderpriority, hv FROM h),
+        r AS (SELECT o_orderpriority, hv,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+              FROM d),
+        agg AS (SELECT o_orderpriority,
+                       COUNT(*) AS nd,
+                       MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+                FROM r GROUP BY 1),
+        ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+               FROM orders GROUP BY 1)
+        SELECT ex.o_orderpriority, ex.n_exact,
+               CAST(FLOOR(CASE WHEN agg.nd < 64 THEN CAST(agg.nd AS DOUBLE)
+                               ELSE 63.0 * 2147483647 / agg.kth END * 1000000.0) AS BIGINT)
+                 AS kmv_micros
+        FROM ex JOIN agg USING (o_orderpriority)
+        ORDER BY o_orderpriority""")
     )
   )
 }

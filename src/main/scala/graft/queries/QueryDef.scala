@@ -82,6 +82,14 @@ object OracleSql {
   /** Matches ColumnKit.decAvg (exact sum, then one double division). */
   def decAvg(x: String): String = s"(${decSum(x)} / COUNT(${x}))"
 
+  /** DuckDB mirror of TextKit.charHash: left fold of codepoints,
+    * (acc * mult + codepoint) mod HashP.
+    */
+  def foldSql(e: String, mult: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c != ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a, c) -> (a*$mult + c) % ${graft.functions.TextKit.HashP})"
+
   /** DuckDB replay of q_similarity_ann_lsh's multi-probe LSH search,
     * generated from the SAME seeded planes the Spark side uses. The
     * sign signature is portable because list_inner_product folds

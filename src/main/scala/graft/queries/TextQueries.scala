@@ -27,11 +27,8 @@ object TextQueries {
 
   private val P = TextKit.HashP
 
-  /** DuckDB mirror of TextKit.charHash: left fold of codepoints. */
-  private def foldSql(e: String, mult: Int): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(list_filter(string_split($e, ''), c -> c != ''), " +
-      s"c -> CAST(unicode(c) AS BIGINT))), (a, c) -> (a*$mult + c) % $P)"
+  /** DuckDB mirror of TextKit.charHash (shared — OracleSql.foldSql). */
+  private def foldSql(e: String, mult: Int): String = OracleSql.foldSql(e, mult)
 
   /** DuckDB mirror of TextKit.tokens. */
   private val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x != '')"

@@ -38,6 +38,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     doubling.size should be > 200 // sanity: closure strictly larger than edge set
   }
 
+  test("KmvSketch estimate is exact below k and partition-invariant above") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import graft.functions.KmvSketch
+    val kmv = udaf(new KmvSketch(16, graft.functions.TextKit.HashP), Encoders.scalaLong)
+    // below k: estimate == exact distinct count, duplicates ignored
+    val small = Seq(5L, 9L, 5L, 123L, 9L).toDF("h")
+    small.agg(kmv(col("h"))).as[Double].head() shouldBe 3.0
+    // above k: the merge path (8 partitions) must be bit-identical to
+    // the single-partition sequential fold — sorted-merge-take-k is
+    // exact, unlike a lossy sketch union
+    val big = (1 to 5000).map(i => (i * 2654435761L) % 2147483647L).toDF("h")
+    val one = big.repartition(1).agg(kmv(col("h"))).as[Double].head()
+    val eight = big.repartition(8).agg(kmv(col("h"))).as[Double].head()
+    eight shouldBe one
+    // sanity: within 30% of the true distinct count at k=16
+    one should be (5000.0 +- 1500.0)
+  }
+
   test("PrefixSum.runningSum matches the sequential prefix sum across partitions") {
     import spark.implicits._
     import graft.operators.PrefixSum
