@@ -307,6 +307,53 @@ object WindowQueries {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
             ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         WHERE rn = 1 ORDER BY user_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_window_sliding_frames",
+      (s, dir) => {
+        // Explicit frame specs — the §2.5 row the reference leaves on
+        // the shelf ("default frames only"): a ROWS frame (moving
+        // 3-order spend per customer, rowsBetween(-2, 0) over the
+        // unique o_orderkey order) and a RANGE frame (trailing-30-day
+        // order count + spend, rangeBetween(-30, 0) over the day
+        // number, where same-day peers all enter the frame). Frame
+        // sums run on exact DECIMAL then rescale once to double
+        // (ColumnKit.decSum recipe) — sliding-window retraction would
+        // reassociate a double sum, decimal addition cannot drift.
+        val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+        val wRows = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(-2, 0)
+        val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, 0)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), day.as("day"))
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            sum(col("o_totalprice").cast(D18_4)).over(wRows)
+              .cast(D38_2).cast(DoubleType).as("sum3"),
+            count(lit(1)).over(wRange).as("n30"),
+            sum(col("o_totalprice").cast(D18_4)).over(wRange)
+              .cast(D38_2).cast(DoubleType).as("sum30")
+          )
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+          FROM orders)
+        SELECT o_orderkey, o_custkey,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum3,
+          COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n30,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum30
+        FROM o ORDER BY o_orderkey""")
     )
   )
 }

@@ -132,4 +132,27 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       u.columns.toSet shouldBe Set("id", "x", "y")
     }
   }
+
+  test("GlobalRank and PrefixSum are partition-count invariant on random data") {
+    import spark.implicits._
+    import graft.operators.{GlobalRank, PrefixSum}
+    // the two-pass operators must give the sequential answer no matter
+    // how the range shuffle splits — 1, 3, and 7 partitions bit-equal
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(0L, 50L))), cases = 5) { rows =>
+      val distinctKeys = rows.map(_._1).distinct.map(k => (k, rows.toMap.apply(k)))
+      val df = distinctKeys.toDF("k", "n")
+      val expectRank = distinctKeys.sortBy(_._1).map(_._1).zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      val expectCum = distinctKeys.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (k, n)) => (k, acc + n) }.drop(1).toMap
+      Seq(1, 3, 7).foreach { p =>
+        val r = GlobalRank.rowNumber(df, Seq(col("k").asc), "rn", numPartitions = p)
+          .select(col("k"), col("rn")).as[(Long, Long)].collect().toMap
+        r shouldBe expectRank
+        val c = PrefixSum.runningSum(df, Seq(col("k").asc), "n", "cum", numPartitions = p)
+          .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+        c shouldBe expectCum
+      }
+    }
+  }
 }
