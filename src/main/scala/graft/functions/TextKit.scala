@@ -41,6 +41,15 @@ object TextKit {
     * list_reduce(list_prepend(0, [unicode(ch) ...]), (a,c) -> (a*mult+c) % P).
     */
   def charHash(s: Column, mult: Int = 31): Column =
+    graft.plans.GraftExtensions.charHash(s, mult, HashP)
+
+  /** The higher-order formulation charHash replaced (plans.CharHash is
+    * the codegen'd twin): split-per-char + interpreted fold. Kept as
+    * the independent reference implementation the PropertySpec
+    * equality check runs against — the two formulations must stay
+    * bit-identical on any input.
+    */
+  def charHashHof(s: Column, mult: Int = 31): Column =
     aggregate(
       filter(split(s, ""), ch => ch =!= ""),
       lit(0L),

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.priorityDedupIdsDescriptor)
+    ext.injectFunction(GraftExtensions.charHashDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
   }
 }
@@ -53,9 +54,19 @@ object GraftExtensions {
     }
   )
 
+  private val charHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_hash"),
+    new ExpressionInfo(classOf[CharHash].getName, "char_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "char_hash takes exactly 1 argument")
+      CharHash(children.head, mult = 31, p = graft.functions.TextKit.HashP)
+    }
+  )
+
   /** Register into a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    Seq(sortedIntersectCountDescriptor, dotProductDescriptor, priorityDedupIdsDescriptor).foreach {
+    Seq(sortedIntersectCountDescriptor, dotProductDescriptor,
+        priorityDedupIdsDescriptor, charHashDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -83,5 +94,11 @@ object GraftExtensions {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)
       )
+    )
+
+  /** Column-DSL handle, usable without registration. */
+  def charHash(s: Column, mult: Int, p: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CharHash(org.apache.spark.sql.graft.ColumnBridge.expression(s), mult, p)
     )
 }

@@ -50,6 +50,23 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("native charHash is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    // words + punctuation + unicode (greek, accents) — the corpus the
+    // grounding normalizer sees; the native expression must agree with
+    // the independent HOF formulation on every input and multiplier
+    val mixed = Gen.listOf(Gen.oneOf(
+      word, Gen.const(""), Gen.const("  spaced  out  "),
+      Gen.const("αβγ-δ"), Gen.const("café é"), Gen.const("a1!b2?c3"))
+    ).map(_.mkString(" "))
+    forAll(Gen.zip(mixed, Gen.oneOf(31, 37))) { case (s, m) =>
+      val row = Seq(s).toDF("w")
+        .select(TextKit.charHash(col("w"), m), TextKit.charHashHof(col("w"), m))
+        .head()
+      row.getLong(0) shouldBe row.getLong(1)
+    }
+  }
+
   test("minhash signature of a superset is elementwise <= the subset's") {
     import spark.implicits._
     forAll(Gen.nonEmptyListOf(Gen.posNum[Long]), Gen.nonEmptyListOf(Gen.posNum[Long])) {
