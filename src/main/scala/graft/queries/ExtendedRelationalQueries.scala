@@ -363,6 +363,58 @@ object ExtendedRelationalQueries {
                  AS kmv_micros
         FROM ex JOIN agg USING (o_orderpriority)
         ORDER BY o_orderpriority""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_quality_audit",
+      (s, dir) => {
+        // Constraint-audit report (the write-audit-publish gate a
+        // production pipeline runs before promoting a table; the
+        // reference's validateDF checks only column presence,
+        // Helpers.scala:327-333): row count, key uniqueness,
+        // completeness, value range, enum domain, date bounds — ALL
+        // from ONE aggregation pass over the table (conditional sums,
+        // no per-check scans), then stack()ed into one report row per
+        // check. Metrics are exact integers (money as cents), so the
+        // report is engine-portable without float care.
+        val m = Tables(s, dir, "orders").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_key"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          floor(min(col("o_totalprice")) * 100).cast("long").as("min_price_cents"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)).as("bad_status"),
+          sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+                   col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("bad_date")
+        )
+        m.select(expr(
+            """stack(6,
+              |  'completeness_custkey', null_cust, null_cust = 0,
+              |  'date_in_bounds', bad_date, bad_date = 0,
+              |  'min_price_nonneg', min_price_cents, min_price_cents >= 0,
+              |  'row_count', n, n > 0,
+              |  'status_in_domain', bad_status, bad_status = 0,
+              |  'unique_orderkey', n_key, n_key = n
+              |) AS (check_name, metric, passed)""".stripMargin))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (
+          SELECT COUNT(*) AS n,
+                 COUNT(DISTINCT o_orderkey) AS n_key,
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+                 CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS min_price_cents,
+                 CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS bad_status,
+                 CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                                 OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+          FROM orders)
+        SELECT check_name, metric, passed FROM (
+          SELECT 'completeness_custkey' AS check_name, null_cust AS metric, null_cust = 0 AS passed FROM m
+          UNION ALL SELECT 'date_in_bounds', bad_date, bad_date = 0 FROM m
+          UNION ALL SELECT 'min_price_nonneg', min_price_cents, min_price_cents >= 0 FROM m
+          UNION ALL SELECT 'row_count', n, n > 0 FROM m
+          UNION ALL SELECT 'status_in_domain', bad_status, bad_status = 0 FROM m
+          UNION ALL SELECT 'unique_orderkey', n_key, n_key = n FROM m)
+        ORDER BY check_name""")
     )
   )
 }
