@@ -29,12 +29,19 @@ object TextKit {
     * form stays codegen'd; callers must guard size(words) >= n.
     */
   def shingles(words: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))
+    // guard: below n tokens there are no shingles — without it
+    // sequence(0, size-n) DESCENDS into negatives and slice(_, 0, n)
+    // throws at runtime (array indices are 1-based). The DuckDB
+    // mirrors' range() is empty in that regime; this matches it.
+    when(
+      size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))
+        )
       )
-    )
+    ).otherwise(array().cast("array<string>"))
 
   /** Engine-portable polynomial string hash:
     * fold(chars)(acc = (acc*mult + codepoint) mod P). DuckDB mirror:

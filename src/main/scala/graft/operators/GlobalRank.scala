@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global row-number: the catalog-scale cutover for a
   * partition-less rank window.
@@ -47,18 +46,11 @@ object GlobalRank {
       sortCols: Seq[Column],
       out: String,
       numPartitions: Int = 0
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    // Dataset.rdd is a lazy val: the count job inside zipWithIndex and
-    // the final compute job walk the SAME lineage, so the range
-    // shuffle runs once (second job skips the finished map stage).
-    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+  ): DataFrame =
+    // zipWithIndex's internal count job and the final compute job walk
+    // the same lineage (see RangeTwoPass), so the range shuffle runs
+    // once (second job skips the finished map stage).
+    RangeTwoPass.appendLong(df, sortCols, out, numPartitions) { rdd =>
+      rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     }
-    spark.createDataFrame(numbered, schema)
-  }
 }

@@ -136,6 +136,13 @@ object Graph {
       }
       rounds += 1
     }
+    // frontier advances ONE depth level per round (the doubling
+    // variants cover 2^rounds) — a deeper graph would silently return
+    // a truncated closure, so exhaustion is an error, not a result
+    if (!done)
+      throw new IllegalStateException(
+        s"transitiveClosureFrontier: frontier still non-empty after $maxRounds rounds " +
+          "(graph deeper than maxRounds); raise maxRounds or use transitiveClosure")
     frontiers.reduce(_ union _)
   }
 
@@ -159,16 +166,18 @@ object Graph {
     * overlap). The anti-join keeps deltas disjoint, so the final
     * result is a plain unionAll, no global distinct.
     *
-    * MEASURED (tools.ClosureCompare, sf0.1, two runs): binary tree
-    * (|closure| = 247,234): smart 3.3-3.4 s vs doubling 4.8-5.0 s vs
-    * frontier 5.7-5.8 s — the re-derivation skip dominates, smart is
+    * MEASURED (tools.ClosureCompare, sf0.1, three runs): binary tree
+    * (|closure| = 247,234): smart 3.3-3.4 s vs doubling 4.8-5.1 s vs
+    * frontier 5.7-5.9 s — the re-derivation skip dominates, smart is
     * the [[transitiveClosure]] default. Multi-parent DAG (div2+div3
-    * parents, |closure| = 897,357): smart 7.4-7.5 s vs doubling
-    * 6.7-7.0 s vs frontier 6.6-7.2 s — on heavy overlap the extra
-    * join + anti-join round trips outweigh the skip at this scale, so
-    * q_graph_ancestry_dag pins [[transitiveClosureDoubling]]. At
-    * cluster scale the balance shifts further toward smart: its join
-    * output is O(new pairs), doubling's is O(closure) per round.
+    * parents, |closure| = 897,357): smart 7.0-7.5 s vs doubling
+    * 6.7-7.0 s vs frontier 6.6-7.2 s (the round-1 duplicate-join fix
+    * closed smart's gap to a statistical tie) — on heavy overlap the
+    * anti-join round trip offsets the skip at this scale, so
+    * q_graph_ancestry_dag stays pinned to
+    * [[transitiveClosureDoubling]]. At cluster scale the balance
+    * shifts toward smart: its join output is O(new pairs), doubling's
+    * is O(closure) per round.
     */
   def transitiveClosureSmart(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     def fresh(df: DataFrame): DataFrame =
@@ -189,13 +198,18 @@ object Graph {
         .as("d")
         .join(closure.as("c"), col("d.ancestor") === col("c.node"))
         .select(col("d.node").as("node"), col("c.ancestor").as("ancestor"))
-      val backward = closure
-        .as("c")
-        .join(delta.as("d"), col("c.ancestor") === col("d.node"))
-        .select(col("c.node").as("node"), col("d.ancestor").as("ancestor"))
+      // Round 1 has delta == closure == e, so the backward join would
+      // recompute the identical e-compose-e pair set — skip it and
+      // save a full shuffle join on the first (largest-relative) round.
+      val composed =
+        if (rounds == 0) forward
+        else forward.union(
+          closure
+            .as("c")
+            .join(delta.as("d"), col("c.ancestor") === col("d.node"))
+            .select(col("c.node").as("node"), col("d.ancestor").as("ancestor")))
       val next = fresh(
-        forward
-          .union(backward)
+        composed
           .distinct()
           .join(closure, Seq("node", "ancestor"), "left_anti")
           .localCheckpoint()

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed exact global running sum: the catalog-scale cutover for
   * a partition-less `sum().over(Window.orderBy(...))`, which funnels
@@ -40,34 +39,30 @@ object PrefixSum {
       out: String,
       numPartitions: Int = 0
   ): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val valueIdx = df.schema.fieldIndex(valueCol)
-    val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd
-    // job 1: per-partition totals -> exclusive offsets (O(#partitions)
-    // driver state, the same boundary GlobalRank's count pass crosses)
-    val partials = rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(valueIdx))
-        Iterator((i, s))
-      }
-      .collect()
-      .sortBy(_._1)
-      .map(_._2)
-    val offsets = partials.scanLeft(0L)(_ + _) // exclusive: offsets(i) = sum of partitions < i
-    // job 2: local running sum + offset (map stage of the range shuffle
-    // is already computed; only the reduce side re-runs)
-    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
-      it.map { r =>
-        acc += r.getLong(valueIdx)
-        Row.fromSeq(r.toSeq :+ acc)
+    RangeTwoPass.appendLong(df, sortCols, out, numPartitions) { rdd =>
+      // job 1: per-partition totals -> exclusive offsets
+      // (O(#partitions) driver state, the same boundary GlobalRank's
+      // count pass crosses)
+      val partials = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L
+          it.foreach(r => s += r.getLong(valueIdx))
+          Iterator((i, s))
+        }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      val offsets = partials.scanLeft(0L)(_ + _) // offsets(i) = sum of partitions < i
+      // job 2: local running sum + offset (map stage of the range
+      // shuffle is already computed; only the reduce side re-runs)
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = offsets(i)
+        it.map { r =>
+          acc += r.getLong(valueIdx)
+          Row.fromSeq(r.toSeq :+ acc)
+        }
       }
     }
-    spark.createDataFrame(numbered, schema)
   }
 }

@@ -108,8 +108,14 @@ object CompositeQueries {
     // literal (Search.scala:605-606). O(1) result. grank is Int from
     // the window path, Long from GlobalRank — fold through Number.
     val maxRank = g.agg(max(col("grank"))).first().getAs[Number](0).longValue()
-    val mult = lit(1.0) +
-      (lit(maxRank) - col("grank")).cast(DoubleType) / lit((maxRank - 1).toDouble)
+    // Singleton guard: with one surviving entity the reference formula
+    // 1 + (max-rank)/(max-1) is 0/0; the limit as max -> 1+ gives the
+    // top rank 2.0, so pin that (the oracle's CASE mirrors it) instead
+    // of letting NaN flow into the cast.
+    val mult =
+      if (maxRank == 1L) lit(2.0)
+      else lit(1.0) +
+        (lit(maxRank) - col("grank")).cast(DoubleType) / lit((maxRank - 1).toDouble)
     g.select(
         col("l_partkey"),
         col("cust_labels_50"), col("cust_labels_25"), col("cust_labels_5"),
@@ -175,8 +181,9 @@ object CompositeQueries {
         mx AS (SELECT MAX(grank) AS mr FROM g)
         SELECT l_partkey, cust_labels_50, cust_labels_25, cust_labels_5,
                supp_labels_50, supp_labels_25, supp_labels_5, n_assoc,
-               CAST(FLOOR((1 + (mr - grank) / CAST(mr - 1 AS DOUBLE)) * 1000000) AS BIGINT)
-                 AS multiplier_micros
+               CAST(FLOOR(CASE WHEN mr = 1 THEN 2.0
+                               ELSE 1 + (mr - grank) / CAST(mr - 1 AS DOUBLE) END
+                          * 1000000) AS BIGINT) AS multiplier_micros
         FROM g, mx ORDER BY l_partkey"""
 
   val defs: Seq[QueryDef] = Seq(

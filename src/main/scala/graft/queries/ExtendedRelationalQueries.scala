@@ -12,6 +12,11 @@ import OracleSql.decSumExpr
   */
 object ExtendedRelationalQueries {
 
+  /** KMV sketch size for q_agg_kmv_distinct — interpolated into BOTH
+    * the Spark aggregator and the oracle SQL so they cannot drift.
+    */
+  private val KmvK = 64
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     QueryDef(
@@ -332,7 +337,7 @@ object ExtendedRelationalQueries {
         // hashes picks the same k-th value), not a tolerance band.
         import graft.functions.{KmvSketch, TextKit}
         import org.apache.spark.sql.Encoders
-        val kmv = udaf(new KmvSketch(64, TextKit.HashP), Encoders.scalaLong)
+        val kmv = udaf(new KmvSketch(KmvK, TextKit.HashP), Encoders.scalaLong)
         val hv = TextKit.charHash(concat(col("o_custkey").cast("string"), lit("#kmv")))
         Tables(s, dir, "orders")
           .select(col("o_orderpriority"), col("o_custkey"), hv.as("hv"))
@@ -353,13 +358,14 @@ object ExtendedRelationalQueries {
               FROM d),
         agg AS (SELECT o_orderpriority,
                        COUNT(*) AS nd,
-                       MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+                       MAX(CASE WHEN rn = $KmvK THEN hv END) AS kth
                 FROM r GROUP BY 1),
         ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
                FROM orders GROUP BY 1)
         SELECT ex.o_orderpriority, ex.n_exact,
-               CAST(FLOOR(CASE WHEN agg.nd < 64 THEN CAST(agg.nd AS DOUBLE)
-                               ELSE 63.0 * 2147483647 / agg.kth END * 1000000.0) AS BIGINT)
+               CAST(FLOOR(CASE WHEN agg.nd < $KmvK THEN CAST(agg.nd AS DOUBLE)
+                               ELSE ${KmvK - 1}.0 * ${graft.functions.TextKit.HashP} / agg.kth
+                          END * 1000000.0) AS BIGINT)
                  AS kmv_micros
         FROM ex JOIN agg USING (o_orderpriority)
         ORDER BY o_orderpriority""")

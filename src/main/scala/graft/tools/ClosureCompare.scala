@@ -48,7 +48,9 @@ object ClosureCompare {
     // warmup: scan + codegen
     treeEdges.count(); dagEdges.count()
     for ((graph, edges) <- Seq("tree" -> (() => treeEdges), "dag" -> (() => dagEdges))) {
-      val a = time(s"$graph/doubling")(Graph.transitiveClosure(edges()).count())
+      // NB: explicitly the plain-doubling entry point — transitiveClosure
+      // is an alias for the smart variant, which has its own leg below
+      val a = time(s"$graph/doubling")(Graph.transitiveClosureDoubling(edges()).count())
       val b = time(s"$graph/frontier")(Graph.transitiveClosureFrontier(edges()).count())
       val c = time(s"$graph/smart")(Graph.transitiveClosureSmart(edges()).count())
       require(a == b && b == c, s"$graph closure row counts differ: doubling=$a frontier=$b smart=$c")

@@ -37,12 +37,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     test(s"$name plan has no cartesian product or stray nested-loop join") {
       // plan with AQE off: AdaptiveSparkPlanExec hides its inner tree
       // from TreeNode.collect, and scan shape (pruning, pushdown) is
-      // decided before AQE anyway
-      val qe = try {
+      // decided before AQE anyway. executedPlan is a LAZY val reading
+      // the conf at force time — it must be forced INSIDE the toggle
+      // or the guard silently collects zero scans.
+      val (qe, plan) = try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        fn(spark, sfDir).queryExecution
+        val q = fn(spark, sfDir).queryExecution
+        (q, q.executedPlan.toString())
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val plan = qe.executedPlan.toString()
       plan should not include "CartesianProduct"
       // Column-pruning guard (tools/ScanAudit evidence, round 6): no
       // scan of a wide table may read its full on-disk width — the

@@ -57,7 +57,10 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // the independent HOF formulation on every input and multiplier
     val mixed = Gen.listOf(Gen.oneOf(
       word, Gen.const(""), Gen.const("  spaced  out  "),
-      Gen.const("αβγ-δ"), Gen.const("café é"), Gen.const("a1!b2?c3"))
+      Gen.const("αβγ-δ"), Gen.const("café é"), Gen.const("a1!b2?c3"),
+      // astral plane: U+1D11E (musical G clef) and an emoji — the
+      // surrogate-pair regime the code-point contract claims
+      Gen.const("a𝄞b"), Gen.const("x😀y"))
     ).map(_.mkString(" "))
     forAll(Gen.zip(mixed, Gen.oneOf(31, 37))) { case (s, m) =>
       val row = Seq(s).toDF("w")
