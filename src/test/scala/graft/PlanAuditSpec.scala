@@ -33,6 +33,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                               // output — model-sized, not data-sized
   )
 
+  test("the pruning guard is not vacuous: the AQE-off toggle exposes physical scans") {
+    // Regression test for the round-6 review finding: forcing
+    // executedPlan AFTER restoring the conf wrapped every plan in
+    // AdaptiveSparkPlanExec and the scan collect silently matched
+    // nothing. If this stops finding scans, the per-query pruning
+    // assertions below have stopped running too.
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_scan_filter_project")(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans should not be empty
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
       // plan with AQE off: AdaptiveSparkPlanExec hides its inner tree
