@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.math3.distribution.BinomialDistribution
 import org.apache.commons.math3.random.Well19937c
 
 /** Seeded Monte-Carlo critical values for LLR significance filtering.
@@ -48,7 +47,7 @@ object MonteCarlo {
   }
 
   /** One Binomial(n, p) draw by inversion of a single uniform. Exact
-    * quantile search below the normal regime; normal approximation
+    * quantile walk below the normal regime; normal approximation
     * with continuity correction (clamped to [0, n]) when npq is large
     * — the standard speed/accuracy trade for Monte-Carlo permutation
     * counts, and deterministic because the only randomness is the
@@ -62,8 +61,37 @@ object MonteCarlo {
       val x = math.rint(n * p + z * math.sqrt(npq))
       math.max(0, math.min(n, x.toInt))
     } else {
-      new BinomialDistribution(null, n, p).inverseCumulativeProbability(u)
+      binomialInv(n, p, u)
     }
+  }
+
+  /** Exact binomial quantile (smallest k with CDF(k) >= u) by a direct
+    * inverse-CDF walk on the pmf-ratio recurrence
+    * pmf(k) = pmf(k-1) * (n-k+1)/k * p/q — O(np) expected steps with
+    * no allocation, replacing commons-math's per-draw
+    * BinomialDistribution + bisection (a regularized-incomplete-beta
+    * evaluation per probe), which dominated the sampler's profile.
+    * Only reached when npq <= 9; the p > 0.5 mirror keeps pow(q, n)
+    * well above underflow there (np <= 18 after mirroring). Boundary
+    * rounding can differ from the bisection by one count on
+    * measure-zero u — irrelevant to a sampler whose contract is
+    * "deterministic in the seed, correct distribution".
+    */
+  private def binomialInv(n: Int, p: Double, u: Double): Int = {
+    if (p <= 0.0) return 0
+    if (p >= 1.0) return n
+    if (p > 0.5) return n - binomialInv(n, 1.0 - p, 1.0 - u)
+    val q = 1.0 - p
+    val ratio = p / q
+    var k = 0
+    var pmf = math.pow(q, n.toDouble)
+    var cdf = pmf
+    while (cdf < u && k < n) {
+      k += 1
+      pmf = pmf * (n - k + 1) / k * ratio
+      cdf += pmf
+    }
+    k
   }
 
   /** LLR of observing x of n_j group reports on a reaction with y of
