@@ -94,6 +94,38 @@ class SourcesAndNlpSpec extends AnyFunSuite with Matchers with SparkSessionSetup
     Io.read(spark, IoConfig("json", s"$base/j")).count() shouldBe 1
   }
 
+  test("binaryFile source ingests raw image files into typed media rows") {
+    import graft.functions.Media
+    import org.apache.spark.sql.functions._
+    // the multimodal front door: raw files on disk -> binaryFile scan
+    // (path, length, content) -> container-header parse — no driver
+    // reads a single byte of image data
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    java.nio.file.Files.write(dir.resolve("a.png"),
+      Media.pngContainer(640, 480, Array[Byte](1, 2, 3)))
+    java.nio.file.Files.write(dir.resolve("b.png"),
+      Media.pngContainer(64, 48, Array[Byte]()))
+    java.nio.file.Files.write(dir.resolve("junk.bin"), "not an image".getBytes)
+    val parse = udf { (b: Array[Byte]) =>
+      Media.parseHeader(b).map(h => (h.format, h.width, h.height))
+    }
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png") // push the format filter to the SOURCE
+      .load(dir.toString)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"),
+        parse(col("content")).as("h")
+      )
+      .select(col("name"), col("length"), col("h._1").as("format"),
+        col("h._2").as("w"), col("h._3").as("hgt"))
+      .orderBy("name")
+      .collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("a.png", "b.png") // junk.bin pruned at scan
+    rows.map(r => (r.getString(2), r.getInt(3), r.getInt(4))).toSeq shouldBe
+      Seq(("png", 640, 480), ("png", 64, 48))
+  }
+
   test("input_file_name provenance column survives the scan") {
     import spark.implicits._
     val base = tmpDir("prov")
