@@ -38,6 +38,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * equal rows get distinct consecutive numbers (arbitrary within the
   * tie) rather than rank()'s shared value — callers needing rank() on
   * non-unique keys must add a unique tie-breaker column first.
+  *
+  * MEASURED (tools.GlobalOrderCompare, 50M rows, local[32],
+  * checksum-verified equal): two-pass 16-21 s vs partition-less
+  * window 47-49 s. local mode UNDERSTATES the win — all 32 threads
+  * share the window's one task's machine; on a real cluster the
+  * window still runs on one executor core while the two-pass uses
+  * them all.
   */
 object GlobalRank {
 

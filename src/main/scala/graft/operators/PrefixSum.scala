@@ -29,6 +29,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * Output column semantics are INCLUSIVE (the row's own value is
   * counted, SQL's `ROWS UNBOUNDED PRECEDING` frame); subtract the
   * value column for the exclusive prefix.
+  *
+  * MEASURED (tools.GlobalOrderCompare, 50M rows, local[32],
+  * checksum-verified equal): two-pass 5.7 s vs partition-less window
+  * 47 s — 8x, and local mode understates it (the window's single task
+  * cannot use a cluster at all).
   */
 object PrefixSum {
 
