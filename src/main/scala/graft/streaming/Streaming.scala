@@ -74,9 +74,18 @@ object Streaming {
     * other's watermark passes the range horizon). The batch twin of
     * this shape is the as-of/range join pair in graft.operators.
     */
+  /** @param joinType "inner" (default) or "left_outer": the outer form
+    *   emits a click with null view columns once the view-side
+    *   watermark passes the click's match window — i.e. when no
+    *   qualifying view can arrive anymore. Outer stream-stream joins
+    *   REQUIRE both watermarks + the time-range condition (both
+    *   present here); the null row surfaces in the micro-batch after
+    *   the watermark advance, which the spec demonstrates.
+    */
   def clicksWithRecentViews(
       events: DataFrame,
-      delay: String = "10 minutes"
+      delay: String = "10 minutes",
+      joinType: String = "inner"
   ): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click")
@@ -98,7 +107,8 @@ object Streaming {
       views,
       col("user_id") === col("view_user") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR")
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      joinType
     ).select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 

@@ -129,6 +129,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched clicks after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .clicksWithRecentViews(in.toDF(), delay = "5 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("cv_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        row(1, 0, typ = "view"),              // user 1
+        row(2, 40, typ = "click"),            // user 1 -> matches view 1
+        EventRow(3L, ts(40), 9L, "click", 0d) // user 9 -> NO view exists
+      )
+      q.processAllAvailable()
+      // watermark so far is behind click_ts: the unmatched click must
+      // still be held in state, not dropped
+      val early = spark.table("cv_outer").select("click_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      early shouldBe Set((2L, Some(1L)))
+      // advance the watermark on BOTH filtered branches — the global
+      // watermark is the MIN over the two withWatermark nodes, so late
+      // views alone would leave the click-side watermark (and thus
+      // state eviction) stuck. The user-8 pair joins normally.
+      in.addData(
+        EventRow(4L, ts(900), 8L, "view", 0d),
+        EventRow(5L, ts(960), 8L, "click", 0d)
+      )
+      q.processAllAvailable()
+      // the null-padded row surfaces in the batch AFTER the advance
+      in.addData(EventRow(6L, ts(1020), 7L, "click", 0d))
+      q.processAllAvailable()
+      val all = spark.table("cv_outer").select("click_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      // click 6 stays in state (watermark has not passed it); click 3
+      // has been evicted and emitted with a null view
+      all shouldBe Set((2L, Some(1L)), (5L, Some(4L)), (3L, None))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert maintains a latest-wins entity table across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
