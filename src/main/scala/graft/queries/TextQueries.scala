@@ -736,9 +736,14 @@ object TextQueries {
         // n_shared counts distinct shared 4-grams (both sides are
         // per-doc distinct shingle sets); >= 3 flags contamination,
         // 1-2 are reported for audit.
-        val w = TextKit.tokens(col("text"))
+        // materialize the token array into a column BEFORE shingling:
+        // shingles' per-position lambda references its input once per
+        // shingle, so an inlined tokens() EXPRESSION would re-tokenize
+        // the whole text per position — O(len^2) per doc (measured
+        // 7.6 s -> ~1 s at sf0.1 for this query)
         val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(TextKit.shingles(w, 4)).as("s"))
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+          .select(col("doc_id"), explode(TextKit.shingles(col("w"), 4)).as("s"))
         val ev = sh.filter(col("doc_id") % 50 === 0)
           .select(col("s"), col("doc_id").as("eval_id"))
         val tr = sh.filter(col("doc_id") % 50 =!= 0)
