@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * `Dataset.rdd` is a lazy val, so when `number` runs one job to fold
   * per-partition state (a count or a sum) and a second to emit rows,
-  * both walk the SAME lineage and the range shuffle's map stage runs
-  * once — the persist-free reuse both operators document.
+  * both walk the SAME lineage and the range shuffle's MAP stage runs
+  * once. The reuse stops there: the reduce-side per-partition sort
+  * re-runs in each job (the price of not persisting anything) — an
+  * explicit tradeoff vs a persisted formulation, which would sort
+  * once but leak cache blocks past the operator.
   */
 private[operators] object RangeTwoPass {
 
