@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKit
+
+/** Scale demonstration for the MinHash+LSH dedup path (the pipeline of
+  * q_dedup_minhash_lsh, unchanged): 1M synthetic documents with
+  * planted near-duplicates, where the quadratic all-pairs baseline
+  * would be 5e11 comparisons — not runnable — and the LSH bucket join
+  * finishes in seconds.
+  *
+  * Corpus: doc i carries 40 tokens drawn deterministically from a 10k
+  * vocabulary by a mixed hash of (content id, position). Every doc
+  * with id % 100 == 1 is a near-copy of id-1 differing in ONE token
+  * position: shingle sets share 35 of 38 3-shingles, Jaccard
+  * 35/41 ≈ 0.854 >= tau = 0.8. Random cross-doc collisions at that
+  * threshold are vanishing, so planted pairs ARE the expected output
+  * and recall is measurable exactly.
+  *
+  * Usage: runMain graft.tools.DedupScale [nDocs]
+  * Prints stage timings, candidate/verified counts, and recall of the
+  * planted pairs.
+  *
+  * MEASURED (1M docs, local[32]): prepare (shingle+minhash+bands)
+  * 11.8 s, candidate bucket-join 15.7 s yielding 16,372 candidates,
+  * exact verify 3.2 s — 10,000/10,000 planted pairs recovered, ~31 s
+  * end to end against a 5e11-comparison quadratic baseline. At 100k
+  * docs: ~9 s, 1,063 candidates, 1,000/1,000.
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val v = f
+      println(f"[dedup-scale] $name%-12s sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      v
+    }
+
+    // content id: dup docs reuse the previous doc's tokens...
+    val cid = when(col("doc_id") % 100 === 1, col("doc_id") - 1).otherwise(col("doc_id"))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(39)), j => {
+          // ...except ONE position, where the dup diverges. xxhash64
+          // mixing, NOT a linear j-progression — a linear recipe makes
+          // shifted docs into accidental near-dups (measured: 172k
+          // unplanted J>=0.8 pairs at 100k docs before this fix).
+          val base = when(col("doc_id") % 100 === 1 && j === 7, col("doc_id")).otherwise(cid)
+          concat(lit("t"), pmod(xxhash64(base * 64 + j), lit(10000L)))
+        }).as("w")
+      )
+
+    val prepared = time("prepare") {
+      val p = docs
+        .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
+        .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(TextKit.HashP))))
+        .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
+        .persist()
+      p.count()
+      p
+    }
+    val cand = time("candidates") {
+      val buckets = prepared.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+      val c = buckets.as("x")
+        .join(
+          buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id")
+        )
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .persist()
+      println(s"[dedup-scale] candidate pairs: ${c.count()}")
+      c
+    }
+    val verified = time("verify") {
+      val sets = prepared.select(col("doc_id"), sort_array(col("ss")).as("ss"))
+      val v = cand
+        .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("inter",
+          graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss")))
+        .withColumn("j",
+          col("inter").cast("double") / (size(col("s1.ss")) + size(col("s2.ss")) - col("inter")))
+        .filter(col("j") >= 0.8)
+        .select(col("d1"), col("d2"))
+        .persist()
+      println(s"[dedup-scale] verified pairs: ${v.count()}")
+      v
+    }
+    // recall of planted pairs: (i-1, i) for every i % 100 == 1
+    val planted = spark.range(nDocs).filter(col("id") % 100 === 1)
+      .select((col("id") - 1).as("d1"), col("id").as("d2"))
+    val nPlanted = planted.count()
+    val hit = verified.join(planted, Seq("d1", "d2"), "left_semi").count()
+    println(s"[dedup-scale] recall: $hit/$nPlanted planted pairs found; " +
+      f"quadratic baseline would be ${nDocs * (nDocs - 1) / 2}%d comparisons")
+    require(hit == nPlanted, s"LSH missed planted near-duplicates: $hit of $nPlanted")
+    spark.stop()
+  }
+}
