@@ -26,13 +26,19 @@ object TextKit {
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
   /** Word n-gram shingles (space-joined), distinct. The slice/sequence
-    * form stays codegen'd; callers must guard size(words) >= n.
+    * form stays codegen'd. Inputs shorter than n yield an EMPTY array
+    * (no caller-side guard needed); a NULL input stays NULL, matching
+    * the DuckDB mirrors' null propagation. NB: pass a materialized
+    * column, not a token EXPRESSION — the per-position lambda
+    * re-evaluates its input per shingle (see the contamination-query
+    * O(len^2) fix).
     */
   def shingles(words: Column, n: Int): Column =
     // guard: below n tokens there are no shingles — without it
     // sequence(0, size-n) DESCENDS into negatives and slice(_, 0, n)
     // throws at runtime (array indices are 1-based). The DuckDB
     // mirrors' range() is empty in that regime; this matches it.
+    // Chained when without otherwise: null input -> null output.
     when(
       size(words) >= n,
       array_distinct(
@@ -41,7 +47,7 @@ object TextKit {
           i => concat_ws(" ", slice(words, i + 1, lit(n)))
         )
       )
-    ).otherwise(array().cast("array<string>"))
+    ).when(words.isNotNull, array().cast("array<string>"))
 
   /** Engine-portable polynomial string hash:
     * fold(chars)(acc = (acc*mult + codepoint) mod P). DuckDB mirror:

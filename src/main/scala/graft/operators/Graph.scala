@@ -50,10 +50,10 @@ object Graph {
     * rounds, but the self-join re-derives every already-known pair
     * each round before the distinct — [[transitiveClosureSmart]]
     * composes off the delta instead and skips that re-derivation.
-    * Measured (tools.ClosureCompare, sf0.1, two runs): binary tree
-    * 4.8-5.0 s vs smart 3.3-3.4 s; overlap-heavy DAG 6.7-7.0 s vs
-    * smart 7.4-7.5 s — kept as the pick for the DAG-shaped closure
-    * (q_graph_ancestry_dag) and as the measurement baseline.
+    * Kept as the pick for the overlap-heavy DAG closure
+    * (q_graph_ancestry_dag) and as the measurement baseline; the
+    * current numbers for all three variants live in
+    * [[transitiveClosureSmart]]'s scaladoc (single source of truth).
     */
   def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(childCol, parentCol) = edges.columns

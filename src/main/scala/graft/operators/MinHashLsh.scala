@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextKit
+
+/** The MinHash + LSH near-duplicate pipeline, shared verbatim by the
+  * oracle-checked query (q_dedup_minhash_lsh) and the 1M-doc scale
+  * demonstration (tools.DedupScale) — one definition, so the scale
+  * evidence cannot silently measure a different pipeline than the one
+  * the correctness gate checks.
+  *
+  * Shape (the 100 TB dedup path, O(docs x bands) instead of the
+  * quadratic shingle join): token shingles -> portable shingle hashes
+  * -> minhash signature -> banded bucket keys; candidates from an
+  * equi-join on (band, bucket); exact Jaccard verification over sorted
+  * shingle sets with the native codegen'd merge
+  * (plans.SortedIntersectCount). Miss probability per tau-pair at the
+  * defaults (64 perms, 32 bands x 2 rows, tau 0.8) is
+  * (1 - 0.8^2)^32 ≈ 6e-15.
+  */
+object MinHashLsh {
+
+  /** (id, tokens) -> (id, ss, hs, bands). Docs shorter than
+    * `shingleN` tokens are dropped (no shingles, no near-dup signal).
+    * Callers decide persistence: the result feeds both candidate
+    * generation and verification.
+    */
+  def prepare(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      rowsPerBand: Int = 2
+  ): DataFrame =
+    docs
+      .filter(size(col(tokensCol)) >= shingleN)
+      .select(col(idCol), TextKit.shinglesKernel(shingleN)(col(tokensCol)).as("ss"))
+      .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(TextKit.HashP))))
+      .withColumn("bands", TextKit.minhashBands(numPerms, rowsPerBand)(col("hs")))
+
+  /** Distinct candidate pairs (d1 < d2) sharing at least one band
+    * bucket — the equi-join that replaces the all-pairs scan.
+    */
+  def candidates(prepared: DataFrame, idCol: String): DataFrame = {
+    val buckets = prepared.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bkey")))
+    buckets.as("x")
+      .join(
+        buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol")
+      )
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: (d1, d2, j) for
+    * every pair with j >= tau, via the native sorted-merge intersect.
+    */
+  def verify(prepared: DataFrame, cand: DataFrame, idCol: String, tau: Double): DataFrame = {
+    val sets = prepared.select(col(idCol), sort_array(col("ss")).as("ss"))
+    cand
+      .join(sets.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sets.as("s2"), col("d2") === col(s"s2.$idCol"))
+      .withColumn("inter",
+        graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss")))
+      .withColumn("j",
+        col("inter").cast(DoubleType) / (size(col("s1.ss")) + size(col("s2.ss")) - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("d1"), col("d2"), col("j"))
+  }
+}

@@ -107,7 +107,10 @@ object CompositeQueries {
     // The reference's driver scalar fold: max rank -> multiplier
     // literal (Search.scala:605-606). O(1) result. grank is Int from
     // the window path, Long from GlobalRank — fold through Number.
-    val maxRank = g.agg(max(col("grank"))).first().getAs[Number](0).longValue()
+    val maxRow = g.agg(max(col("grank"))).first()
+    // null max = zero surviving entities: any multiplier works on an
+    // empty frame; 1 routes through the singleton guard below
+    val maxRank = if (maxRow.isNullAt(0)) 1L else maxRow.getAs[Number](0).longValue()
     // Singleton guard: with one surviving entity the reference formula
     // 1 + (max-rank)/(max-1) is 0/0; the limit as max -> 1+ gives the
     // top rank 2.0, so pin that (the oracle's CASE mirrors it) instead

@@ -386,39 +386,17 @@ object TextQueries {
         // probability per tau-pair is (1 - 0.8^2)^32 ≈ 6e-15.
         // This is the 100 TB dedup path: O(docs x bands) instead of
         // the quadratic shingle join.
-        val w = TextKit.tokens(col("text"))
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), w.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
-          .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
-          .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
-          .persist()
-        val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
-        val cand = buckets.as("x")
-          .join(
-            buckets.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id")
-          )
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-        // Exact verification with the native codegen'd merge
-        // (graft.plans.SortedIntersectCount) over sorted shingle sets.
-        val sets = docs.select(col("doc_id"), sort_array(col("ss")).as("ss"))
-        cand
-          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
-          .withColumn(
-            "inter",
-            graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss"))
-          )
-          .select(
-            col("d1"), col("d2"),
-            (col("inter").cast(DoubleType) /
-              (size(col("s1.ss")) + size(col("s2.ss")) - col("inter"))).as("j")
-          )
-          .filter(col("j") >= 0.8)
+        // The pipeline itself lives in operators.MinHashLsh, shared
+        // with the 1M-doc scale run (tools.DedupScale) so the gate and
+        // the scale evidence exercise the SAME definition.
+        import graft.operators.MinHashLsh
+        val docs = MinHashLsh.prepare(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), TextKit.tokens(col("text")).as("w")),
+          "doc_id", "w"
+        ).persist()
+        val cand = MinHashLsh.candidates(docs, "doc_id")
+        MinHashLsh.verify(docs, cand, "doc_id", tau = 0.8)
           .select(col("d1"), col("d2"), floor(col("j") * 1e6).cast("long").as("jaccard_micros"))
           .orderBy("d1", "d2")
       },

@@ -62,39 +62,21 @@ object DedupScale {
         }).as("w")
       )
 
+    // the SAME pipeline object the oracle-checked query uses — see
+    // operators.MinHashLsh
+    import graft.operators.MinHashLsh
     val prepared = time("prepare") {
-      val p = docs
-        .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
-        .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(TextKit.HashP))))
-        .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
-        .persist()
+      val p = MinHashLsh.prepare(docs, "doc_id", "w").persist()
       p.count()
       p
     }
     val cand = time("candidates") {
-      val buckets = prepared.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
-      val c = buckets.as("x")
-        .join(
-          buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id")
-        )
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-        .persist()
+      val c = MinHashLsh.candidates(prepared, "doc_id").persist()
       println(s"[dedup-scale] candidate pairs: ${c.count()}")
       c
     }
     val verified = time("verify") {
-      val sets = prepared.select(col("doc_id"), sort_array(col("ss")).as("ss"))
-      val v = cand
-        .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
-        .withColumn("inter",
-          graft.plans.GraftExtensions.sortedIntersectCount(col("s1.ss"), col("s2.ss")))
-        .withColumn("j",
-          col("inter").cast("double") / (size(col("s1.ss")) + size(col("s2.ss")) - col("inter")))
-        .filter(col("j") >= 0.8)
+      val v = MinHashLsh.verify(prepared, cand, "doc_id", tau = 0.8)
         .select(col("d1"), col("d2"))
         .persist()
       println(s"[dedup-scale] verified pairs: ${v.count()}")

@@ -47,7 +47,8 @@ object GlobalOrderCompare {
     // ~1e6 so the 50k-row sum stays far under Long.MaxValue
     def checksum(df: org.apache.spark.sql.DataFrame, valCol: String): Long =
       df.filter(col("k") % 1000 === 0)
-        .agg(sum((col(valCol) % 1000003) * (col("k") % 1000003))).first().getLong(0)
+        .agg(coalesce(sum((col(valCol) % 1000003) * (col("k") % 1000003)), lit(0L)))
+        .first().getLong(0) // coalesce: tiny [rows] args can leave the sample empty
 
     val a = time("rank/two-pass") {
       checksum(GlobalRank.rowNumber(base, Seq(col("k").asc), "rn"), "rn")
