@@ -58,6 +58,15 @@ object ConnectedComponents {
       labels = next
       rounds += 1
     }
+    // min-label covers one hop per round, so a component with
+    // diameter > maxRounds would silently keep split labels — make
+    // exhaustion an error, not a result (near-dup graphs converge in
+    // 2-4 rounds; a general deep graph needs the star-contraction
+    // family instead)
+    if (changed)
+      throw new IllegalStateException(
+        s"ConnectedComponents.labels: labels still changing after $maxRounds rounds " +
+          "(component diameter exceeds maxRounds); raise maxRounds")
     labels
   }
 }

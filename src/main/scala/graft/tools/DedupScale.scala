@@ -90,6 +90,20 @@ object DedupScale {
     println(s"[dedup-scale] recall: $hit/$nPlanted planted pairs found; " +
       f"quadratic baseline would be ${nDocs * (nDocs - 1) / 2}%d comparisons")
     require(hit == nPlanted, s"LSH missed planted near-duplicates: $hit of $nPlanted")
+    // final pipeline stage: pairs -> transitive near-dup CLUSTERS
+    // (operators.ConnectedComponents, as in q_dedup_clusters). Every
+    // planted pair is disjoint, so clusters = pairs and each cluster
+    // label is the pair minimum — asserted exactly.
+    time("cluster") {
+      val cc = graft.operators.ConnectedComponents.labels(verified)
+      val nClusters = cc.select(col("cluster")).distinct().count()
+      // members are {i-1, i} for i % 100 == 1, so node % 100 is 0 or 1
+      // and the expected min label is node - node % 100
+      val badLabel = cc.filter(col("cluster") =!= col("node") - pmod(col("node"), lit(100L)))
+        .count()
+      println(s"[dedup-scale] clusters: $nClusters (expect $nPlanted), bad labels: $badLabel")
+      require(nClusters == nPlanted && badLabel == 0, "clustering mismatch")
+    }
     spark.stop()
   }
 }
