@@ -17,6 +17,16 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
   }
 
+  test("registry invariants: full oracle coverage, naming, monotone size") {
+    // round 6 closed with 93 queries, EVERY one DuckDB-oracled — a
+    // future refactor must not silently drop queries or regress a
+    // query to rows-only (the weaker driver check)
+    SparkEntry.queries.size should be >= 93
+    SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) shouldBe empty
+    all(SparkEntry.queries.keys) should startWith("q_")
+    all(SparkEntry.oracleSql.values.map(_.trim)) should not be empty
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sfDir)
