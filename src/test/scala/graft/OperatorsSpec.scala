@@ -38,6 +38,24 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     doubling.size should be > 200 // sanity: closure strictly larger than edge set
   }
 
+  test("MinHashLsh finds the near-dup pair and rejects the distinct docs") {
+    import spark.implicits._
+    import graft.operators.MinHashLsh
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight maybe"), // near-dup of 1
+      (3L, "completely different words in this document about spark sql"),
+      (4L, "short doc") // below shingle length: dropped in prepare
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextKit.tokens(col("text")).as("w"))
+    val prepared = MinHashLsh.prepare(docs, "doc_id", "w")
+    prepared.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+    val cand = MinHashLsh.candidates(prepared, "doc_id")
+    val verified = MinHashLsh.verify(prepared, cand, "doc_id", tau = 0.5)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    verified shouldBe Set((1L, 2L))
+  }
+
   test("KmvSketch estimate is exact below k and partition-invariant above") {
     import spark.implicits._
     import org.apache.spark.sql.Encoders
