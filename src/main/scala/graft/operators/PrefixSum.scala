@@ -30,6 +30,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * counted, SQL's `ROWS UNBOUNDED PRECEDING` frame); subtract the
   * value column for the exclusive prefix.
   *
+  * Like GlobalRank, the sort key must be a TOTAL order (unique): with
+  * duplicate keys the per-row running value at tie rows depends on the
+  * arbitrary order within the tie (the end-of-tie-group total is still
+  * deterministic). Callers add a unique tie-breaker column when the
+  * natural key can repeat — every registry consumer does
+  * ((doc_id, chunk_id), (skey, doc_id)).
+  *
   * MEASURED (tools.GlobalOrderCompare, 50M rows, local[32],
   * checksum-verified equal): two-pass 5.7 s vs partition-less window
   * 47 s — 8x, and local mode understates it (the window's single task
