@@ -115,13 +115,15 @@ object TextKit {
   }
 
   /** JIT-compiled shingling kernel: same output as `shingles` (distinct
-    * space-joined n-grams) but as one compiled pass per document
-    * instead of per-element interpreted slice/concat expressions —
-    * this is the dominant cost of the text-dedup queries' scan stage.
+    * space-joined n-grams; empty below n tokens, NULL in -> NULL out)
+    * but as one compiled pass per document instead of per-element
+    * interpreted slice/concat expressions — this is the dominant cost
+    * of the text-dedup queries' scan stage.
     */
   def shinglesKernel(n: Int): Column => Column = {
     val f = udf { (w: Seq[String]) =>
-      if (w.length < n) Array.empty[String]
+      if (w == null) null
+      else if (w.length < n) Array.empty[String]
       else {
         val seen = new java.util.LinkedHashSet[String]
         val sb = new java.lang.StringBuilder

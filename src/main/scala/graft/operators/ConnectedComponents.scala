@@ -67,11 +67,23 @@ object ConnectedComponents {
     // diameter > maxRounds would silently keep split labels — make
     // exhaustion an error, not a result (near-dup graphs converge in
     // 2-4 rounds; a general deep graph needs the star-contraction
-    // family instead)
-    if (changed)
-      throw new IllegalStateException(
-        s"ConnectedComponents.labels: labels still changing after $maxRounds rounds " +
-          "(component diameter exceeds maxRounds); raise maxRounds")
+    // family instead). `changed` only says the LAST round did work;
+    // convergence may have landed exactly on it, so confirm with one
+    // extra probe before declaring divergence.
+    if (changed) {
+      val probeMin = sym
+        .join(labels, sym("b") === labels("node"))
+        .groupBy(col("a"))
+        .agg(min(col("cluster")).as("nmin"))
+      val wouldChange = !labels
+        .join(probeMin, labels("node") === probeMin("a"))
+        .filter(col("nmin") < col("cluster"))
+        .isEmpty
+      if (wouldChange)
+        throw new IllegalStateException(
+          s"ConnectedComponents.labels: labels still changing after $maxRounds rounds " +
+            "(component diameter exceeds maxRounds); raise maxRounds")
+    }
     labels
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -47,18 +48,22 @@ object TextQueries {
     * expressions — sequence+explode generates per-doc chunk ids with
     * no driver loop and no shuffle.
     */
-  private val ChunkW = 16
-  private val ChunkS = 12
+  private[graft] val ChunkW = 16
+  private[graft] val ChunkS = 12
+
+  /** Chunk count for a token-array column: 1 if n<=W else
+    * ceil((n-W)/S)+1. Exposed (package-private) so the boundary spec
+    * tests the PRODUCTION expression, not a copy.
+    */
+  private[graft] def chunkCount(toks: Column): Column =
+    when(size(toks) <= ChunkW, lit(1))
+      .otherwise(ceil((size(toks) - lit(ChunkW)).cast(DoubleType) / ChunkS).cast("int") + 1)
 
   private def chunkWindows(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val toks = TextKit.tokens(col("text"))
     Tables(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
-      .withColumn(
-        "nc",
-        when(size(col("toks")) <= ChunkW, lit(1))
-          .otherwise(ceil((size(col("toks")) - lit(ChunkW)).cast(DoubleType) / ChunkS).cast("int") + 1)
-      )
+      .withColumn("nc", chunkCount(col("toks")))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
       .select(
@@ -390,11 +395,15 @@ object TextQueries {
         // with the 1M-doc scale run (tools.DedupScale) so the gate and
         // the scale evidence exercise the SAME definition.
         import graft.operators.MinHashLsh
+        // eager localCheckpoint, not persist: consumed by both the
+        // bucket join and the verify join, and checkpoint blocks
+        // release with the RDD instead of leaking past the query
+        // (the searchCascade hygiene pattern)
         val docs = MinHashLsh.prepare(
           Tables(s, dir, "documents")
             .select(col("doc_id"), TextKit.tokens(col("text")).as("w")),
           "doc_id", "w"
-        ).persist()
+        ).localCheckpoint()
         val cand = MinHashLsh.candidates(docs, "doc_id")
         MinHashLsh.verify(docs, cand, "doc_id", tau = 0.8)
           .select(col("d1"), col("d2"), floor(col("j") * 1e6).cast("long").as("jaccard_micros"))

@@ -17,6 +17,9 @@ import graft.operators.ConnectedComponents
 object CcScale {
   def main(args: Array[String]): Unit = {
     val nNodes = args.headOption.map(_.toLong).getOrElse(1000000L)
+    require(nNodes % 5 == 0 && nNodes > 0,
+      s"nNodes must be a positive multiple of 5 (got $nNodes): the chain construction " +
+        "and the cluster-count assertion both assume complete chains")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -23,11 +23,13 @@ import graft.functions.TextKit
   * Prints stage timings, candidate/verified counts, and recall of the
   * planted pairs.
   *
-  * MEASURED (1M docs, local[32]): prepare (shingle+minhash+bands)
-  * 11.8 s, candidate bucket-join 15.7 s yielding 16,372 candidates,
-  * exact verify 3.2 s — 10,000/10,000 planted pairs recovered, ~31 s
-  * end to end against a 5e11-comparison quadratic baseline. At 100k
-  * docs: ~9 s, 1,063 candidates, 1,000/1,000.
+  * MEASURED (1M docs, local[32], four stages): prepare
+  * (shingle+minhash+bands) 8.2 s, candidate bucket-join 13.6 s
+  * yielding 16,372 candidates, exact verify 3.1 s with 10,000/10,000
+  * planted pairs recovered, ConnectedComponents clustering 3.3 s with
+  * all 10,000 cluster labels asserted — ~28 s end to end against a
+  * 5e11-comparison quadratic baseline. At 100k docs: ~9 s, 1,063
+  * candidates, 1,000/1,000.
   */
 object DedupScale {
   def main(args: Array[String]): Unit = {

@@ -77,21 +77,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   test("chunk-window math: boundary token counts produce the documented chunk counts") {
     import spark.implicits._
-    // mirror of the query-side formula nc = 1 if n<=W else ceil((n-W)/S)+1
-    // at W=16, S=12 — the boundaries a fixture-driven oracle may never hit
-    val W = 16; val S = 12
+    import graft.queries.TextQueries
+    // the PRODUCTION chunk-count expression (TextQueries.chunkCount,
+    // W=16/S=12) at the boundaries a fixture-driven oracle may never
+    // hit, against an independent scalar formula
+    val W = TextQueries.ChunkW
+    val S = TextQueries.ChunkS
     def nc(n: Int): Int = if (n <= W) 1 else math.ceil((n - W).toDouble / S).toInt + 1
-    nc(0) shouldBe 1    // empty doc: one empty chunk
-    nc(16) shouldBe 1   // exactly one window
-    nc(17) shouldBe 2   // one token past: second (overlapping) window
-    nc(28) shouldBe 2   // W + S: second window exactly full
-    nc(29) shouldBe 3
-    // and the Spark expression agrees with the formula
-    val arrSize = org.apache.spark.sql.functions.size(col("toks")) // `size` alone hits scalatest's matcher
-    val df = Seq(0, 1, 15, 16, 17, 28, 29, 40, 100).map(n => (n, Seq.fill(n)("t"))).toDF("n", "toks")
-    val got = df.select(col("n"),
-        when(arrSize <= W, lit(1))
-          .otherwise(ceil((arrSize - lit(W)).cast("double") / S).cast("int") + 1).as("nc"))
+    nc(0) shouldBe 1      // empty doc: one empty chunk
+    nc(W) shouldBe 1      // exactly one window
+    nc(W + 1) shouldBe 2  // one token past: second (overlapping) window
+    nc(W + S) shouldBe 2  // second window exactly full
+    nc(W + S + 1) shouldBe 3
+    val df = Seq(0, 1, W - 1, W, W + 1, W + S, W + S + 1, 40, 100)
+      .map(n => (n, Seq.fill(n)("t"))).toDF("n", "toks")
+    val got = df.select(col("n"), TextQueries.chunkCount(col("toks")).as("nc"))
       .as[(Int, Int)].collect().toMap
     got.foreach { case (n, v) => v shouldBe nc(n) }
   }
