@@ -17,7 +17,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_similarity_cosine_topk", // broadcast query-set vs corpus, non-equi (vec_id !=)
     "q_theta_array_contains",   // broadcast word LUT vs array_contains membership
     "q_similarity_ivf",         // queries x broadcast k-row centroid table (probe assignment)
-    "q_window_ntile_approx"     // fact x broadcast 1-row cutpoint array (range lookup)
+    "q_window_ntile_approx",    // fact x broadcast 1-row cutpoint array (range lookup)
+    "q_llr_significance"        // cells x broadcast 1-row total-report count
+                                // (plan-native scalar fold-in, see llrCells)
   )
 
   /** Partition-less windows funnel the whole input through ONE task —
