@@ -405,7 +405,10 @@ object CompositeQueries {
         )
         val ex = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
-          .persist()
+          // eager localCheckpoint, not persist: read by both the LUT
+          // build and the mention join; an in-query persist leaks
+          // CacheManager entries (PlanAuditSpec guards the registry)
+          .localCheckpoint()
         val lut = ex
           .filter(col("lang") === "en")
           .groupBy(col("tok"))
@@ -462,7 +465,8 @@ object CompositeQueries {
         val ex = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
           .select(col("doc_id"), col("lang"), Stemmer.stemCol(col("tok")).as("stem"))
-          .persist()
+          // same hygiene as q_text_grounding above
+          .localCheckpoint()
         val lut = ex
           .filter(col("lang") === "en")
           .groupBy(col("stem"))

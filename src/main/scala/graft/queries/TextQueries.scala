@@ -257,7 +257,10 @@ object TextQueries {
         // on the exploded shingle table, shared counts via map-side
         // partial aggregation, sizes carried inline so nothing joins
         // back. One shuffle for the pair aggregate. The exploded table
-        // is persisted so shingling runs once, not once per join side.
+        // is localCheckpoint'ed so shingling runs once, not once per
+        // join side — checkpoint, not persist: an in-query persist
+        // leaks CacheManager entries past the query's action
+        // (PlanAuditSpec guards this across the registry).
         //
         // Scale ladder (measured here: uniform shingle DF, so the
         // simple join wins): when shingle document-frequency is skewed,
@@ -271,7 +274,7 @@ object TextQueries {
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
           .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
-          .persist()
+          .localCheckpoint()
         ex.as("x")
           .join(
             ex.as("y"),
@@ -328,7 +331,10 @@ object TextQueries {
           .select(col("doc_id"), w.as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
-          .persist()
+          // eager localCheckpoint, not persist: read by both the
+          // prefix build and the verify join, and persist would leak
+          // CacheManager entries past the query (PlanAuditSpec guard)
+          .localCheckpoint()
         val ex = docs.select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
         // global canonical order = (document frequency asc, shingle)
         val df = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -438,7 +444,10 @@ object TextQueries {
           .select(col("doc_id"), TextKit.shinglesKernel(3)(col("w")).as("ss"))
           .withColumn("hs", transform(col("ss"), sh => pmod(xxhash64(sh), lit(P))))
           .withColumn("bands", TextKit.minhashBands(64, 2)(col("hs")))
-          .persist()
+          // eager localCheckpoint, not persist: consumed by the bucket
+          // join, the verify join, and the component labeling; persist
+          // would leak CacheManager entries (PlanAuditSpec guard)
+          .localCheckpoint()
         val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
         val cand = buckets.as("x")
           .join(
@@ -609,7 +618,12 @@ object TextQueries {
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val firstRow = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
         val nDocs = firstRow.getLong(0)
-        val avgdl = firstRow.getLong(1).toDouble / nDocs
+        // empty corpus: SUM is null (getLong would NPE) and avgdl
+        // would divide by zero — any placeholder works because the
+        // joins below are over the same empty tf, so no row ever
+        // evaluates the score expression
+        val avgdl =
+          if (nDocs == 0L) 1.0 else firstRow.getLong(1).toDouble / nDocs
         val dfLut = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 20)
         val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -51,6 +51,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     scans should not be empty
   }
 
+  test("the cache-hygiene guard is not vacuous: persist registers without an action") {
+    // The per-query guard below relies on Dataset.persist registering
+    // in the CacheManager at CALL time (no action needed) — if a Spark
+    // upgrade made registration lazy, the guard would silently pass on
+    // real leaks. Prove the mechanism once.
+    val cacheMgr = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cacheMgr.isEmpty shouldBe true
+    val df = spark.range(10).toDF("x")
+    df.persist()
+    try cacheMgr.isEmpty shouldBe false
+    finally df.unpersist(blocking = true)
+    cacheMgr.isEmpty shouldBe true
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
       // plan with AQE off: AdaptiveSparkPlanExec hides its inner tree
@@ -97,6 +113,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
           "partition it or whitelist with justification: ") {
           globalWindows shouldBe empty
         }
+      }
+      // Cache-hygiene guard: a query builder must not leave persisted
+      // plans behind. Dataset.persist registers in the shared
+      // CacheManager EAGERLY (no action needed), and those entries —
+      // unlike localCheckpoint's RDD blocks, which the ContextCleaner
+      // frees on GC — pin their plans until someone calls unpersist,
+      // so a leak inside a query accumulates blocks across a session
+      // (the exact failure mode Bench's inter-query clearCache works
+      // around). Builders that persist for a multi-pass stage must
+      // unpersist before returning (q_similarity_ivf) or use
+      // localCheckpoint (the cascade, llrCells).
+      val cacheMgr = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+      val leaked = !cacheMgr.isEmpty
+      if (leaked) cacheMgr.clearCache() // keep one leak from cascading
+      withClue(s"$name left persisted plans in the CacheManager — " +
+        "unpersist before returning or use localCheckpoint: ") {
+        leaked shouldBe false
       }
     }
   }
