@@ -76,6 +76,13 @@ object Graph {
       size = mergedSize
       rounds += 1
     }
+    // the final round still added pairs -> completeness unknown; a
+    // silent return would hand the caller a truncated closure (same
+    // guard as the other two variants; defaults cover depth 2^20, so
+    // only a caller-supplied small maxRounds can reach this)
+    if (grown)
+      throw new IllegalStateException(
+        s"transitiveClosureDoubling: still growing after $maxRounds rounds; raise maxRounds")
     closure
   }
 
@@ -221,6 +228,13 @@ object Graph {
       }
       rounds += 1
     }
+    // same truncation guard as transitiveClosureFrontier: a non-empty
+    // delta at exhaustion means pairs beyond distance 2^maxRounds
+    // exist and the union below would silently omit them
+    if (!done)
+      throw new IllegalStateException(
+        s"transitiveClosureSmart: delta still non-empty after $maxRounds rounds " +
+          "(graph deeper than 2^maxRounds); raise maxRounds")
     frontiers.reduce(_ union _)
   }
 
@@ -333,6 +347,13 @@ object Graph {
       }
       rounds += 1
     }
+    // truncation guard (see transitiveClosureSmart): paths longer than
+    // maxDepth exist, so the root filter below would silently drop
+    // every node whose only root path exceeds it
+    if (!done)
+      throw new IllegalStateException(
+        s"rootPaths: paths still extending after $maxRounds rounds " +
+          s"(graph deeper than maxDepth=$maxDepth); raise maxDepth")
     frontiers.reduce(_ union _)
       .join(roots, col("head") === col("n"))
       .select(col("node"), col("path"))

@@ -51,6 +51,16 @@ object PrefixSum {
       out: String,
       numPartitions: Int = 0
   ): DataFrame = {
+    // The per-partition fold reads the value with getLong, so anything
+    // but LongType would surface as a ClassCastException deep inside a
+    // task. Fail fast at the API boundary instead: integral widths are
+    // the documented semantics (see scaladoc) — callers with Int
+    // counts cast explicitly, keeping the overflow decision visible.
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType,
+      s"PrefixSum.runningSum: value column '$valueCol' must be LongType (BIGINT), " +
+        s"got ${dt.simpleString} — cast it explicitly (col.cast(\"long\"))")
     val valueIdx = df.schema.fieldIndex(valueCol)
     RangeTwoPass.appendLong(df, sortCols, out, numPartitions) { rdd =>
       // job 1: per-partition totals -> exclusive offsets

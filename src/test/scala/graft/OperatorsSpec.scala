@@ -38,6 +38,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     doubling.size should be > 200 // sanity: closure strictly larger than edge set
   }
 
+  test("every closure variant throws rather than return a truncated result") {
+    import spark.implicits._
+    // chain of depth 8; one round of any variant cannot finish it. A
+    // silent return here would be a WRONG closure with no error — the
+    // guard must be consistent across all three variants + rootPaths.
+    val edges = (2 to 9).map(k => (k.toLong, k - 1L)).toDF("child", "parent")
+    an[IllegalStateException] should be thrownBy
+      Graph.transitiveClosureDoubling(edges, maxRounds = 1).count()
+    an[IllegalStateException] should be thrownBy
+      Graph.transitiveClosureSmart(edges, maxRounds = 1).count()
+    an[IllegalStateException] should be thrownBy
+      Graph.transitiveClosureFrontier(edges, maxRounds = 1).count()
+    an[IllegalStateException] should be thrownBy
+      Graph.rootPaths(edges, maxDepth = 2).count()
+    // and the guard is exact, not early: enough rounds still succeed
+    Graph.transitiveClosureDoubling(edges, maxRounds = 4).count() shouldBe 36
+    Graph.transitiveClosureSmart(edges, maxRounds = 4).count() shouldBe 36
+  }
+
   test("MinHashLsh finds the near-dup pair and rejects the distinct docs") {
     import spark.implicits._
     import graft.operators.MinHashLsh
@@ -103,6 +122,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     val out = PrefixSum.runningSum(df, Seq(col("k").asc), "n", "cum", numPartitions = 3)
       .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
     out shouldBe Map(1L -> 2L, 2L -> 9L, 3L -> 14L, 4L -> 18L, 5L -> 19L)
+  }
+
+  test("PrefixSum.runningSum rejects a non-Long value column at the API boundary") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    // an Int value column used to surface as a ClassCastException deep
+    // inside a task (the fold reads with getLong); now it fails fast
+    // with the column name and the required cast in the message
+    val df = Seq((1L, 2), (2L, 3)).toDF("k", "n")
+    val e = the[IllegalArgumentException] thrownBy
+      PrefixSum.runningSum(df, Seq(col("k").asc), "n", "cum")
+    e.getMessage should include ("'n' must be LongType")
+    e.getMessage should include ("int")
   }
 
   test("Graph.ancestorsPerNode aggregates sorted ancestor lists") {

@@ -34,4 +34,22 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
       noException should be thrownBy df.count()
     }
   }
+
+  test("q_text_bm25 returns an empty frame on an empty corpus") {
+    // The corpus scalars (N, avgdl) cross the driver as an O(1) fold;
+    // on an empty documents table that fold used to NPE on the null
+    // SUM and divide by zero — the contract is an empty result with
+    // the normal schema instead.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf").toString
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_bm25")(spark, dir)
+    out.columns shouldBe Array("doc_id", "term", "tf", "bm25_micros")
+    out.count() shouldBe 0L
+  }
 }
