@@ -44,6 +44,10 @@ object CompositeQueries {
     * (~20M at sf100). The sort key (totdec desc, l_partkey asc) is
     * unique, so row_number == rank and both variants hash-match the
     * same oracle; that equality IS the cutover's correctness proof.
+    * The cutover point itself is measured by tools.CascadeScale on
+    * this tail shape at entity scale: 10M rows 10.8 s (GlobalRank) vs
+    * 17.4 s (window); 30M rows 24.2 s vs 144.9 s once the single
+    * task's sort spills — checksum-equal outputs at both scales.
     */
   private def searchCascade(s: SparkSession, dir: String, scaledRank: Boolean): DataFrame = {
     val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
