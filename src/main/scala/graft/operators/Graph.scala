@@ -50,8 +50,8 @@ object Graph {
     * rounds, but the self-join re-derives every already-known pair
     * each round before the distinct — [[transitiveClosureSmart]]
     * composes off the delta instead and skips that re-derivation.
-    * Kept as the pick for the overlap-heavy DAG closure
-    * (q_graph_ancestry_dag) and as the measurement baseline; the
+    * Kept as the measurement baseline (no registry query pins it
+    * since the round-7 re-pin of q_graph_ancestry_dag to smart); the
     * current numbers for all three variants live in
     * [[transitiveClosureSmart]]'s scaladoc (single source of truth).
     */
@@ -173,18 +173,17 @@ object Graph {
     * overlap). The anti-join keeps deltas disjoint, so the final
     * result is a plain unionAll, no global distinct.
     *
-    * MEASURED (tools.ClosureCompare, sf0.1, three runs): binary tree
-    * (|closure| = 247,234): smart 3.3-3.4 s vs doubling 4.8-5.1 s vs
-    * frontier 5.7-5.9 s — the re-derivation skip dominates, smart is
-    * the [[transitiveClosure]] default. Multi-parent DAG (div2+div3
-    * parents, |closure| = 897,357): smart 7.0-7.5 s vs doubling
-    * 6.7-7.0 s vs frontier 6.6-7.2 s (the round-1 duplicate-join fix
-    * closed smart's gap to a statistical tie) — on heavy overlap the
-    * anti-join round trip offsets the skip at this scale, so
-    * q_graph_ancestry_dag stays pinned to
-    * [[transitiveClosureDoubling]]. At cluster scale the balance
-    * shifts toward smart: its join output is O(new pairs), doubling's
-    * is O(closure) per round.
+    * MEASURED (tools.ClosureCompare, sf0.1; round-7 re-measurement):
+    * binary tree (|closure| = 247,234): smart 3.4-4.2 s vs doubling
+    * 5.0-5.1 s vs frontier 6.0-6.1 s — the re-derivation skip
+    * dominates, smart is the [[transitiveClosure]] default.
+    * Multi-parent DAG (div2+div3 parents, |closure| = 897,357):
+    * doubling 6.6-6.7 s, frontier 6.5-6.8 s, smart 6.3-7.3 s — a
+    * statistical tie (the host-contention noise band swamps the
+    * spread), so the tie-breaker is the scale argument: smart's
+    * per-round join output is O(new pairs) where doubling's is
+    * O(closure), and q_graph_ancestry_dag re-pinned to smart in
+    * round 7 on that basis.
     */
   def transitiveClosureSmart(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     def fresh(df: DataFrame): DataFrame =

@@ -265,14 +265,16 @@ object AnalyticsQueries {
         // have one parent per node; ontologies don't — reference DAGs
         // carry multiple is-a parents, graph/GraphNode.scala:44-49).
         // Parents of k: k div 2 and k div 3 — ancestor sets overlap
-        // heavily, so the per-round distinct genuinely dedups shared
+        // heavily, so the per-round dedup genuinely collapses shared
         // paths rather than being a no-op. The recursive-CTE oracle
-        // dedups via UNION. PINS plain closure x closure doubling: on
-        // this overlap-heavy DAG it measured fastest of the three
-        // closure variants at sf0.1 (6.7-7.0s vs smart 7.4-7.5s vs
-        // frontier 6.6-7.2s over two tools.ClosureCompare runs, and
-        // 2x over plain edge iteration in the round-3 measurement) —
-        // see operators.Graph scaladoc for the full matrix.
+        // dedups via UNION. PINS smart (delta-composed) doubling: the
+        // round-7 re-measurement has all three variants in a
+        // statistical tie on this DAG (two tools.ClosureCompare runs:
+        // doubling 6.6-6.7s, frontier 6.5-6.8s, smart 6.3-7.3s at
+        // sf0.1), and on a tie the scale argument decides — smart's
+        // per-round join output is O(new pairs), plain doubling's is
+        // O(closure), so smart degrades gracefully where the closure
+        // outgrows the delta. Full matrix in operators.Graph scaladoc.
         val part = Tables(s, dir, "part").select(col("p_partkey"))
         val edges = part.filter(col("p_partkey") >= 2)
           .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
@@ -280,7 +282,7 @@ object AnalyticsQueries {
             part.filter(col("p_partkey") >= 3)
               .select(col("p_partkey").as("child"), expr("p_partkey div 3").as("parent"))
           )
-        Graph.transitiveClosureDoubling(edges)
+        Graph.transitiveClosure(edges)
           .groupBy(col("node"))
           .agg(
             count(lit(1)).as("n_ancestors"),
