@@ -75,6 +75,41 @@ class MainSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     an[IllegalArgumentException] should be thrownBy Main.runStep(spark, cfg.steps.head)
   }
 
+  test("Session.build applies spark.sql.mapKeyDedupPolicy=LAST_WIN (literature session)") {
+    // The reference's literature step rebuilds its session with
+    // LAST_WIN so duplicate map keys fold to the last value
+    // (reference.conf:709-712, literature/Literature.scala:18-31) —
+    // Spark's default policy EXCEPTION would kill the step instead. A
+    // user porting that step passes the same k/v pair through
+    // Session.build's extraConf; mapKeyDedupPolicy is a RUNTIME conf,
+    // so getOrCreate applies it to the already-running session.
+    import org.apache.spark.sql.functions._
+    val before = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
+    try {
+      val s = graft.core.Session.build(
+        appName = "graft-literature",
+        extraConf = Map("spark.sql.mapKeyDedupPolicy" -> "LAST_WIN")
+      )
+      (s eq spark) shouldBe true // same shared session, conf applied
+      val m = s.range(1)
+        .select(map_from_arrays(
+          array(lit("k"), lit("k")), array(lit(1), lit(2))).as("m"))
+        .select(element_at(col("m"), "k"))
+        .head().getInt(0)
+      m shouldBe 2 // LAST_WIN keeps the later value
+      // and the default policy really is the throwing one (the spec
+      // would be vacuous if Spark folded duplicates anyway)
+      s.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      an[Exception] should be thrownBy s.range(1)
+        .select(map_from_arrays(
+          array(lit("k"), lit("k")), array(lit(1), lit(2))).as("m"))
+        .head()
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.mapKeyDedupPolicy", v)
+      case None    => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+    }
+  }
+
   test("xml source round-trips (Spark 4 built-in)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-xml").toString
