@@ -76,13 +76,23 @@ object Graph {
       size = mergedSize
       rounds += 1
     }
-    // the final round still added pairs -> completeness unknown; a
-    // silent return would hand the caller a truncated closure (same
-    // guard as the other two variants; defaults cover depth 2^20, so
-    // only a caller-supplied small maxRounds can reach this)
-    if (grown)
-      throw new IllegalStateException(
-        s"transitiveClosureDoubling: still growing after $maxRounds rounds; raise maxRounds")
+    // The final round still added pairs, so completeness is unknown: a
+    // silent return could hand the caller a truncated closure. Probe
+    // boundary-EXACTLY (the ConnectedComponents guard pattern) instead
+    // of throwing eagerly — one more composition, checked with a
+    // limit-1 isEmpty, decides whether the loop stopped exactly at
+    // convergence (legal: maxRounds == ceil(log2(depth))) or truncated.
+    if (grown) {
+      val probe = closure
+        .as("a")
+        .join(closure.as("b"), col("a.ancestor") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.ancestor").as("ancestor"))
+        .join(closure, Seq("node", "ancestor"), "left_anti")
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"transitiveClosureDoubling: pairs beyond the computed closure exist after " +
+            s"$maxRounds rounds; raise maxRounds")
+    }
     closure
   }
 
@@ -227,13 +237,30 @@ object Graph {
       }
       rounds += 1
     }
-    // same truncation guard as transitiveClosureFrontier: a non-empty
-    // delta at exhaustion means pairs beyond distance 2^maxRounds
-    // exist and the union below would silently omit them
-    if (!done)
-      throw new IllegalStateException(
-        s"transitiveClosureSmart: delta still non-empty after $maxRounds rounds " +
-          "(graph deeper than 2^maxRounds); raise maxRounds")
+    // Truncation guard, boundary-exact: every discovered pair IS in
+    // `frontiers` — a non-empty delta at exhaustion only means the
+    // convergence check never ran, not that pairs are missing. Probe
+    // with one more delta-composition (exactly what the next round
+    // would derive): empty -> the loop stopped precisely at
+    // convergence, return; non-empty -> the union would omit real
+    // pairs, throw.
+    if (!done) {
+      val closure = frontiers.reduce(_ union _)
+      val probe = delta
+        .as("d")
+        .join(closure.as("c"), col("d.ancestor") === col("c.node"))
+        .select(col("d.node").as("node"), col("c.ancestor").as("ancestor"))
+        .union(
+          closure
+            .as("c")
+            .join(delta.as("d"), col("c.ancestor") === col("d.node"))
+            .select(col("c.node").as("node"), col("d.ancestor").as("ancestor")))
+        .join(closure, Seq("node", "ancestor"), "left_anti")
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"transitiveClosureSmart: pairs beyond the computed closure exist after " +
+            s"$maxRounds rounds; raise maxRounds")
+    }
     frontiers.reduce(_ union _)
   }
 
@@ -346,13 +373,24 @@ object Graph {
       }
       rounds += 1
     }
-    // truncation guard (see transitiveClosureSmart): paths longer than
-    // maxDepth exist, so the root filter below would silently drop
-    // every node whose only root path exceeds it
-    if (!done)
-      throw new IllegalStateException(
-        s"rootPaths: paths still extending after $maxRounds rounds " +
-          s"(graph deeper than maxDepth=$maxDepth); raise maxDepth")
+    // Truncation guard, boundary-exact (see transitiveClosureSmart):
+    // probe one more prefix-composition; non-empty means paths beyond
+    // the computed relation exist and the root filter below would
+    // silently drop every node whose only root path exceeds maxDepth.
+    if (!done) {
+      val closure = frontiers.reduce(_ union _)
+      val probe = delta.as("a")
+        .join(closure.as("b"), col("a.head") === col("b.node"))
+        .select(
+          col("a.node").as("node"),
+          col("b.head").as("head"),
+          concat(col("a.path"), slice(col("b.path"), lit(2), size(col("b.path")) - 1)).as("path"))
+        .join(closure, Seq("node", "head", "path"), "left_anti")
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"rootPaths: paths beyond the computed relation exist after $maxRounds rounds " +
+            s"(graph deeper than maxDepth=$maxDepth); raise maxDepth")
+    }
     frontiers.reduce(_ union _)
       .join(roots, col("head") === col("n"))
       .select(col("node"), col("path"))

@@ -282,7 +282,7 @@ object AnalyticsQueries {
             part.filter(col("p_partkey") >= 3)
               .select(col("p_partkey").as("child"), expr("p_partkey div 3").as("parent"))
           )
-        Graph.transitiveClosure(edges)
+        Graph.transitiveClosureSmart(edges)
           .groupBy(col("node"))
           .agg(
             count(lit(1)).as("n_ancestors"),

@@ -52,7 +52,12 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       Graph.transitiveClosureFrontier(edges, maxRounds = 1).count()
     an[IllegalStateException] should be thrownBy
       Graph.rootPaths(edges, maxDepth = 2).count()
-    // and the guard is exact, not early: enough rounds still succeed
+    // and the guard is BOUNDARY-exact, not early: maxRounds == 3 ==
+    // ceil(log2(8)) completes the depth-8 closure on its final
+    // permitted round (the convergence check never runs), and the
+    // probe must recognize completeness rather than throw
+    Graph.transitiveClosureDoubling(edges, maxRounds = 3).count() shouldBe 36
+    Graph.transitiveClosureSmart(edges, maxRounds = 3).count() shouldBe 36
     Graph.transitiveClosureDoubling(edges, maxRounds = 4).count() shouldBe 36
     Graph.transitiveClosureSmart(edges, maxRounds = 4).count() shouldBe 36
   }

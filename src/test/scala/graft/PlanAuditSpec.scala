@@ -55,16 +55,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // The per-query guard below relies on Dataset.persist registering
     // in the CacheManager at CALL time (no action needed) — if a Spark
     // upgrade made registration lazy, the guard would silently pass on
-    // real leaks. Prove the mechanism once.
+    // real leaks. Prove the mechanism once. Snapshot-relative, NOT
+    // assert-empty-at-entry: the CacheManager is JVM-global and suites
+    // share one session, so an earlier suite's state must not fail
+    // this mechanism probe.
     val cacheMgr = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager
-    cacheMgr.isEmpty shouldBe true
+    val emptyBefore = cacheMgr.isEmpty
     val df = spark.range(10).toDF("x")
     df.persist()
     try cacheMgr.isEmpty shouldBe false
     finally df.unpersist(blocking = true)
-    cacheMgr.isEmpty shouldBe true
+    cacheMgr.isEmpty shouldBe emptyBefore
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -124,6 +127,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       // around). Builders that persist for a multi-pass stage must
       // unpersist before returning (q_similarity_ivf) or use
       // localCheckpoint (the cascade, llrCells).
+      // NB the query was built ABOVE this line, so non-empty here is
+      // attributable: the suite cleans up after every leak (below) and
+      // the non-vacuity test is snapshot-relative, leaving this query
+      // the only possible source.
       val cacheMgr = spark
         .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sharedState.cacheManager
