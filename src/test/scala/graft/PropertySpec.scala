@@ -115,29 +115,45 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
-  test("PPJoin prefix filter is lossless for Jaccard >= tau on random corpora") {
-    // The theorem behind q_dedup_jaccard_ppjoin: under a global
+  test("PPJoin prefix+length+positional filters are lossless for Jaccard >= tau") {
+    // The theorems behind q_dedup_jaccard_ppjoin: under a global
     // (document-frequency asc, value) order, any pair with J >= tau
-    // shares its smallest common element inside BOTH prefixes of
-    // length n - ceil(tau*n) + 1. Verified against brute force on
-    // random small-vocab corpora (small vocab -> dense overlaps).
+    // (1) shares its smallest common element inside BOTH prefixes of
+    // length n - ceil(tau*n) + 1 (prefix filter), (2) satisfies
+    // tau * max(n1,n2) <= min(n1,n2) (length filter), and (3) has at
+    // least one shared prefix occurrence passing the POSITIONAL bound
+    // (min(n-pos)+1)(1+tau) >= tau(n1+n2) — the exact conjunction the
+    // candidate join applies, so this property mirrors the production
+    // condition term for term. Verified against brute force on random
+    // small-vocab corpora (small vocab -> dense overlaps).
     val tau = 0.5
     val docGen = Gen.nonEmptyListOf(Gen.choose(0, 14)).map(_.map(i => s"w$i"))
     forAll(Gen.listOfN(12, docGen), 25) { corpus =>
       val sets = corpus.map(_.toSet).zipWithIndex.filter(_._1.nonEmpty)
       val df = sets.flatMap(_._1).groupBy(identity).map { case (k, v) => k -> v.size }
-      def prefix(s: Set[String]): Set[String] = {
-        val sorted = s.toSeq.sortBy(x => (df(x), x))
-        sorted.take(s.size - math.ceil(tau * s.size).toInt + 1).toSet
-      }
+      // 1-based canonical position of every token in the doc's order
+      def positions(s: Set[String]): Map[String, Int] =
+        s.toSeq.sortBy(x => (df(x), x)).zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+      def prefixLen(n: Int): Int = n - math.ceil(tau * n).toInt + 1
       for {
         (a, i) <- sets
         (b, j2) <- sets if i < j2
         inter = (a & b).size
         jac = inter.toDouble / (a.size + b.size - inter)
         if jac >= tau
-      } withClue(s"pair ($a, $b) jac=$jac escaped the prefix filter: ") {
-        (prefix(a) & prefix(b)) should not be empty
+      } {
+        val (pa, pb) = (positions(a), positions(b))
+        val (n1, n2) = (a.size, b.size)
+        withClue(s"pair ($a, $b) jac=$jac escaped the length filter: ") {
+          (tau * math.max(n1, n2) <= math.min(n1, n2)) shouldBe true
+        }
+        val survivors = (a & b).filter { s =>
+          pa(s) <= prefixLen(n1) && pb(s) <= prefixLen(n2) &&
+            (math.min(n1 - pa(s), n2 - pb(s)) + 1) * (1.0 + tau) >= tau * (n1 + n2)
+        }
+        withClue(s"pair ($a, $b) jac=$jac escaped the prefix+positional filters: ") {
+          survivors should not be empty
+        }
       }
     }
   }
