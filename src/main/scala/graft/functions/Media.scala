@@ -63,6 +63,10 @@ object Media {
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
   private val PngSig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -270,6 +274,173 @@ object Media {
       target_w: Int,
       target_h: Int
   )
+
+  // ----------------------------------------------------------------
+  // Audio (WAV/RIFF) — the third modality of the builder brief.
+  // ----------------------------------------------------------------
+
+  /** Parsed WAV fmt/data layout. */
+  final case class WavInfo(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      dataOffset: Int,
+      dataLen: Int
+  )
+
+  /** Real RIFF chunk walker: verifies the RIFF/WAVE magic, then walks
+    * `id(4) + size(LE32) + data [+ pad]` chunks collecting the fmt
+    * fields and the data span, skipping unknown chunks (word-aligned,
+    * per the RIFF spec). Returns None for non-WAV/truncated payloads
+    * instead of throwing — at 100 TB a corrupt blob must not kill the
+    * stage.
+    */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
+    else {
+      var i = 12
+      var rate = -1
+      var ch = -1
+      var bits = -1
+      var dOff = -1
+      var dLen = -1
+      while (i + 8 <= b.length && (dOff < 0 || rate < 0)) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val size = le32(b, i + 4)
+        if (size < 0) { i = b.length } // corrupt size: stop the walk
+        else {
+          if (id == "fmt " && i + 8 + 16 <= b.length) {
+            ch = le16(b, i + 10)
+            rate = le32(b, i + 12)
+            bits = le16(b, i + 22)
+          } else if (id == "data") {
+            dOff = i + 8
+            dLen = size
+          }
+          i += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      if (rate > 0 && dOff >= 0 && dLen >= 0 && dOff + dLen <= b.length)
+        Some(WavInfo(rate, ch, bits, dOff, dLen))
+      else None
+    }
+  }
+
+  /** Build a genuine PCM WAV container: RIFF/WAVE header, canonical
+    * 16-byte fmt chunk (PCM, mono, 16-bit), the data chunk with the
+    * given samples, then the payload as a well-formed trailing `etxt`
+    * chunk (so the chunk walk stays valid end to end).
+    */
+  def wavContainer(sampleRate: Int, pcm: Array[Short], payload: Array[Byte]): Array[Byte] = {
+    val dataLen = pcm.length * 2 // 16-bit => always even, no pad byte
+    val payloadPad = payload.length & 1
+    val riffSize = 4 + (8 + 16) + (8 + dataLen) + (8 + payload.length + payloadPad)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort).putShort(1.toShort) // PCM, mono
+    out.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+    out.putShort(2.toShort).putShort(16.toShort) // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(out.putShort)
+    out.put("etxt".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    if (payloadPad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Deterministic audio fixture parameters (recomputable by the
+    * DuckDB oracle from doc_id / n_chars — the fixtureWidth pattern).
+    */
+  def fixtureSampleRate(nChars: Long): Int = (8000 * (1 + nChars % 3)).toInt
+  def fixtureNumSamples(nChars: Long): Int = (160 * (1 + nChars % 4) + (nChars % 7) * 10).toInt
+  def fixtureSample(docId: Long, i: Int): Short =
+    ((docId * 31 + i * 7) % 2048 - 1024).toShort
+
+  /** Per-document audio features: real header fields + framed RMS
+    * energy (see audioFeatures).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      source: String,
+      sample_rate: Int,
+      n_samples: Int,
+      duration_ms: Int,
+      n_frames: Int,
+      first_rms: Double,
+      max_rms: Double
+  )
+
+  /** Audio variant of [[fromDocuments]]: each document carries a
+    * genuine mono 16-bit PCM WAV (fixture sample rate / length /
+    * deterministic waveform), with the document text as a trailing
+    * RIFF chunk.
+    */
+  def fromDocumentsAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("lang"),
+        col("n_chars")
+      )
+      .as[(Long, Array[Byte], String, String, Long)]
+      .map { case (id, payload, source, lang, nChars) =>
+        val pcm = Array.tabulate(fixtureNumSamples(nChars))(i => fixtureSample(id, i))
+        MediaRecord(id, wavContainer(fixtureSampleRate(nChars), pcm, payload), source, lang, nChars)
+      }
+  }
+
+  /** Batch audio decode + feature extraction over partitions: parse
+    * the real RIFF layout, read the signed-LE16 PCM samples out of the
+    * data chunk, frame them (`frameLen` samples, non-overlapping, last
+    * frame partial) and compute per-frame RMS. The per-frame energy
+    * sum is exact integer math, so the derived doubles are
+    * engine-portable (the oracle recomputes them bit-for-bit).
+    * Unparseable payloads are dropped, not fatal.
+    */
+  def audioFeatures(media: Dataset[MediaRecord], frameLen: Int): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        parseWav(r.bytes).map { w =>
+          val n = w.dataLen / 2
+          def sample(j: Int): Int = {
+            val o = w.dataOffset + 2 * j
+            (r.bytes(o) & 0xff) | (r.bytes(o + 1).toInt << 8) // sign-extended high byte
+          }
+          val nFrames = (n + frameLen - 1) / frameLen
+          var f = 0
+          var firstRms = 0.0
+          var maxRms = 0.0
+          while (f < nFrames) {
+            val start = f * frameLen
+            val end = math.min(start + frameLen, n)
+            var sumSq = 0L
+            var j = start
+            while (j < end) { val v = sample(j); sumSq += v.toLong * v; j += 1 }
+            val rms = math.sqrt(sumSq.toDouble / (end - start))
+            if (f == 0) firstRms = rms
+            if (rms > maxRms) maxRms = rms
+            f += 1
+          }
+          AudioFeatures(
+            doc_id = r.doc_id,
+            source = r.source,
+            sample_rate = w.sampleRate,
+            n_samples = n,
+            duration_ms = (n.toLong * 1000 / w.sampleRate).toInt,
+            n_frames = nFrames,
+            first_rms = firstRms,
+            max_rms = maxRms
+          )
+        }
+      }
+    }
+  }
 
   /** Build the media dataset from the documents table: each
     * document's UTF-8 bytes wrapped in a real container (PNG for even

@@ -82,6 +82,59 @@ object MultimodalQueries {
                CAST(FLOOR(w * (CAST(224 AS DOUBLE) / GREATEST(w, h))) AS INTEGER) AS target_w,
                CAST(FLOOR(h * (CAST(224 AS DOUBLE) / GREATEST(w, h))) AS INTEGER) AS target_h
         FROM f ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_multimodal_audio",
+      (s, dir) => {
+        // Audio decode + feature extraction (the third modality of the
+        // builder brief): every document wrapped in a GENUINE mono
+        // 16-bit PCM WAV container (fixture sample rate / length /
+        // deterministic waveform), batch-parsed back by a real RIFF
+        // chunk walker (Media.parseWav — fmt fields and the data span
+        // come from the parse, not the fixture), PCM framed into
+        // 160-sample windows (last frame partial) with per-frame RMS
+        // energy. The frame energy sum is exact integer math, so the
+        // oracle recomputes sample_rate/duration/frame counts AND both
+        // RMS values bit-for-bit from the fixture formulas. The codec
+        // stays out-of-process-dependency-free: the "decode" is the
+        // container parse + PCM read, which is the real Spark-side
+        // plumbing the brief asks for (schema, batching, partitioning).
+        val media = Media.fromDocumentsAudio(s, Tables(s, dir, "documents"))
+        Media.audioFeatures(media, frameLen = 160)
+          .toDF()
+          .select(
+            col("doc_id"), col("source"), col("sample_rate"), col("n_samples"),
+            col("duration_ms"), col("n_frames"),
+            round(col("first_rms"), 6).as("first_rms"),
+            round(col("max_rms"), 6).as("max_rms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, source,
+                 CAST(8000 * (1 + n_chars % 3) AS INTEGER) AS sample_rate,
+                 CAST(160 * (1 + n_chars % 4) + (n_chars % 7) * 10 AS INTEGER) AS n_samples
+          FROM documents),
+        s AS (
+          SELECT doc_id, source, sample_rate, n_samples,
+                 list_transform(range(0, n_samples),
+                   i -> CAST((doc_id * 31 + i * 7) % 2048 - 1024 AS BIGINT)) AS pcm
+          FROM f),
+        fr AS (
+          SELECT doc_id, source, sample_rate, n_samples, pcm,
+                 unnest(range(0, CAST(CEIL(n_samples / 160.0) AS INTEGER))) AS fi
+          FROM s),
+        r AS (
+          SELECT doc_id, source, sample_rate, n_samples, fi,
+                 sqrt(CAST(list_sum(list_transform(pcm[fi*160+1 : fi*160+160], x -> x*x)) AS DOUBLE)
+                      / len(pcm[fi*160+1 : fi*160+160])) AS rms
+          FROM fr)
+        SELECT doc_id, source, sample_rate, n_samples,
+               CAST(n_samples * 1000 // sample_rate AS INTEGER) AS duration_ms,
+               CAST(CEIL(n_samples / 160.0) AS INTEGER) AS n_frames,
+               ROUND(MAX(CASE WHEN fi = 0 THEN rms END), 6) AS first_rms,
+               ROUND(MAX(rms), 6) AS max_rms
+        FROM r GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""")
     )
   )
 }

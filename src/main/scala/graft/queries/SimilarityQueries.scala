@@ -246,6 +246,51 @@ object SimilarityQueries {
         SELECT qid, CAST(r.rk AS INTEGER) AS rk, TRUE AS in_exact_top10, exact1_cosine
         FROM e1, (VALUES (1), (2), (3)) r(rk)
         ORDER BY qid, rk""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) => {
+        // SemDeDup (Abbas et al. 2023): cluster the embedding space
+        // coarsely, then drop all but one member of every within-
+        // cluster group whose pairwise cosine clears the threshold —
+        // semantic (not lexical) dedup, the step that removes
+        // paraphrases MinHash can't see. Clustering here is the
+        // deterministic 4-plane LSH signature (so the oracle replays
+        // it bit-for-bit, same trick as q_similarity_ann_lsh); a
+        // production run swaps in k-means centroids — the distributed
+        // assignment pattern is q_similarity_ivf's broadcast
+        // centroid cross-join. Keep rule: a vector is dropped iff a
+        // LOWER-id vector in its cluster is >= tau-similar (pairwise,
+        // no transitive chaining — SemDeDup's own rule). Scale shape:
+        // candidate generation is an equi-join on the cluster id
+        // (shuffle on cluster, quadratic only within a cluster), the
+        // keep flag is one left join — no global pass, no driver
+        // state; cluster count scales with the plane count, bounding
+        // per-cluster fanout the same way LSH bands do.
+        val tau = 0.35
+        val planes = VectorKit.randomSignPlanes(numPlanes = 4, dim = 64)
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .withColumn("cluster", VectorKit.hyperplaneBucket(col("e"), planes))
+        val dups = emb.as("a")
+          .join(
+            emb.as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+          .filter(
+            VectorKit.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= tau)
+          .select(col("b.vec_id").as("vec_id"))
+          .distinct()
+        emb
+          .join(dups.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            col("cluster"),
+            col("is_dup").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(OracleSql.semanticDedupSql)
     )
   )
 }

@@ -41,6 +41,16 @@ object TextQueries {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** BPE training vocabulary: the fixed corpus vocabulary INCLUDING
+    * stopwords (the grounding LUT excludes them, but the tokenizer
+    * sees them) — so the oracle LUT covers every corpus token and the
+    * OOV fallback only fires on a genuinely stale vocabulary.
+    */
+  private lazy val bpeVocab: Seq[String] =
+    (OracleSql.stemmedGroundingVocab ++ stop).distinct.sorted
+  private lazy val bpeMerges: Seq[(String, String)] =
+    graft.functions.Bpe.train(bpeVocab.map(_ -> 1L), numMerges = 30)
+
   /** Overlapping token windows per document (window ChunkW tokens,
     * stride ChunkS): the shared front half of q_text_chunking and
     * q_chunk_packing. Chunk count: 1 if n<=W else ceil((n-W)/S)+1, so
@@ -832,6 +842,197 @@ object TextQueries {
         tr AS (SELECT s, doc_id AS train_id FROM sh WHERE doc_id % 50 != 0)
         SELECT train_id, eval_id, COUNT(*) AS n_shared, COUNT(*) >= 3 AS contaminated
         FROM tr JOIN ev USING (s) GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_quality_gopher",
+      (s, dir) => {
+        // Repetition-based quality filtering (the Gopher rules family,
+        // Rae et al. 2021 §A1.1; same spirit as C4's heuristics): flag
+        // documents dominated by a single token, a single bigram, or
+        // repeated bigrams. Signals per doc:
+        //   top_unigram_frac = count(most frequent token) / n_tokens
+        //   top_bigram_frac  = count(most frequent bigram) / n_bigrams
+        //   dup_bigram_frac  = sum of counts of bigrams occurring >1 /
+        //                      n_bigrams
+        //   mean_token_len   = total chars across tokens / n_tokens
+        // keep = all three repetition signals under their thresholds
+        // (0.10 / 0.05 / 0.10 — tuned to split this corpus; a real
+        // pipeline uses the published constants). Shape: explode ->
+        // (doc, ngram) count -> per-doc aggregate. Both groupBys get
+        // map-side partial aggregation, so shuffle volume is the
+        // DISTINCT (doc, ngram) pairs, not the token stream — the
+        // canonical distributed per-doc counting plan; keep decisions
+        // compare the raw (unrounded) fractions, which are exact
+        // integer-ratio doubles and therefore engine-portable.
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        // NON-distinct bigrams (repetition is the signal — shingles()
+        // dedups, which would erase it); guard <2 tokens: sequence()
+        // would generate a DESCENDING range instead of an empty one
+        val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        val uni = toks.select(col("doc_id"), explode(col("w")).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n"),
+            max(col("c")).as("mxu"),
+            sum(length(col("t")) * col("c")).as("chars"))
+        val bi = toks.select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("nb"),
+            max(col("c")).as("mxb"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupb"))
+        uni.join(bi, "doc_id")
+          .select(
+            col("doc_id"),
+            col("n").cast("int").as("n_tokens"),
+            round(col("mxu") / col("n"), 6).as("top_unigram_frac"),
+            round(col("mxb") / col("nb"), 6).as("top_bigram_frac"),
+            round(col("dupb") / col("nb"), 6).as("dup_bigram_frac"),
+            round(col("chars") / col("n"), 6).as("mean_token_len"),
+            (col("mxu") / col("n") <= 0.10 &&
+              col("mxb") / col("nb") <= 0.05 &&
+              col("dupb") / col("nb") <= 0.10).as("keep")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        u AS (SELECT doc_id, unnest(w) AS t FROM t),
+        uc AS (SELECT doc_id, t, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS mxu,
+                      CAST(SUM(length(t) * c) AS BIGINT) AS chars
+               FROM uc GROUP BY 1),
+        b AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM t),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS mxb,
+                      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
+               FROM bc GROUP BY 1)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+          ROUND(mxu / n, 6) AS top_unigram_frac,
+          ROUND(mxb / nb, 6) AS top_bigram_frac,
+          ROUND(dupb / nb, 6) AS dup_bigram_frac,
+          ROUND(chars / n, 6) AS mean_token_len,
+          (mxu / n <= 0.10 AND mxb / nb <= 0.05 AND dupb / nb <= 0.10) AS keep
+        FROM ua JOIN ba USING (doc_id) ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_corpus_repeated_ngrams",
+      (s, dir) => {
+        // CORPUS-level repetition (vs q_quality_gopher's WITHIN-doc
+        // signals): the boilerplate-detection pass of substring-level
+        // dedup (Lee et al. 2021 "Deduplicating Training Data ...",
+        // approximated at n-gram granularity) — count every 5-gram
+        // occurrence corpus-wide, mark the ones appearing >= 2 times,
+        // and score each document by the fraction of its 5-gram
+        // positions covered by such repeated n-grams. Documents over
+        // 0.2 are boilerplate-flagged (exact/near duplicates surface
+        // at 1.0). Shape: explode NON-distinct 5-grams -> global
+        // groupBy(ngram) count (partial-agg'd shuffle on the ngram
+        // key — the BM25-df shape, but position-weighted) -> join the
+        // counts back on the same key -> per-doc aggregate. Both
+        // shuffles key on the ngram, so the plan reuses one exchange;
+        // at 100 TB the count table shards with the corpus (no
+        // broadcast assumption), which is exactly how suffix-array
+        // approximations run at scale.
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val ngrams = when(size(col("w")) < 5, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 4),
+            i => concat_ws(" ",
+              element_at(col("w"), i), element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+              element_at(col("w"), i + 4))))
+        val g = toks.select(col("doc_id"), explode(ngrams).as("ng"))
+        val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+        g.join(counts, "ng")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("rep"))
+          .select(
+            col("doc_id"),
+            col("n").cast("int").as("n_ngrams"),
+            col("rep").cast("int").as("n_repeated"),
+            round(col("rep") / col("n"), 6).as("repeated_frac"),
+            (col("rep") / col("n") > 0.2).as("boilerplate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        g AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) - 3),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS ng
+              FROM t),
+        c AS (SELECT ng, COUNT(*) AS cnt FROM g GROUP BY 1),
+        d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rep
+              FROM g JOIN c USING (ng) GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_ngrams, CAST(rep AS INTEGER) AS n_repeated,
+          ROUND(rep / n, 6) AS repeated_frac, (rep / n > 0.2) AS boilerplate
+        FROM d ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_tokenize",
+      (s, dir) => {
+        // REAL BPE subword tokenization (Sennrich et al. 2016 — both
+        // halves: functions.Bpe trains 30 merges over the corpus's
+        // fixed vocabulary, then the standard iterative merge-apply
+        // encodes every token), upgrading q_text_stats' regex
+        // pre-tokenizer count to the actual algorithm a training
+        // pipeline budgets tokens with. Scale shape: the encode UDF
+        // (inherently sequential per word — the honest §2.10 rung)
+        // runs once per DISTINCT token, and the resulting
+        // (token -> piece count) table broadcast-joins back to the
+        // exploded stream — the expensive-function-on-distinct-keys
+        // pattern, so UDF invocations scale with vocabulary size, not
+        // corpus size. Oracle: the vocabulary is finite and fixed, so
+        // the merge table's OUTPUT is replayed as a DuckDB LUT (the
+        // Stemmer trick); out-of-vocabulary tokens fall back to a
+        // value the real encoder would NOT produce under merges, so a
+        // stale vocabulary fails the gate loudly.
+        val rk = graft.functions.Bpe.ranks(bpeMerges)
+        val nPieces = udf((tok: String) =>
+          if (tok == null) 0 else graft.functions.Bpe.encode(tok, rk).length)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextKit.tokens(col("text"))).as("tok"))
+        val lut = toks.select(col("tok")).distinct()
+          .withColumn("np", nPieces(col("tok")))
+        toks.join(broadcast(lut), "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), sum(col("np")).as("p"))
+          .select(
+            col("doc_id"),
+            col("n").cast("int").as("n_tokens"),
+            col("p").cast("int").as("n_pieces"),
+            round(col("p") / col("n"), 6).as("pieces_per_token"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rk = graft.functions.Bpe.ranks(bpeMerges)
+        val lut = bpeVocab
+          .map(w => s"('$w', ${graft.functions.Bpe.encode(w, rk).length})")
+          .mkString(", ")
+        s"""WITH lut(tok, np) AS (VALUES $lut),
+           |t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+           |j AS (SELECT doc_id, COALESCE(l.np, length(tok) + 1) AS np
+           |      FROM u LEFT JOIN lut l USING (tok)),
+           |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS p
+           |      FROM j GROUP BY 1)
+           |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(p AS INTEGER) AS n_pieces,
+           |  ROUND(p / n, 6) AS pieces_per_token
+           |FROM d ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -415,6 +415,71 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Media.countGifFrames(Media.pngContainer(2, 2, Array[Byte]())) shouldBe 0
   }
 
+  test("Bpe trains deterministic merges and encode reconstructs the word") {
+    import graft.functions.Bpe
+    val merges = Bpe.train(Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 2L), 10)
+    merges.nonEmpty shouldBe true
+    // by-value counting + total tie-break: input order never matters
+    Bpe.train(Seq("lowest" -> 2L, "low" -> 5L, "lower" -> 2L), 10) shouldBe merges
+    val rk = Bpe.ranks(merges)
+    for (w <- Seq("low", "lower", "lowest", "slower", "zzz")) {
+      // lossless: pieces concatenate back to the word (+ the EOW mark)
+      Bpe.encode(w, rk).mkString shouldBe (w + Bpe.Eow)
+    }
+    // the most frequent word trains all the way to a single piece
+    Bpe.encode("low", rk) shouldBe Seq("low" + Bpe.Eow)
+    // unmergeable OOV stays at chars + EOW (the oracle's fallback value)
+    Bpe.encode("zzz", rk).length shouldBe 4
+  }
+
+  test("Media.parseWav walks real RIFF chunks and rejects junk") {
+    val pcm = Array.tabulate(5)(i => (i * 100 - 200).toShort)
+    val wav = Media.wavContainer(16000, pcm, "trailing doc text".getBytes("UTF-8"))
+    val info = Media.parseWav(wav).get
+    info.sampleRate shouldBe 16000
+    info.channels shouldBe 1
+    info.bitsPerSample shouldBe 16
+    info.dataLen shouldBe 10
+    // signed LE16 samples survive the round trip (incl. negatives)
+    val back = Array.tabulate(5) { j =>
+      val o = info.dataOffset + 2 * j
+      ((wav(o) & 0xff) | (wav(o + 1).toInt << 8)).toShort
+    }
+    back shouldBe pcm
+    // odd-length trailing payload gets a pad byte; the walk must still
+    // terminate cleanly (parse again from the same bytes)
+    Media.parseWav(Media.wavContainer(8000, pcm, Array[Byte](1, 2, 3))) should not be empty
+    Media.parseWav("RIFFjunk".getBytes) shouldBe None
+    Media.parseWav("not audio at all".getBytes) shouldBe None
+    Media.parseWav(Array[Byte]()) shouldBe None
+    Media.parseWav(Media.pngContainer(2, 2, Array[Byte]())) shouldBe None
+    // truncated data chunk (declared longer than the bytes): reject
+    val truncated = wav.take(wav.length - 30)
+    Media.parseWav(truncated) shouldBe None
+  }
+
+  test("Media.audioFeatures frames PCM with a partial tail and exact RMS") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "some text", "srcA", "en", 9L), // n_samples = 160*(1+9%4)+(9%7)*10 = 340
+      (4L, "other",     "srcB", "fr", 6L)  // n_samples = 160*(1+6%4)+(6%7)*10 = 540
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val feats = Media.audioFeatures(Media.fromDocumentsAudio(spark, docs), frameLen = 160)
+      .collect().sortBy(_.doc_id)
+    feats should have length 2
+    val a = feats(0)
+    a.sample_rate shouldBe Media.fixtureSampleRate(9)
+    a.n_samples shouldBe 340
+    a.n_frames shouldBe 3 // 160 + 160 + 20-sample partial tail
+    a.duration_ms shouldBe (340L * 1000 / a.sample_rate).toInt
+    // RMS of frame 0 recomputed independently from the fixture waveform
+    val expected = math.sqrt(
+      (0 until 160).map { i => val v = Media.fixtureSample(3L, i).toLong; v * v }.sum.toDouble / 160)
+    a.first_rms shouldBe expected
+    a.max_rms should be >= a.first_rms
+    feats(1).n_frames shouldBe 4 // 540 = 3 full + 60-sample tail
+  }
+
   test("Media.sampleFrameIndices and resizeFit implement the sampling/fit contracts") {
     Media.sampleFrameIndices(10, 4) shouldBe Seq(0, 4, 8)
     Media.sampleFrameIndices(1, 4) shouldBe Seq(0)
