@@ -629,6 +629,85 @@ object CompositeQueries {
             x -> CAST(x AS VARCHAR)), ','), '') AS without_first,
           CAST(len(range(1, len(items) + 1)) AS INTEGER) AS seq_len
         FROM t ORDER BY l_orderkey""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_corpus_curation",
+      (s, dir) => {
+        // The end-to-end training-corpus CURATION FUNNEL — the
+        // pipeline a data team actually ships, composed from the
+        // already-verified operator families in ONE Spark plan:
+        //   1. exact dedup        (md5 fingerprint, keep the min id)
+        //   2. language gate      (marker-argmax prediction must match
+        //                          the declared lang — metadata
+        //                          consistency, TextQueries.langidPred)
+        //   3. quality gate       (the Gopher repetition rule,
+        //                          TextQueries.gopherSignals/gopherKeep)
+        //   4. mixture sampling   (per-source keep-permille hash rule,
+        //                          TextQueries.mixtureHmod)
+        // Output: one row per document with its FIRST-failing stage
+        // ('dup' < 'lang' < 'quality' < 'mixture' < 'kept') — the
+        // funnel report that tells you where the corpus went. Every
+        // rule is THE shared definition the standalone queries verify
+        // (private[queries] helpers), so the composite can't drift
+        // from its parts. Scale shape: one fingerprint-partitioned
+        // window (dedup), per-doc map-side expressions (langid,
+        // mixture), and the two partial-agg'd counting shuffles
+        // (gopher) joined back on doc_id — no global pass, no
+        // broadcast of anything data-sized, every stage keyed on
+        // doc_id or a hash of content.
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            TextKit.tokens(col("text")).as("w"))
+        val wFp = Window.partitionBy(col("fp"))
+        val withDup = base
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wFp))
+        val withLang = TextQueries.langMarkers.foldLeft(withDup) { case (df, (l, ms)) =>
+          df.withColumn(s"h_$l", size(filter(col("w"), x => array_contains(typedLit(ms), x))))
+        }
+        val Seq(de, en, es, fr, zh) =
+          Seq("de", "en", "es", "fr", "zh").map(l => col(s"h_$l"))
+        val sig = TextQueries.gopherSignals(base.select(col("doc_id"), col("w")))
+        val permilleLut = typedLit(TextQueries.mixturePermille)
+        withLang
+          .join(sig, "doc_id")
+          .withColumn("pred_lang", TextQueries.langidPred(de, en, es, fr, zh))
+          .withColumn("hmod", TextQueries.mixtureHmod(col("doc_id")))
+          .withColumn(
+            "permille",
+            coalesce(permilleLut(col("source")), lit(100)))
+          .select(
+            col("doc_id"), col("source"), col("lang"),
+            when(col("is_dup"), "dup")
+              .when(col("pred_lang") =!= col("lang"), "lang")
+              .when(!TextQueries.gopherKeep, "quality")
+              .when(col("hmod") >= col("permille"), "mixture")
+              .otherwise("kept")
+              .as("stage"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, lang, text,
+                 ${TextQueries.wordsSql} AS w FROM documents),
+        dd AS (SELECT doc_id,
+                 doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+               FROM documents),
+        ${TextQueries.langHitsCteSql},
+        p AS (SELECT doc_id, ${TextQueries.langidPredSql} AS pred_lang FROM h),
+        ${TextQueries.gopherSignalsCteSql},
+        m AS (SELECT doc_id,
+                ${OracleSql.foldSql("CAST(doc_id AS VARCHAR) || '#mix7'", 31)} % 1000 AS hmod,
+                ${TextQueries.mixturePermilleSql} AS permille
+              FROM documents)
+        SELECT t.doc_id, t.source, t.lang,
+          CASE WHEN is_dup THEN 'dup'
+               WHEN pred_lang != t.lang THEN 'lang'
+               WHEN NOT ${TextQueries.gopherKeepSql} THEN 'quality'
+               WHEN hmod >= permille THEN 'mixture'
+               ELSE 'kept' END AS stage
+        FROM t JOIN dd USING (doc_id) JOIN p USING (doc_id)
+             JOIN ua USING (doc_id) JOIN ba USING (doc_id) JOIN m USING (doc_id)
+        ORDER BY t.doc_id""")
     )
   )
 }

@@ -31,8 +31,10 @@ object TextQueries {
   /** DuckDB mirror of TextKit.charHash (shared — OracleSql.foldSql). */
   private def foldSql(e: String, mult: Int): String = OracleSql.foldSql(e, mult)
 
-  /** DuckDB mirror of TextKit.tokens. */
-  private val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+  /** DuckDB mirror of TextKit.tokens (shared with the curation
+    * composite's oracle).
+    */
+  private[queries] val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   /** DuckDB mirror of TextKit.shingles(_, 3). */
   private val shinglesSql =
@@ -50,6 +52,125 @@ object TextQueries {
     (OracleSql.stemmedGroundingVocab ++ stop).distinct.sorted
   private lazy val bpeMerges: Seq[(String, String)] =
     graft.functions.Bpe.train(bpeVocab.map(_ -> 1L), numMerges = 30)
+
+  /** Language-marker lists + deterministic argmax — shared by
+    * q_text_langid and the curation composite (one definition, so the
+    * two can't drift).
+    */
+  private[queries] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了")
+  )
+
+  /** Argmax with alphabetical tie-break over the five marker-hit
+    * counts (the q_text_langid rule).
+    */
+  private[queries] def langidPred(
+      de: Column, en: Column, es: Column, fr: Column, zh: Column): Column =
+    when(de >= en && de >= es && de >= fr && de >= zh, "de")
+      .when(en >= es && en >= fr && en >= zh, "en")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+
+  /** Per-doc Gopher repetition signals (raw, unrounded — consumers
+    * round for display but COMPARE on the exact integer-ratio values):
+    * doc_id, n (tokens), mxu (top unigram count), chars (total token
+    * chars), nb (bigrams), mxb (top bigram count), dupb (positions in
+    * bigrams occurring >1). Input: (doc_id, w) with w the token array.
+    */
+  private[queries] def gopherSignals(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // NON-distinct bigrams (repetition is the signal — shingles()
+    // dedups, which would erase it); guard <2 tokens: sequence()
+    // would generate a DESCENDING range instead of an empty one
+    val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+    val uni = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n"),
+        max(col("c")).as("mxu"),
+        sum(length(col("t")) * col("c")).as("chars"))
+    val bi = toks.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("nb"),
+        max(col("c")).as("mxb"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupb"))
+    uni.join(bi, "doc_id")
+  }
+
+  /** The Gopher keep rule over the raw signal columns (thresholds
+    * tuned to split this corpus; a real pipeline uses the published
+    * constants).
+    */
+  private[queries] val gopherKeep: Column =
+    col("mxu") / col("n") <= 0.10 &&
+      col("mxb") / col("nb") <= 0.05 &&
+      col("dupb") / col("nb") <= 0.10
+
+  private[queries] val gopherKeepSql: String =
+    "(mxu / n <= 0.10 AND mxb / nb <= 0.05 AND dupb / nb <= 0.10)"
+
+  /** DuckDB mirror of [[gopherSignals]]: CTEs `ua(doc_id, n, mxu,
+    * chars)` and `ba(doc_id, nb, mxb, dupb)` over `t(doc_id, w)`.
+    */
+  private[queries] val gopherSignalsCteSql: String =
+    s"""u AS (SELECT doc_id, unnest(w) AS t FROM t),
+        uc AS (SELECT doc_id, t, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS mxu,
+                      CAST(SUM(length(t) * c) AS BIGINT) AS chars
+               FROM uc GROUP BY 1),
+        b AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM t),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS mxb,
+                      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
+               FROM bc GROUP BY 1)"""
+
+  /** DuckDB mirror of the five marker-hit counts: CTE `h(doc_id,
+    * h_de..h_zh)` over `t(doc_id, w, ...)`.
+    */
+  private[queries] val langHitsCteSql: String =
+    """h AS (SELECT doc_id,
+          len(list_filter(w, x -> list_contains(['der','die','das','und','nicht'], x))) AS h_de,
+          len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+          len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS h_es,
+          len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+          len(list_filter(w, x -> list_contains(['的','是','了'], x))) AS h_zh
+          FROM t)"""
+
+  /** DuckDB mirror of [[langidPred]] over the h CTE columns. */
+  private[queries] val langidPredSql: String =
+    """CASE
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+         WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+         WHEN h_fr >= h_zh THEN 'fr'
+         ELSE 'zh' END"""
+
+  /** Per-source mixture keep-permille + the portable hash rule —
+    * shared by q_corpus_mixture and the curation composite.
+    */
+  private[queries] val mixturePermille: Map[String, Int] =
+    Map("src0" -> 1000, "src1" -> 750, "src2" -> 500, "src3" -> 250)
+
+  private[queries] def mixtureHmod(docId: Column): Column =
+    TextKit.charHash(concat(docId.cast("string"), lit("#mix7"))) % 1000
+
+  private[queries] val mixturePermilleSql: String =
+    """CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
+                   WHEN 'src2' THEN 500 WHEN 'src3' THEN 250
+                   ELSE 100 END"""
 
   /** Overlapping token windows per document (window ChunkW tokens,
     * stride ChunkS): the shared front half of q_text_chunking and
@@ -154,19 +275,13 @@ object TextQueries {
       "q_text_langid",
       (s, dir) => {
         // Stopword-marker language ID: occurrence count per language
-        // marker list, argmax with alphabetical tie-break. A real
-        // pipeline swaps the marker lists for char-n-gram profiles;
-        // the operator shape (per-doc scoring + deterministic argmax)
-        // is identical.
-        val markers = Map(
-          "de" -> Seq("der", "die", "das", "und", "nicht"),
-          "en" -> Seq("the", "a", "of", "and", "is"),
-          "es" -> Seq("el", "la", "los", "y", "es"),
-          "fr" -> Seq("le", "la", "les", "et", "est"),
-          "zh" -> Seq("的", "是", "了")
-        )
+        // marker list, argmax with alphabetical tie-break (langMarkers
+        // + langidPred — one definition shared with the curation
+        // composite, so the two can't drift). A real pipeline swaps
+        // the marker lists for char-n-gram profiles; the operator
+        // shape (per-doc scoring + deterministic argmax) is identical.
         val w = TextKit.tokens(col("text"))
-        val withHits = markers.toSeq.sortBy(_._1).foldLeft(
+        val withHits = langMarkers.foldLeft(
           Tables(s, dir, "documents").select(col("doc_id"), w.as("w"))
         ) { case (df, (lang, ms)) =>
           df.withColumn(
@@ -178,31 +293,15 @@ object TextQueries {
         withHits
           .select(
             col("doc_id"),
-            when(de >= en && de >= es && de >= fr && de >= zh, "de")
-              .when(en >= es && en >= fr && en >= zh, "en")
-              .when(es >= fr && es >= zh, "es")
-              .when(fr >= zh, "fr")
-              .otherwise("zh")
-              .as("pred_lang"),
+            langidPred(de, en, es, fr, zh).as("pred_lang"),
             greatest(de, en, es, fr, zh).as("n_hits")
           )
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        h AS (SELECT doc_id,
-          len(list_filter(w, x -> list_contains(['der','die','das','und','nicht'], x))) AS h_de,
-          len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
-          len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS h_es,
-          len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
-          len(list_filter(w, x -> list_contains(['的','是','了'], x))) AS h_zh
-          FROM t)
+        $langHitsCteSql
         SELECT doc_id,
-          CASE
-            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-            WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-            WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-            WHEN h_fr >= h_zh THEN 'fr'
-            ELSE 'zh' END AS pred_lang,
+          $langidPredSql AS pred_lang,
           CAST(GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS INTEGER) AS n_hits
         FROM h ORDER BY doc_id""")
     ),
@@ -722,8 +821,8 @@ object TextQueries {
         // — deterministic on any cluster, no RNG state, and the oracle
         // replays the identical rule. Output is the kept rows
         // themselves, so the gate checks exact membership, not counts.
-        val permille = typedLit(Map("src0" -> 1000, "src1" -> 750, "src2" -> 500, "src3" -> 250))
-        val hmod = TextKit.charHash(concat(col("doc_id").cast("string"), lit("#mix7"))) % 1000
+        val permille = typedLit(mixturePermille)
+        val hmod = mixtureHmod(col("doc_id"))
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), hmod.as("hmod"),
             coalesce(permille(col("source")), lit(100)).as("keep_permille"))
@@ -733,9 +832,7 @@ object TextQueries {
       Some(s"""WITH h AS (
           SELECT doc_id, source,
                  ${foldSql("CAST(doc_id AS VARCHAR) || '#mix7'", 31)} % 1000 AS hmod,
-                 CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
-                             WHEN 'src2' THEN 500 WHEN 'src3' THEN 250
-                             ELSE 100 END AS keep_permille
+                 $mixturePermilleSql AS keep_permille
           FROM documents)
         SELECT doc_id, source, hmod, CAST(keep_permille AS INT) AS keep_permille
         FROM h WHERE hmod < keep_permille ORDER BY doc_id""")
@@ -867,28 +964,7 @@ object TextQueries {
         // integer-ratio doubles and therefore engine-portable.
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
-        // NON-distinct bigrams (repetition is the signal — shingles()
-        // dedups, which would erase it); guard <2 tokens: sequence()
-        // would generate a DESCENDING range instead of an empty one
-        val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-        val uni = toks.select(col("doc_id"), explode(col("w")).as("t"))
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("c")).as("n"),
-            max(col("c")).as("mxu"),
-            sum(length(col("t")) * col("c")).as("chars"))
-        val bi = toks.select(col("doc_id"), explode(bigrams).as("bg"))
-          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("c")).as("nb"),
-            max(col("c")).as("mxb"),
-            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupb"))
-        uni.join(bi, "doc_id")
+        gopherSignals(toks)
           .select(
             col("doc_id"),
             col("n").cast("int").as("n_tokens"),
@@ -896,31 +972,18 @@ object TextQueries {
             round(col("mxb") / col("nb"), 6).as("top_bigram_frac"),
             round(col("dupb") / col("nb"), 6).as("dup_bigram_frac"),
             round(col("chars") / col("n"), 6).as("mean_token_len"),
-            (col("mxu") / col("n") <= 0.10 &&
-              col("mxb") / col("nb") <= 0.05 &&
-              col("dupb") / col("nb") <= 0.10).as("keep")
+            gopherKeep.as("keep")
           )
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        u AS (SELECT doc_id, unnest(w) AS t FROM t),
-        uc AS (SELECT doc_id, t, COUNT(*) AS c FROM u GROUP BY 1, 2),
-        ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS mxu,
-                      CAST(SUM(length(t) * c) AS BIGINT) AS chars
-               FROM uc GROUP BY 1),
-        b AS (SELECT doc_id,
-                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
-              FROM t),
-        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
-        ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS mxb,
-                      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
-               FROM bc GROUP BY 1)
+        $gopherSignalsCteSql
         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
           ROUND(mxu / n, 6) AS top_unigram_frac,
           ROUND(mxb / nb, 6) AS top_bigram_frac,
           ROUND(dupb / nb, 6) AS dup_bigram_frac,
           ROUND(chars / n, 6) AS mean_token_len,
-          (mxu / n <= 0.10 AND mxb / nb <= 0.05 AND dupb / nb <= 0.10) AS keep
+          $gopherKeepSql AS keep
         FROM ua JOIN ba USING (doc_id) ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
@@ -1033,6 +1096,61 @@ object TextQueries {
            |  ROUND(p / n, 6) AS pieces_per_token
            |FROM d ORDER BY doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_pii_scrub",
+      (s, dir) => {
+        // PII redaction (the C4-style cleaning pass): regex-scrub
+        // emails and phone numbers, report per-doc match counts and
+        // the scrubbed fingerprint. The fixture corpus carries no PII,
+        // so — the Media-container pattern applied to text — each doc
+        // is AUGMENTED with deterministic synthetic PII (doc_id % 3
+        // emails, doc_id % 2 phone numbers) that the oracle rebuilds
+        // from the same formulas; what the gate checks is the REGEX
+        // ENGINE AGREEMENT: both engines must find the same matches
+        // and produce byte-identical scrubbed text (md5-compared).
+        // Embarrassingly parallel projection — no shuffle, the scan's
+        // natural partitioning carries it, which is why scrub passes
+        // at 100 TB are the cheap part of a pipeline.
+        val emailRe = "[a-z0-9._]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        Tables(s, dir, "documents")
+          .withColumn("email_blk",
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.org")))
+          .withColumn("phone_blk",
+            concat(lit(" call +1-555-"), lpad(col("doc_id").cast("string"), 4, "0")))
+          .withColumn("aug", concat(col("text"),
+            expr("repeat(email_blk, CAST(doc_id % 3 AS INT))"),
+            expr("repeat(phone_blk, CAST(doc_id % 2 AS INT))")))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
+            length(col("scrubbed")).as("scrubbed_len"),
+            md5(col("scrubbed").cast("binary")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (
+          SELECT doc_id,
+            text || repeat(' contact user' || CAST(doc_id AS VARCHAR) || '@example.org',
+                           CAST(doc_id % 3 AS INTEGER))
+                 || repeat(' call +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+                           CAST(doc_id % 2 AS INTEGER)) AS aug
+          FROM documents),
+        sc AS (
+          SELECT doc_id, aug,
+            regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                           '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+          FROM a)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z]+\\.[a-z]+')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '\\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+          CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+          md5(scrubbed) AS scrubbed_md5
+        FROM sc ORDER BY doc_id""")
     )
   )
 }
