@@ -299,29 +299,34 @@ object Media {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
     else {
-      var i = 12
+      // The walk advances in Long: a declared chunk size near
+      // Int.MaxValue would overflow `i + 8 + size` back into range and
+      // turn the bounds checks into out-of-bounds reads on a crafted
+      // blob — exactly the throw this parser promises not to make.
+      var i = 12L
       var rate = -1
       var ch = -1
       var bits = -1
       var dOff = -1
       var dLen = -1
       while (i + 8 <= b.length && (dOff < 0 || rate < 0)) {
-        val id = new String(b.slice(i, i + 4), "US-ASCII")
-        val size = le32(b, i + 4)
-        if (size < 0) { i = b.length } // corrupt size: stop the walk
+        val ii = i.toInt
+        val id = new String(b.slice(ii, ii + 4), "US-ASCII")
+        val size = le32(b, ii + 4)
+        if (size < 0) { i = b.length.toLong } // corrupt size: stop the walk
         else {
           if (id == "fmt " && i + 8 + 16 <= b.length) {
-            ch = le16(b, i + 10)
-            rate = le32(b, i + 12)
-            bits = le16(b, i + 22)
+            ch = le16(b, ii + 10)
+            rate = le32(b, ii + 12)
+            bits = le16(b, ii + 22)
           } else if (id == "data") {
-            dOff = i + 8
+            dOff = ii + 8
             dLen = size
           }
-          i += 8 + size + (size & 1) // chunks are word-aligned
+          i += 8L + size + (size & 1) // chunks are word-aligned
         }
       }
-      if (rate > 0 && dOff >= 0 && dLen >= 0 && dOff + dLen <= b.length)
+      if (rate > 0 && dOff >= 0 && dLen >= 0 && dOff.toLong + dLen <= b.length)
         Some(WavInfo(rate, ch, bits, dOff, dLen))
       else None
     }

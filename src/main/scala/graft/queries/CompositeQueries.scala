@@ -706,7 +706,7 @@ object CompositeQueries {
                WHEN hmod >= permille THEN 'mixture'
                ELSE 'kept' END AS stage
         FROM t JOIN dd USING (doc_id) JOIN p USING (doc_id)
-             JOIN ua USING (doc_id) JOIN ba USING (doc_id) JOIN m USING (doc_id)
+             JOIN sig USING (doc_id) JOIN m USING (doc_id)
         ORDER BY t.doc_id""")
     )
   )

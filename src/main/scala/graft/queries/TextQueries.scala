@@ -105,7 +105,15 @@ object TextQueries {
         sum(col("c")).as("nb"),
         max(col("c")).as("mxb"),
         sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupb"))
-    uni.join(bi, "doc_id")
+    // ONE ROW PER INPUT DOC: explode drops empty docs from `uni` and
+    // <2-token docs from `bi`; inner-joining them would silently drop
+    // those documents from every downstream funnel. Left-join back
+    // onto the doc list and zero-fill, so a 1-token doc reports
+    // (n=1, nb=0) instead of vanishing.
+    toks.select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n", "mxu", "chars", "nb", "mxb", "dupb"))
   }
 
   /** The Gopher keep rule over the raw signal columns (thresholds
@@ -113,15 +121,22 @@ object TextQueries {
     * constants).
     */
   private[queries] val gopherKeep: Column =
-    col("mxu") / col("n") <= 0.10 &&
+    // n > 0 / nb > 0 guards: with <2 tokens the ratios are x/0 = NULL
+    // (ANSI off, same as DuckDB), and FALSE AND NULL = FALSE in both
+    // engines — degenerate docs fail the quality gate instead of
+    // evaluating to NULL.
+    col("n") > 0 && col("nb") > 0 &&
+      col("mxu") / col("n") <= 0.10 &&
       col("mxb") / col("nb") <= 0.05 &&
       col("dupb") / col("nb") <= 0.10
 
   private[queries] val gopherKeepSql: String =
-    "(mxu / n <= 0.10 AND mxb / nb <= 0.05 AND dupb / nb <= 0.10)"
+    "(n > 0 AND nb > 0 AND mxu / n <= 0.10 AND mxb / nb <= 0.05 AND dupb / nb <= 0.10)"
 
   /** DuckDB mirror of [[gopherSignals]]: CTEs `ua(doc_id, n, mxu,
-    * chars)` and `ba(doc_id, nb, mxb, dupb)` over `t(doc_id, w)`.
+    * chars)` and `ba(doc_id, nb, mxb, dupb)` over `t(doc_id, w)`,
+    * re-joined as `sig` (one zero-filled row per doc in `t`, like the
+    * Scala side's left-join).
     */
   private[queries] val gopherSignalsCteSql: String =
     s"""u AS (SELECT doc_id, unnest(w) AS t FROM t),
@@ -135,19 +150,27 @@ object TextQueries {
         bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
         ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS mxb,
                       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
-               FROM bc GROUP BY 1)"""
+               FROM bc GROUP BY 1),
+        sig AS (SELECT t.doc_id,
+                  COALESCE(n, 0) AS n, COALESCE(mxu, 0) AS mxu,
+                  COALESCE(chars, 0) AS chars, COALESCE(nb, 0) AS nb,
+                  COALESCE(mxb, 0) AS mxb, COALESCE(dupb, 0) AS dupb
+                FROM t LEFT JOIN ua USING (doc_id) LEFT JOIN ba USING (doc_id))"""
 
   /** DuckDB mirror of the five marker-hit counts: CTE `h(doc_id,
-    * h_de..h_zh)` over `t(doc_id, w, ...)`.
+    * h_de..h_zh)` over `t(doc_id, w, ...)`. GENERATED from
+    * [[langMarkers]] (not restated), so editing a marker list cannot
+    * drift the oracle from the Spark side.
     */
-  private[queries] val langHitsCteSql: String =
-    """h AS (SELECT doc_id,
-          len(list_filter(w, x -> list_contains(['der','die','das','und','nicht'], x))) AS h_de,
-          len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
-          len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS h_es,
-          len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
-          len(list_filter(w, x -> list_contains(['的','是','了'], x))) AS h_zh
+  private[queries] val langHitsCteSql: String = {
+    val hits = langMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS h_$l"
+    }.mkString(",\n          ")
+    s"""h AS (SELECT doc_id,
+          $hits
           FROM t)"""
+  }
 
   /** DuckDB mirror of [[langidPred]] over the h CTE columns. */
   private[queries] val langidPredSql: String =
@@ -167,10 +190,59 @@ object TextQueries {
   private[queries] def mixtureHmod(docId: Column): Column =
     TextKit.charHash(concat(docId.cast("string"), lit("#mix7"))) % 1000
 
+  // GENERATED from mixturePermille (not restated), so editing the
+  // mixture rule cannot drift the oracle from the Spark side
   private[queries] val mixturePermilleSql: String =
-    """CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
-                   WHEN 'src2' THEN 500 WHEN 'src3' THEN 250
-                   ELSE 100 END"""
+    mixturePermille.toSeq.sortBy(_._1)
+      .map { case (src, pm) => s"WHEN '$src' THEN $pm" }
+      .mkString("CASE source ", " ", " ELSE 100 END")
+
+  /** Shared decontamination rule (q_contamination_ngram + _bloom):
+    * per-doc DISTINCT 4-gram shingles, eval suite = doc_id % 50 == 0.
+    * Returns (ev(s, eval_id), tr(s, train_id)). One definition so the
+    * two ladder rungs cannot drift.
+    */
+  private[queries] def contaminationSides(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // materialize the token array into a column BEFORE shingling:
+    // shingles' per-position lambda references its input once per
+    // shingle, so an inlined tokens() EXPRESSION would re-tokenize
+    // the whole text per position — O(len^2) per doc (measured
+    // 7.6 s -> ~1 s at sf0.1)
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(TextKit.shingles(col("w"), 4)).as("s"))
+    (sh.filter(col("doc_id") % 50 === 0).select(col("s"), col("doc_id").as("eval_id")),
+      sh.filter(col("doc_id") % 50 =!= 0).select(col("s"), col("doc_id").as("train_id")))
+  }
+
+  /** Shared finish for the contamination rungs: count distinct shared
+    * shingles per (train, eval) pair; >= 3 flags contamination.
+    */
+  private[queries] def contaminationFinish(joined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = joined
+    .groupBy(col("train_id"), col("eval_id"))
+    .agg(count(lit(1)).as("n_shared"))
+    .select(
+      col("train_id"), col("eval_id"), col("n_shared"),
+      (col("n_shared") >= 3).as("contaminated"))
+    .orderBy("train_id", "eval_id")
+
+  /** The ONE exact oracle both contamination rungs hash against —
+    * the sketch-prune rung is lossless (no Bloom false negatives), so
+    * it must answer the identical SQL.
+    */
+  private[queries] val contaminationOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        sh AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+               FROM t),
+        ev AS (SELECT s, doc_id AS eval_id FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT s, doc_id AS train_id FROM sh WHERE doc_id % 50 != 0)
+        SELECT train_id, eval_id, COUNT(*) AS n_shared, COUNT(*) >= 3 AS contaminated
+        FROM tr JOIN ev USING (s) GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Overlapping token windows per document (window ChunkW tokens,
     * stride ChunkS): the shared front half of q_text_chunking and
@@ -853,37 +925,13 @@ object TextQueries {
         // whole corpus, which is exactly how production decontam runs.
         // n_shared counts distinct shared 4-grams (both sides are
         // per-doc distinct shingle sets); >= 3 flags contamination,
-        // 1-2 are reported for audit.
-        // materialize the token array into a column BEFORE shingling:
-        // shingles' per-position lambda references its input once per
-        // shingle, so an inlined tokens() EXPRESSION would re-tokenize
-        // the whole text per position — O(len^2) per doc (measured
-        // 7.6 s -> ~1 s at sf0.1 for this query)
-        val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
-          .select(col("doc_id"), explode(TextKit.shingles(col("w"), 4)).as("s"))
-        val ev = sh.filter(col("doc_id") % 50 === 0)
-          .select(col("s"), col("doc_id").as("eval_id"))
-        val tr = sh.filter(col("doc_id") % 50 =!= 0)
-          .select(col("s"), col("doc_id").as("train_id"))
-        tr.join(broadcast(ev), "s")
-          .groupBy(col("train_id"), col("eval_id"))
-          .agg(count(lit(1)).as("n_shared"))
-          .select(
-            col("train_id"), col("eval_id"), col("n_shared"),
-            (col("n_shared") >= 3).as("contaminated")
-          )
-          .orderBy("train_id", "eval_id")
+        // 1-2 are reported for audit. The rule (shingling, eval
+        // split, finish) is the SHARED contaminationSides/Finish
+        // definition, so this rung and the Bloom rung cannot drift.
+        val (ev, tr) = contaminationSides(s, dir)
+        contaminationFinish(tr.join(broadcast(ev), "s"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        sh AS (SELECT doc_id,
-                 unnest(list_distinct(list_transform(range(1, len(w) - 2),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
-               FROM t),
-        ev AS (SELECT s, doc_id AS eval_id FROM sh WHERE doc_id % 50 = 0),
-        tr AS (SELECT s, doc_id AS train_id FROM sh WHERE doc_id % 50 != 0)
-        SELECT train_id, eval_id, COUNT(*) AS n_shared, COUNT(*) >= 3 AS contaminated
-        FROM tr JOIN ev USING (s) GROUP BY 1, 2 ORDER BY 1, 2""")
+      Some(contaminationOracleSql)
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -902,43 +950,24 @@ object TextQueries {
         // fpp), never correctness. The sketch build crosses the
         // driver as one merged bitset — the same scalar-precompute
         // boundary as the BM25 corpus stats, sized O(sketch) not
-        // O(data). At fixture scale the rig measures ~2.5x the plain
-        // broadcast (3.5 vs 1.4 s at sf0.1: one extra eval pass for
-        // the sketch + a non-codegen UDF membership probe) — the
-        // ladder rung pays off where the exact eval set cannot
-        // broadcast, exactly like ppjoin/minhash vs the plain
-        // shingle join.
-        val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
-          .select(col("doc_id"), explode(TextKit.shingles(col("w"), 4)).as("s"))
-        val ev = sh.filter(col("doc_id") % 50 === 0)
-          .select(col("s"), col("doc_id").as("eval_id"))
-        val tr = sh.filter(col("doc_id") % 50 =!= 0)
-          .select(col("s"), col("doc_id").as("train_id"))
+        // O(data). The confirm join carries NO broadcast hint: the
+        // rung's premise is an eval side too big to broadcast
+        // exactly, so the registered plan is the shuffle join over
+        // the pruned survivors (AQE may still elect broadcast at
+        // fixture scale — that's a runtime size decision, not a
+        // baked-in assumption). The rule itself is the SHARED
+        // contaminationSides/Finish definition and the oracle is the
+        // SAME exact SQL as the plain rung — lossless by Bloom's
+        // no-false-negative guarantee.
+        val (ev, tr) = contaminationSides(s, dir)
         // capacity is a config constant (a production suite knows its
         // benchmark size); 3% fpp keeps the sketch ~6KB per 10k items
         val bloom = ev.stat.bloomFilter("s", 200000L, 0.03)
         val bf = s.sparkContext.broadcast(bloom)
         val mightContain = udf((x: String) => x != null && bf.value.mightContainString(x))
-        tr.filter(mightContain(col("s")))
-          .join(broadcast(ev), "s")
-          .groupBy(col("train_id"), col("eval_id"))
-          .agg(count(lit(1)).as("n_shared"))
-          .select(
-            col("train_id"), col("eval_id"), col("n_shared"),
-            (col("n_shared") >= 3).as("contaminated")
-          )
-          .orderBy("train_id", "eval_id")
+        contaminationFinish(tr.filter(mightContain(col("s"))).join(ev, "s"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        sh AS (SELECT doc_id,
-                 unnest(list_distinct(list_transform(range(1, len(w) - 2),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
-               FROM t),
-        ev AS (SELECT s, doc_id AS eval_id FROM sh WHERE doc_id % 50 = 0),
-        tr AS (SELECT s, doc_id AS train_id FROM sh WHERE doc_id % 50 != 0)
-        SELECT train_id, eval_id, COUNT(*) AS n_shared, COUNT(*) >= 3 AS contaminated
-        FROM tr JOIN ev USING (s) GROUP BY 1, 2 ORDER BY 1, 2""")
+      Some(contaminationOracleSql)
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -984,7 +1013,7 @@ object TextQueries {
           ROUND(dupb / nb, 6) AS dup_bigram_frac,
           ROUND(chars / n, 6) AS mean_token_len,
           $gopherKeepSql AS keep
-        FROM ua JOIN ba USING (doc_id) ORDER BY doc_id""")
+        FROM sig ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -1017,11 +1046,18 @@ object TextQueries {
               element_at(col("w"), i + 4))))
         val g = toks.select(col("doc_id"), explode(ngrams).as("ng"))
         val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
-        g.join(counts, "ng")
+        val perDoc = g.join(counts, "ng")
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n"),
             sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("rep"))
+        // one row per doc: explode drops <5-token docs — left-join
+        // back and zero-fill so they report n_ngrams=0 (frac/flag
+        // NULL: no 5-grams means no repetition verdict) instead of
+        // silently vanishing from the report
+        toks.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n", "rep"))
           .select(
             col("doc_id"),
             col("n").cast("int").as("n_ngrams"),
@@ -1038,10 +1074,12 @@ object TextQueries {
         c AS (SELECT ng, COUNT(*) AS cnt FROM g GROUP BY 1),
         d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rep
-              FROM g JOIN c USING (ng) GROUP BY doc_id)
+              FROM g JOIN c USING (ng) GROUP BY doc_id),
+        dd AS (SELECT t.doc_id, COALESCE(n, 0) AS n, COALESCE(rep, 0) AS rep
+               FROM t LEFT JOIN d USING (doc_id))
         SELECT doc_id, CAST(n AS INTEGER) AS n_ngrams, CAST(rep AS INTEGER) AS n_repeated,
           ROUND(rep / n, 6) AS repeated_frac, (rep / n > 0.2) AS boilerplate
-        FROM d ORDER BY doc_id""")
+        FROM dd ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

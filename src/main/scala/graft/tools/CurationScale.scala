@@ -92,5 +92,11 @@ object CurationScale {
     println(f"[curation-scale] docs=$n%d mismatches=$bad%d $hist sec=$sec%.1f")
     require(bad == 0, "curation funnel mis-staged planted documents")
     spark.stop()
+    // clean up the multi-hundred-MB synthetic corpus (repeated runs
+    // would otherwise fill /tmp)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

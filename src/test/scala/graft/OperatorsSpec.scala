@@ -456,6 +456,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // truncated data chunk (declared longer than the bytes): reject
     val truncated = wav.take(wav.length - 30)
     Media.parseWav(truncated) shouldBe None
+    // crafted chunk size near Int.MaxValue: the Long walk must reject
+    // it (no wraparound into a negative offset, no throw)
+    val overflow = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(overflow).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0x7FFFFFF0) // declared fmt-chunk size
+    Media.parseWav(overflow) shouldBe None
+    // and a huge declared data size must fail the Long bounds check
+    val hugeData = wav.clone()
+    val db = java.nio.ByteBuffer.wrap(hugeData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    db.putInt(40, 0x7FFFFFF0) // declared data-chunk size (offset 36+4)
+    Media.parseWav(hugeData) shouldBe None
   }
 
   test("Media.audioFeatures frames PCM with a partial tail and exact RMS") {

@@ -52,4 +52,33 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     out.columns shouldBe Array("doc_id", "term", "tf", "bm25_micros")
     out.count() shouldBe 0L
   }
+
+  test("gopher/repetition/curation report one row per doc, incl. degenerate docs") {
+    // Empty and 1-token docs produce no bigram/5-gram rows; the
+    // per-doc reports must still carry them (left-join + zero-fill)
+    // rather than silently dropping them, and the funnel must stage
+    // them 'quality' (nb=0 fails the keep rule), not lose them.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen-sf").toString
+    Seq(
+      (1L, "", "de", "src0"), // zero tokens; all-zero marker hits -> pred 'de'
+      (2L, "hello", "de", "src0"), // one token: no bigrams
+      (3L, "the a of and is " + (1 to 20).map(i => s"tok$i").mkString(" "), "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val gopher = SparkEntry.queries("q_quality_gopher")(spark, dir)
+      .select("doc_id", "n_tokens", "keep").as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    gopher shouldBe Array((1L, 0, false), (2L, 1, false), (3L, 25, true))
+
+    val rep = SparkEntry.queries("q_corpus_repeated_ngrams")(spark, dir)
+      .select("doc_id", "n_ngrams").as[(Long, Int)].collect().sortBy(_._1)
+    rep shouldBe Array((1L, 0), (2L, 0), (3L, 21))
+
+    val stages = SparkEntry.queries("q_corpus_curation")(spark, dir)
+      .select("doc_id", "stage").as[(Long, String)].collect().sortBy(_._1)
+    stages shouldBe Array((1L, "quality"), (2L, "quality"), (3L, "kept"))
+  }
 }
