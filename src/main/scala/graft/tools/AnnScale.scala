@@ -29,11 +29,11 @@ import graft.functions.VectorKit
   *
   * Usage: runMain graft.tools.AnnScale [nVecs]
   *
-  * MEASURED (1M vectors, local[32]): bucket+checkpoint 5.1 s;
-  * candidate join + exact re-rank + recall check 4.0 s; 1,270
-  * candidates per query vs 1M for brute force (~790x less exact
-  * work); top-1 recall of planted neighbors 971/1000 (97.1%), above
-  * the Hamming-1 analytical floor.
+  * MEASURED (1M vectors, local[32], single-materialized candidate
+  * join): bucket+checkpoint 5.4 s; candidate join + exact re-rank +
+  * recall check 4.9 s; 1,270 candidates per query vs 1M for brute
+  * force (~790x less exact work); top-1 recall of planted neighbors
+  * 971/1000 (97.1%), above the Hamming-1 analytical floor.
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
