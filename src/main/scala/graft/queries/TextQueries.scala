@@ -686,6 +686,42 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters_deep",
+      (s, dir) => {
+        // DEEP-diameter component clustering — the boundary
+        // q_dedup_clusters deliberately scopes out: min-label
+        // propagation costs O(diameter) rounds, so chain-shaped
+        // components (lineage graphs, page-link paths, sequential
+        // near-dup runs) need the large-star/small-star contraction
+        // (operators.StarContraction, Kiveris et al. 2014), which
+        // converges in O(log n) alternations at ANY diameter. The
+        // graph here is each source's documents chained in doc_id
+        // order (per-source paths up to 250 hops at sf0.1 — already
+        // past propagation's default 20-round guard, which THROWS on
+        // this input; see OperatorsSpec). Components are therefore
+        // exactly the sources, and the oracle states the expected
+        // labeling independently: min doc_id per source. The lead()
+        // window is PARTITIONED by source — no global window — and
+        // every contraction round is a partial-agg'd groupBy + an
+        // equi-join on the node key.
+        val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        val wNext = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val edges = d
+          .withColumn("nxt", lead(col("doc_id"), 1).over(wNext))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id").as("a"), col("nxt").as("b"))
+        val labels = graft.operators.StarContraction.labels(edges)
+        // left-join keeps one row per document even for a
+        // single-doc source (no edges -> self-labeled)
+        d.join(labels, d("doc_id") === labels("node"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS cluster_id
+        FROM documents ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_simhash",
       (s, dir) => {
         // 62-bit SimHash per document: sign of the tf-weighted sum of

@@ -176,6 +176,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     out(9L) shouldBe 7L
   }
 
+  test("StarContraction.labels matches propagation on shallow graphs") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, StarContraction}
+    // mixed shapes: chain {1,2,3}, pair {7,9}, triangle {10,11,12}
+    // with a bridge to {13}
+    val edges = Seq(
+      (2L, 1L), (3L, 2L), (9L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L)).toDF("a", "b")
+    val star = StarContraction.labels(edges).as[(Long, Long)].collect().toMap
+    val prop = ConnectedComponents.labels(edges).as[(Long, Long)].collect().toMap
+    star shouldBe prop
+    star(13L) shouldBe 10L
+  }
+
+  test("StarContraction.labels handles diameters far beyond propagation reach") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, StarContraction}
+    // two chains of diameter 1000 — O(log n) alternations for star
+    // contraction; min-label propagation's boundary-exact guard must
+    // THROW at maxRounds = 20 on the same input
+    val chain = (0L until 1000L).map(i => (i, i + 1)) ++
+      (5000L until 6000L).map(i => (i, i + 1))
+    val edges = chain.toDF("a", "b")
+    val out = StarContraction.labels(edges).as[(Long, Long)].collect()
+    out.length shouldBe 2002
+    out.filter(_._1 <= 1000L).map(_._2).distinct shouldBe Array(0L)
+    out.filter(_._1 >= 5000L).map(_._2).distinct shouldBe Array(5000L)
+    an[IllegalStateException] should be thrownBy
+      ConnectedComponents.labels(edges, maxRounds = 20).count()
+  }
+
   test("RangeJoin.pointInInterval pairs points with containing intervals") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -18,10 +18,10 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
   }
 
   test("registry invariants: full oracle coverage, naming, monotone size") {
-    // round 7 closed with 101 queries, EVERY one DuckDB-oracled — a
+    // round 7 closed with 102 queries, EVERY one DuckDB-oracled — a
     // future refactor must not silently drop queries or regress a
     // query to rows-only (the weaker driver check)
-    SparkEntry.queries.size should be >= 101
+    SparkEntry.queries.size should be >= 102
     SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) shouldBe empty
     all(SparkEntry.queries.keys) should startWith("q_")
     all(SparkEntry.oracleSql.values.map(_.trim)) should not be empty
