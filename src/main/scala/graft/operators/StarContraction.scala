@@ -64,7 +64,11 @@ object StarContraction {
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
-      // large-star over the symmetric neighborhoods
+      // large-star over the symmetric neighborhoods. No checkpoint or
+      // distinct here: the whole alternation materializes ONCE into
+      // small's checkpoint below (large's shuffle is reused across
+      // its two consumers via exchange reuse), and small's trailing
+      // distinct absorbs any duplicate emissions.
       val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
       val mLarge = sym.groupBy(col("a"))
         .agg(min(col("b")).as("mb"))
@@ -73,8 +77,6 @@ object StarContraction {
         .join(mLarge, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
 
       // small-star over the (smaller-neighbor -> larger-node) half-edges
       val half = large
@@ -89,8 +91,11 @@ object StarContraction {
         .localCheckpoint()
 
       // fixpoint probe: the star set is stable when nothing entered
-      // or left (two limit-1 anti-join probes, not full counts)
-      changed = !small.except(cur).isEmpty || !cur.except(small).isEmpty
+      // or left — both sides are distinct sets, so the two exceptAlls
+      // form the exact symmetric difference, probed in ONE limit-1
+      // job (two separate isEmpty probes would double the per-round
+      // job count, which dominates at fixture scale)
+      changed = !small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty
       cur = small
       rounds += 1
     }
