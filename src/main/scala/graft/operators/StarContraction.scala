@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Connected components by alternating LARGE-STAR / SMALL-STAR
   * contraction (Kiveris et al. 2014, "Connected Components in
-  * MapReduce and Beyond", the two-phase algorithm) — the deep-graph
+  * MapReduce and Beyond", the Alternating algorithm) — the deep-graph
   * counterpart of [[ConnectedComponents]]'s min-label propagation.
   *
   * Propagation covers ONE hop per round, so its cost is
   * O(component diameter); star contraction instead rewires the edge
   * set itself — each round every node folds its neighborhood onto the
-  * neighborhood minimum — and converges in O(log n) rounds on ANY
-  * diameter (a 100k-long chain labels in ~20 alternations where
-  * propagation would need 100k rounds). Use propagation for
+  * neighborhood minimum. The alternating variant implemented here is
+  * proven to converge in O(log^2 n) rounds REGARDLESS of diameter
+  * (in practice ~2 log2 n: a 10k-long chain converges in ~14
+  * alternations where propagation would need 10k rounds; the paper's
+  * Two-Phase variant, which iterates large-star to an inner fixpoint
+  * each phase, carries the O(log n) bound). Use propagation for
   * small-diameter near-dup graphs (cheaper per round, 2-4 rounds);
   * use this for chains, lineage graphs, or any component whose
   * diameter is not known to be small.
@@ -32,9 +35,10 @@ import org.apache.spark.sql.functions._
   * the node key plus a limit-1 convergence probe; lineage is
   * truncated per alternation (cluster: swap localCheckpoint for
   * checkpoint). Termination is boundary-exact like the closure
-  * family: on maxRounds exhaustion the last probe IS the divergence
-  * evidence, so exhaustion with a changed edge set throws instead of
-  * silently returning split labels.
+  * family: `changed` after the loop only proves the LAST round did
+  * work — convergence may have landed exactly on it — so exhaustion
+  * runs ONE confirming alternation and throws only if it would still
+  * change the edge set, never on an exact-fit maxRounds.
   *
   * MEASURED (tools.DeepCcScale, local[32]): 1M nodes in 100 chains
   * of 10,000 (component diameter 9,999 — propagation's guard throws
@@ -61,15 +65,13 @@ object StarContraction {
       .distinct()
       .localCheckpoint()
 
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < maxRounds) {
-      // large-star over the symmetric neighborhoods. No checkpoint or
-      // distinct here: the whole alternation materializes ONCE into
-      // small's checkpoint below (large's shuffle is reused across
-      // its two consumers via exchange reuse), and small's trailing
-      // distinct absorbs any duplicate emissions.
-      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+    // one large-star + small-star alternation. No checkpoint or
+    // distinct after large-star: the whole alternation materializes
+    // ONCE into small-star's checkpoint (large's shuffle is reused
+    // across its two consumers via exchange reuse), and small's
+    // trailing distinct absorbs any duplicate emissions.
+    def alternate(in: DataFrame): DataFrame = {
+      val sym = in.union(in.select(col("b").as("a"), col("a").as("b")))
       val mLarge = sym.groupBy(col("a"))
         .agg(min(col("b")).as("mb"))
         .select(col("a").as("u"), least(col("mb"), col("a")).as("m"))
@@ -78,31 +80,43 @@ object StarContraction {
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
 
-      // small-star over the (smaller-neighbor -> larger-node) half-edges
       val half = large
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       val mSmall = half.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = half
+      half
         .join(mSmall, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(mSmall.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
         .localCheckpoint()
+    }
 
-      // fixpoint probe: the star set is stable when nothing entered
-      // or left — both sides are distinct sets, so the two exceptAlls
-      // form the exact symmetric difference, probed in ONE limit-1
-      // job (two separate isEmpty probes would double the per-round
-      // job count, which dominates at fixture scale)
-      changed = !small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty
-      cur = small
+    // fixpoint probe: the star set is stable when nothing entered or
+    // left — both sides are distinct sets, so the two exceptAlls form
+    // the exact symmetric difference, probed in ONE limit-1 job (two
+    // separate isEmpty probes would double the per-round job count,
+    // which dominates at fixture scale)
+    def differs(x: DataFrame, y: DataFrame): Boolean =
+      !x.exceptAll(y).union(y.exceptAll(x)).isEmpty
+
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < maxRounds) {
+      val next = alternate(cur)
+      changed = differs(next, cur)
+      cur = next
       rounds += 1
     }
-    if (changed)
+    // boundary-exact exhaustion: the loop may have landed on the
+    // fixpoint exactly at maxRounds (changed only says the LAST round
+    // did work) — confirm with one more alternation and only throw on
+    // real divergence, mirroring ConnectedComponents.labels
+    if (changed && differs(alternate(cur), cur))
       throw new IllegalStateException(
         s"StarContraction.labels: edge set still contracting after $maxRounds rounds; " +
-          "raise maxRounds (O(log n) alternations suffice for any graph)")
+          "raise maxRounds (the alternating algorithm is proven to converge in " +
+          "O(log^2 n) rounds, ~2 log2 n in practice)")
 
     // at the fixpoint every edge is (node, root); min() guards the
     // (never-observed) multi-star case and re-attaches roots/isolated

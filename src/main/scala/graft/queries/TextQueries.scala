@@ -694,7 +694,8 @@ object TextQueries {
         // components (lineage graphs, page-link paths, sequential
         // near-dup runs) need the large-star/small-star contraction
         // (operators.StarContraction, Kiveris et al. 2014), which
-        // converges in O(log n) alternations at ANY diameter. The
+        // converges in O(log^2 n) alternations (~2 log2 n in
+        // practice) at ANY diameter. The
         // graph here is each source's documents chained in doc_id
         // order (per-source paths up to 250 hops at sf0.1 — already
         // past propagation's default 20-round guard, which THROWS on
@@ -703,7 +704,13 @@ object TextQueries {
         // labeling independently: min doc_id per source. The lead()
         // window is PARTITIONED by source — no global window — and
         // every contraction round is a partial-agg'd groupBy + an
-        // equi-join on the node key.
+        // equi-join on the node key. Fixture-scale cost (~6-8 s at
+        // sf0.1) is ~9 alternations x fixed per-round job overhead —
+        // the toy-scale premium of a plan whose work is O(|E|) per
+        // round with a diameter-independent round count
+        // (tools.DeepCcScale: 1M nodes at diameter 9,999 in 39 s);
+        // the shallow-graph rung stays q_dedup_clusters (cheaper
+        // rounds, O(diameter) count).
         val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
         val wNext = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         val edges = d

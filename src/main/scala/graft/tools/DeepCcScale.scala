@@ -8,10 +8,10 @@ import graft.operators.StarContraction
 /** Scale demonstration for the large-star/small-star contraction
   * operator (q_dedup_clusters_deep): 1M nodes in 100 chains of 10,000
   * — component DIAMETER 9,999, where min-label propagation would need
-  * 10,000 one-hop rounds (its guard throws at 20) and star
-  * contraction needs O(log n) alternations — with the full labeling
-  * asserted exactly: every node's cluster must be its chain's
-  * minimum id.
+  * 10,000 one-hop rounds (its guard throws at 20) and the alternating
+  * contraction needs ~2 log2 n rounds (proven O(log^2 n)) — with the
+  * full labeling asserted exactly: every node's cluster must be its
+  * chain's minimum id.
   *
   * Usage: runMain graft.tools.DeepCcScale [nNodes] [chainLen]
   */

@@ -190,6 +190,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     star(13L) shouldBe 10L
   }
 
+  test("StarContraction.labels is boundary-exact at maxRounds exhaustion") {
+    import spark.implicits._
+    import graft.operators.StarContraction
+    // root-first star edges rewrite to the canonical fixpoint in
+    // exactly ONE round, so maxRounds = 1 exhausts with changed=true
+    // on an already-stable set — the confirming probe must return the
+    // correct labels, not throw
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = StarContraction.labels(edges, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // a genuinely unconverged graph at the same bound must still throw
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    an[IllegalStateException] should be thrownBy
+      StarContraction.labels(chain, maxRounds = 1).count()
+  }
+
   test("StarContraction.labels handles diameters far beyond propagation reach") {
     import spark.implicits._
     import graft.operators.{ConnectedComponents, StarContraction}
