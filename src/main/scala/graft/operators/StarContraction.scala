@@ -43,7 +43,9 @@ import org.apache.spark.sql.functions._
   * MEASURED (tools.DeepCcScale, local[32]): 1M nodes in 100 chains
   * of 10,000 (component diameter 9,999 — propagation's guard throws
   * at its default 20 rounds) labeled exactly in 39.2 s, every
-  * cluster asserted equal to its chain minimum.
+  * cluster asserted equal to its chain minimum; at 10x the diameter
+  * (10 chains of 100,000) 46.6 s — +19% time for 10x depth, the
+  * round count is effectively diameter-independent.
   */
 object StarContraction {
 
