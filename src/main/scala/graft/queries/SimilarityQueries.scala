@@ -165,6 +165,16 @@ object SimilarityQueries {
         // persist() covers the k-means training iterations (many full
         // passes); after fit the remaining plan reads emb once, so the
         // cache is released before the query's own action runs.
+        // KMeans.fit throws on an EMPTY dataset ("Nothing has been
+        // added to this summarizer") — an empty embeddings table must
+        // yield an empty result, not a failed stage (the empty-tables
+        // smoke spec covers every embeddings-driven query)
+        if (emb.isEmpty) {
+          emb.unpersist()
+          emb.filter(lit(false)).select(
+            col("vec_id").as("qid"), lit(1).as("rk"),
+            lit(true).as("in_exact_top10"), lit(0.0).as("exact1_cosine"))
+        } else {
         val model = new KMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(emb)
         emb.unpersist()
         val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
@@ -236,6 +246,7 @@ object SimilarityQueries {
             col("e1").as("exact1_cosine")
           )
           .orderBy("qid", "rk")
+        }
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings WHERE vec_id < 10),

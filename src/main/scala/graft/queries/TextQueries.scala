@@ -1003,12 +1003,22 @@ object TextQueries {
         // SAME exact SQL as the plain rung — lossless by Bloom's
         // no-false-negative guarantee.
         val (ev, tr) = contaminationSides(s, dir)
-        // capacity is a config constant (a production suite knows its
-        // benchmark size); 3% fpp keeps the sketch ~6KB per 10k items
-        val bloom = ev.stat.bloomFilter("s", 200000L, 0.03)
-        val bf = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((x: String) => x != null && bf.value.mightContainString(x))
-        contaminationFinish(tr.filter(mightContain(col("s"))).join(ev, "s"))
+        // Spark's stat.bloomFilter NPEs on an EMPTY frame (null
+        // aggregation buffer) — an empty eval suite must mean "no
+        // contamination", not a crashed stage, so short-circuit to
+        // the schema-correct empty join (the q_text_bm25 empty-corpus
+        // guard pattern; the isEmpty probe stops at the first row)
+        if (ev.isEmpty) contaminationFinish(tr.join(ev, "s"))
+        else {
+          // capacity is a config constant (a production suite knows
+          // its benchmark size); 3% fpp keeps the sketch ~6KB per
+          // 10k items
+          val bloom = ev.stat.bloomFilter("s", 200000L, 0.03)
+          val bf = s.sparkContext.broadcast(bloom)
+          val mightContain =
+            udf((x: String) => x != null && bf.value.mightContainString(x))
+          contaminationFinish(tr.filter(mightContain(col("s"))).join(ev, "s"))
+        }
       },
       Some(contaminationOracleSql)
     ),

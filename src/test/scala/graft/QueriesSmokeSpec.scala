@@ -53,6 +53,46 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     out.count() shouldBe 0L
   }
 
+  test("every documents/embeddings-driven query tolerates EMPTY tables") {
+    // At 100 TB empty inputs are routine (an empty source, a filtered
+    // partition, a fresh date); a per-source pipeline step must return
+    // an empty frame, not NPE in a driver fold or head() an empty
+    // Dataset (the q_text_bm25 bug class, caught by the round-6
+    // ADVICE). Every query that reads only documents/embeddings runs
+    // here against empty tables with the production schemas.
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-all").toString
+    val empty = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    spark.createDataFrame(empty, docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.createDataFrame(empty, embSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val names = Seq(
+      "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
+      "q_corpus_curation", "q_corpus_mixture", "q_corpus_repeated_ngrams",
+      "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
+      "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
+      "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
+      "q_dedup_simhash", "q_multimodal_audio", "q_multimodal_features",
+      "q_multimodal_framesample", "q_quality_gopher", "q_similarity_ann_lsh",
+      "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
+      "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
+      "q_text_langid", "q_text_pii_scrub", "q_text_stats")
+    names.foreach { n =>
+      withClue(s"$n on empty tables: ") {
+        SparkEntry.queries(n)(spark, dir).count() shouldBe 0L
+      }
+    }
+  }
+
   test("gopher/repetition/curation report one row per doc, incl. degenerate docs") {
     // Empty and 1-token docs produce no bigram/5-gram rows; the
     // per-doc reports must still carry them (left-join + zero-fill)
