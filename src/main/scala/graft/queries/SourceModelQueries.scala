@@ -29,14 +29,21 @@ object SourceModelQueries {
         val corpus = Tables(s, dir, "documents")
           .filter(col("doc_id") < 20)
           .select(TextKit.tokens(col("text")).as("tokens"))
-        val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
-        EmbeddingModel.vectorTable(model)
-          .select(
-            col("word"),
-            size(col("vector")).as("dim"),
-            (col("norm") > 0.0).as("norm_positive")
-          )
-          .orderBy("word")
+        // Word2Vec.fit requires a non-empty vocabulary — an empty
+        // corpus must mean an empty vector table, not a failed fit
+        if (corpus.isEmpty)
+          corpus.select(
+            lit("").as("word"), lit(32).as("dim"), lit(true).as("norm_positive"))
+        else {
+          val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
+          EmbeddingModel.vectorTable(model)
+            .select(
+              col("word"),
+              size(col("vector")).as("dim"),
+              (col("norm") > 0.0).as("norm_positive")
+            )
+            .orderBy("word")
+        }
       },
       Some("""SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
                  x -> x != '')) AS word,
@@ -58,19 +65,27 @@ object SourceModelQueries {
         val corpus = Tables(s, dir, "documents")
           .filter(col("doc_id") < 20)
           .select(TextKit.tokens(col("text")).as("tokens"))
-        val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
-        val w = Window.orderBy(col("similarity").desc, col("word").asc)
-        EmbeddingModel.synonyms(model, "data", 5)
-          .withColumn("rk", row_number().over(w))
-          .withColumn("prev", lag(col("similarity"), 1).over(w))
-          .select(
-            col("rk"),
-            (col("similarity") >= -1.0000001 && col("similarity") <= 1.0000001)
-              .as("cos_in_range"),
-            (col("prev").isNull || col("similarity") <= col("prev")).as("descending"),
-            (col("word") =!= "data").as("excludes_query")
-          )
-          .orderBy("rk")
+        // Word2Vec.fit requires a non-empty vocabulary — an empty
+        // corpus has no synonyms to report
+        if (corpus.isEmpty)
+          corpus.select(
+            lit(1).as("rk"), lit(true).as("cos_in_range"),
+            lit(true).as("descending"), lit(true).as("excludes_query"))
+        else {
+          val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
+          val w = Window.orderBy(col("similarity").desc, col("word").asc)
+          EmbeddingModel.synonyms(model, "data", 5)
+            .withColumn("rk", row_number().over(w))
+            .withColumn("prev", lag(col("similarity"), 1).over(w))
+            .select(
+              col("rk"),
+              (col("similarity") >= -1.0000001 && col("similarity") <= 1.0000001)
+                .as("cos_in_range"),
+              (col("prev").isNull || col("similarity") <= col("prev")).as("descending"),
+              (col("word") =!= "data").as("excludes_query")
+            )
+            .orderBy("rk")
+        }
       },
       Some("""SELECT CAST(rk AS INTEGER) AS rk, TRUE AS cos_in_range,
           TRUE AS descending, TRUE AS excludes_query

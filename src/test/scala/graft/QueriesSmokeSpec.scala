@@ -93,6 +93,28 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     }
   }
 
+  test("every registered query tolerates an ALL-EMPTY dataset") {
+    // The strongest form of the empty-input property: all ten tables
+    // present with production schemas and zero rows. Every query must
+    // return an empty frame — no NPE in a scalar fold, no ML fit on
+    // an empty dataset, no head() of an empty plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-ds").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // audit-style queries REPORT on an empty table rather than
+    // returning nothing (a global aggregate always yields one row;
+    // q_quality_audit's row_count check correctly reports failed)
+    val reportRows = Map("q_quality_audit" -> 6L)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(s"$name on all-empty dataset: ") {
+        fn(spark, dir).count() shouldBe reportRows.getOrElse(name, 0L)
+      }
+    }
+  }
+
   test("gopher/repetition/curation report one row per doc, incl. degenerate docs") {
     // Empty and 1-token docs produce no bigram/5-gram rows; the
     // per-doc reports must still carry them (left-join + zero-fill)
