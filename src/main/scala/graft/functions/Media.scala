@@ -385,6 +385,10 @@ object Media {
   def fromDocumentsAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs
+      // bad rows (null id/text/n_chars) cannot form a container and
+      // would violate the typed encoder's primitive fields — drop
+      // them, mirroring audioFeatures' unparseable-payload policy
+      .na.drop(Seq("doc_id", "text", "n_chars"))
       .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
@@ -454,6 +458,10 @@ object Media {
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs
+      // bad rows (null id/text/n_chars) cannot form a container and
+      // would violate the typed encoder's primitive fields — drop
+      // them, mirroring audioFeatures' unparseable-payload policy
+      .na.drop(Seq("doc_id", "text", "n_chars"))
       .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
@@ -479,6 +487,10 @@ object Media {
   def fromDocumentsAnimated(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs
+      // bad rows (null id/text/n_chars) cannot form a container and
+      // would violate the typed encoder's primitive fields — drop
+      // them, mirroring audioFeatures' unparseable-payload policy
+      .na.drop(Seq("doc_id", "text", "n_chars"))
       .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),

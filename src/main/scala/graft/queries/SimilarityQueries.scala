@@ -157,7 +157,10 @@ object SimilarityQueries {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val nprobe = 2
+        // NULL embeddings are un-indexable (array_to_vector NPEs on
+        // null) — drop bad rows at the scan, the media-builder policy
         val emb = Tables(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
           .withColumn("fv", array_to_vector(col("e")))
@@ -166,16 +169,21 @@ object SimilarityQueries {
         // passes); after fit the remaining plan reads emb once, so the
         // cache is released before the query's own action runs.
         // KMeans.fit throws on an EMPTY dataset ("Nothing has been
-        // added to this summarizer") — an empty embeddings table must
-        // yield an empty result, not a failed stage (the empty-tables
-        // smoke spec covers every embeddings-driven query)
-        if (emb.isEmpty) {
+        // added to this summarizer") and AIOOBEs when k exceeds the
+        // row count (block-path aggregator) — an empty table must
+        // yield an empty result and a tiny one a clamped k, never a
+        // failed stage (the empty/null-rows smoke specs cover every
+        // embeddings-driven query). The count is an O(1)-per-partition
+        // action on the already-persisted frame.
+        val nEmb = emb.count()
+        if (nEmb == 0) {
           emb.unpersist()
           emb.filter(lit(false)).select(
             col("vec_id").as("qid"), lit(1).as("rk"),
             lit(true).as("in_exact_top10"), lit(0.0).as("exact1_cosine"))
         } else {
-        val model = new KMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(emb)
+        val model = new KMeans().setK(math.min(8L, nEmb).toInt)
+          .setSeed(42L).setFeaturesCol("fv").fit(emb)
         emb.unpersist()
         val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
         // centroid table: k rows -> a broadcast DataFrame, not driver math

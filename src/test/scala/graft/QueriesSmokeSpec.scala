@@ -115,6 +115,52 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     }
   }
 
+  test("documents/embeddings queries tolerate NULL text/metadata/vector rows") {
+    // Bad rows are routine at 100 TB (a failed upstream extract, a
+    // partial write): a NULL text, NULL metadata, or NULL embedding
+    // must never kill a stage. Policy: null rows may be dropped or
+    // carried with null outputs, but the query must run.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-null-rows").toString
+    val docs = new java.util.ArrayList[Row]()
+    docs.add(Row(1L, null, null, null, null))
+    docs.add(Row(2L, "the a of and is " + (1 to 20).map(i => s"tok$i").mkString(" "),
+      "en", "src0", 100L))
+    spark.createDataFrame(docs, docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embs = new java.util.ArrayList[Row]()
+    embs.add(Row(1L, null, null))
+    embs.add(Row(2L, (0 until 64).map(i => (i % 7).toFloat / 7.0f), 0))
+    embs.add(Row(3L, (0 until 64).map(i => ((i + 1) % 5).toFloat / 5.0f), 1))
+    spark.createDataFrame(embs, embSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val names = Seq(
+      "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
+      "q_corpus_curation", "q_corpus_mixture", "q_corpus_repeated_ngrams",
+      "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
+      "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
+      "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
+      "q_dedup_simhash", "q_multimodal_audio", "q_multimodal_features",
+      "q_multimodal_framesample", "q_quality_gopher", "q_similarity_ann_lsh",
+      "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
+      "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
+      "q_text_langid", "q_text_pii_scrub", "q_text_stats")
+    names.foreach { n =>
+      withClue(s"$n on null rows: ") {
+        noException should be thrownBy SparkEntry.queries(n)(spark, dir).count()
+      }
+    }
+  }
+
   test("gopher/repetition/curation report one row per doc, incl. degenerate docs") {
     // Empty and 1-token docs produce no bigram/5-gram rows; the
     // per-doc reports must still carry them (left-join + zero-fill)
