@@ -173,8 +173,9 @@ object SimilarityQueries {
         // row count (block-path aggregator) — an empty table must
         // yield an empty result and a tiny one a clamped k, never a
         // failed stage (the empty/null-rows smoke specs cover every
-        // embeddings-driven query). The count is an O(1)-per-partition
-        // action on the already-persisted frame.
+        // embeddings-driven query). This count() is ALSO the action
+        // that materializes the persist() — it pays the projection
+        // pipeline once so the k-means iterations read the cache.
         val nEmb = emb.count()
         if (nEmb == 0) {
           emb.unpersist()

@@ -26,11 +26,15 @@ object SourceModelQueries {
         // Vectors.scala:29-56): one row per vocabulary word (= every
         // distinct token at minCount=1), vector dimension as
         // configured, strictly positive L2 norm.
+        // Word2Vec.fit's real precondition is a non-empty VOCABULARY,
+        // not a non-empty row set: a null text yields a null token
+        // array (NPE inside fit) and a whitespace-only text an empty
+        // one (vocabularySize > 0 failure) — filter to usable token
+        // arrays and test THAT frame for emptiness
         val corpus = Tables(s, dir, "documents")
           .filter(col("doc_id") < 20)
           .select(TextKit.tokens(col("text")).as("tokens"))
-        // Word2Vec.fit requires a non-empty vocabulary — an empty
-        // corpus must mean an empty vector table, not a failed fit
+          .filter(col("tokens").isNotNull && size(col("tokens")) > 0)
         if (corpus.isEmpty)
           corpus.select(
             lit("").as("word"), lit(32).as("dim"), lit(true).as("norm_positive"))
@@ -62,17 +66,27 @@ object SourceModelQueries {
         // own synonym list. The rank window is global but over the
         // k-row model output (k = 5), not data-sized.
         import org.apache.spark.sql.expressions.Window
+        // same usable-vocabulary guard as q_embedding_vector_table:
+        // null/whitespace-only texts must not reach Word2Vec.fit
         val corpus = Tables(s, dir, "documents")
           .filter(col("doc_id") < 20)
           .select(TextKit.tokens(col("text")).as("tokens"))
-        // Word2Vec.fit requires a non-empty vocabulary — an empty
-        // corpus has no synonyms to report
+          .filter(col("tokens").isNotNull && size(col("tokens")) > 0)
         if (corpus.isEmpty)
           corpus.select(
             lit(1).as("rk"), lit(true).as("cos_in_range"),
             lit(true).as("descending"), lit(true).as("excludes_query"))
         else {
           val model = EmbeddingModel.train(corpus, "tokens", vectorSize = 32)
+          // findSynonyms THROWS on an out-of-vocabulary query word —
+          // a corpus without the configured word has no synonyms to
+          // report (the membership probe scans the vocab-sized model
+          // table, not the corpus)
+          if (model.getVectors.filter(col("word") === "data").isEmpty)
+            corpus.limit(0).select(
+              lit(1).as("rk"), lit(true).as("cos_in_range"),
+              lit(true).as("descending"), lit(true).as("excludes_query"))
+          else {
           val w = Window.orderBy(col("similarity").desc, col("word").asc)
           EmbeddingModel.synonyms(model, "data", 5)
             .withColumn("rk", row_number().over(w))
@@ -85,6 +99,7 @@ object SourceModelQueries {
               (col("word") =!= "data").as("excludes_query")
             )
             .orderBy("rk")
+          }
         }
       },
       Some("""SELECT CAST(rk AS INTEGER) AS rk, TRUE AS cos_in_range,
@@ -107,7 +122,11 @@ object SourceModelQueries {
           System.getProperty("java.io.tmpdir"),
           "graft_flatfile_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         ).getAbsolutePath
+        // a null id/source/text nulls the whole concat and the text
+        // writer rejects null values — a record that cannot be
+        // rendered is dropped, not fatal
         Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id", "source", "text"))
           .select(concat(
             lit("ID doc_"), col("doc_id"), lit("\n"),
             lit("SRC "), col("source"), lit("\n"),

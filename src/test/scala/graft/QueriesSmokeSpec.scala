@@ -9,6 +9,36 @@ import org.scalatest.matchers.should.Matchers
   */
 class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
+  import org.apache.spark.sql.types._
+
+  // production schemas + the doc/emb-driven query list are SHARED by
+  // the empty-tables and null-rows sweeps: one hand-maintained copy,
+  // so the two cannot drift (a name missing from the list silently
+  // skips coverage — exactly how the q_embedding_* gap survived the
+  // first sweep). The all-empty sweep below iterates the FULL
+  // registry, so a query missing here still gets the empty-input
+  // check there.
+  private val docTableSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+  private val embTableSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+  private val docEmbQueries = Seq(
+    "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
+    "q_corpus_curation", "q_corpus_mixture", "q_corpus_repeated_ngrams",
+    "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
+    "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
+    "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
+    "q_dedup_simhash", "q_embedding_synonyms", "q_embedding_vector_table",
+    "q_flatfile_parse", "q_multimodal_audio", "q_multimodal_features",
+    "q_multimodal_framesample", "q_quality_gopher", "q_similarity_ann_lsh",
+    "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
+    "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
+    "q_text_langid", "q_text_pii_scrub", "q_text_stats")
+
   test("entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
@@ -40,13 +70,8 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     // on an empty documents table that fold used to NPE on the null
     // SUM and divide by zero — the contract is an empty result with
     // the normal schema instead.
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf").toString
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), docTableSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q_text_bm25")(spark, dir)
     out.columns shouldBe Array("doc_id", "term", "tf", "bm25_micros")
@@ -60,33 +85,13 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     // Dataset (the q_text_bm25 bug class, caught by the round-6
     // ADVICE). Every query that reads only documents/embeddings runs
     // here against empty tables with the production schemas.
-    import org.apache.spark.sql.types._
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val embSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-all").toString
     val empty = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    spark.createDataFrame(empty, docSchema)
+    spark.createDataFrame(empty, docTableSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    spark.createDataFrame(empty, embSchema)
+    spark.createDataFrame(empty, embTableSchema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val names = Seq(
-      "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
-      "q_corpus_curation", "q_corpus_mixture", "q_corpus_repeated_ngrams",
-      "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
-      "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
-      "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
-      "q_dedup_simhash", "q_multimodal_audio", "q_multimodal_features",
-      "q_multimodal_framesample", "q_quality_gopher", "q_similarity_ann_lsh",
-      "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
-      "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
-      "q_text_langid", "q_text_pii_scrub", "q_text_stats")
-    names.foreach { n =>
+    docEmbQueries.foreach { n =>
       withClue(s"$n on empty tables: ") {
         SparkEntry.queries(n)(spark, dir).count() shouldBe 0L
       }
@@ -121,40 +126,20 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     // must never kill a stage. Policy: null rows may be dropped or
     // carried with null outputs, but the query must run.
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val embSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
     val dir = java.nio.file.Files.createTempDirectory("graft-null-rows").toString
     val docs = new java.util.ArrayList[Row]()
     docs.add(Row(1L, null, null, null, null))
     docs.add(Row(2L, "the a of and is " + (1 to 20).map(i => s"tok$i").mkString(" "),
       "en", "src0", 100L))
-    spark.createDataFrame(docs, docSchema)
+    spark.createDataFrame(docs, docTableSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val embs = new java.util.ArrayList[Row]()
     embs.add(Row(1L, null, null))
     embs.add(Row(2L, (0 until 64).map(i => (i % 7).toFloat / 7.0f), 0))
     embs.add(Row(3L, (0 until 64).map(i => ((i + 1) % 5).toFloat / 5.0f), 1))
-    spark.createDataFrame(embs, embSchema)
+    spark.createDataFrame(embs, embTableSchema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val names = Seq(
-      "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
-      "q_corpus_curation", "q_corpus_mixture", "q_corpus_repeated_ngrams",
-      "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
-      "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
-      "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
-      "q_dedup_simhash", "q_multimodal_audio", "q_multimodal_features",
-      "q_multimodal_framesample", "q_quality_gopher", "q_similarity_ann_lsh",
-      "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
-      "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
-      "q_text_langid", "q_text_pii_scrub", "q_text_stats")
-    names.foreach { n =>
+    docEmbQueries.foreach { n =>
       withClue(s"$n on null rows: ") {
         noException should be thrownBy SparkEntry.queries(n)(spark, dir).count()
       }
