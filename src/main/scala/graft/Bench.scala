@@ -32,31 +32,48 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch {
-          case e: Throwable =>
-            errors ::= s"$name: ${e.getClass.getSimpleName}"
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Cache hygiene between queries: several queries persist()/
-      // localCheckpoint() intermediates (the reference's own pattern)
-      // and a single shared session would otherwise accumulate their
-      // blocks across all ~70 queries, degrading later timings via
-      // eviction pressure. Dropping caches is OUTSIDE the timed
-      // window, so each query is measured cold-cache and independent.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // Heap hygiene, also outside the timed window: dropped cache
-      // blocks, broadcast payloads, and codegen'd classes from earlier
-      // queries otherwise surface as GC pauses INSIDE later queries'
-      // timings (round-3 measured q_graph_node_document 2x slower
-      // in-run than isolated). An explicit collect pins that cost to
-      // the gap between queries where it belongs.
-      System.gc()
-      name -> (if (ok) dt else -dt)
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              errors ::= s"$name: ${e.getClass.getSimpleName}"
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Cache hygiene between passes/queries: several queries
+        // persist()/localCheckpoint() intermediates (the reference's
+        // own pattern) and a single shared session would otherwise
+        // accumulate their blocks across all ~100 queries, degrading
+        // later timings via eviction pressure. Dropping caches is
+        // OUTSIDE the timed window, so each measurement is cold-cache
+        // and independent.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // Heap hygiene, also outside the timed window: dropped cache
+        // blocks, broadcast payloads, and codegen'd classes from
+        // earlier queries otherwise surface as GC pauses INSIDE later
+        // queries' timings (round-3 measured q_graph_node_document 2x
+        // slower in-run than isolated). An explicit collect pins that
+        // cost to the gap between queries where it belongs.
+        System.gc()
+        if (ok) dt else -dt
+      }
+      // Contention robustness (round-7: a single pass on a shared
+      // host reported a 3x phantom regression on two queries that
+      // hadn't changed): a query whose first pass runs long enough to
+      // matter gets ONE more pass and reports the min — the min of
+      // two cold-cache passes estimates the uncontended cost, and
+      // only the handful of slow queries pay the retry, bounding the
+      // added wall clock. A failed retry keeps the first measurement.
+      val first = pass()
+      val best =
+        if (first > SlowRetrySec) {
+          val second = pass()
+          if (second > 0) math.min(first, second) else first
+        } else first
+      name -> best
     }
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     // The driver keeps only the last 2000 bytes of stdout, and sbt
@@ -77,6 +94,14 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
   }
+
+  /** First-pass seconds above which a query earns a confirming second
+    * pass (min reported). ~5 s splits the registry into a long tail of
+    * sub-second queries (noise there is absolute-small) and the few
+    * heavy ones whose contention artifacts have historically cost a
+    * full investigation.
+    */
+  val SlowRetrySec = 5.0
 
   /** How many per-query entries the compact stdout line carries. Keeps
     * the line length INDEPENDENT of registry growth: the slowest 40

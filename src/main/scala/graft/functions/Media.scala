@@ -279,8 +279,11 @@ object Media {
   // Audio (WAV/RIFF) — the third modality of the builder brief.
   // ----------------------------------------------------------------
 
-  /** Parsed WAV fmt/data layout. */
+  /** Parsed WAV fmt/data layout. audioFormat is the fmt tag (1 = PCM)
+    * — feature extraction gates on it rather than assuming PCM.
+    */
   final case class WavInfo(
+      audioFormat: Int,
       sampleRate: Int,
       channels: Int,
       bitsPerSample: Int,
@@ -304,6 +307,7 @@ object Media {
       // turn the bounds checks into out-of-bounds reads on a crafted
       // blob — exactly the throw this parser promises not to make.
       var i = 12L
+      var fmt = -1
       var rate = -1
       var ch = -1
       var bits = -1
@@ -315,7 +319,12 @@ object Media {
         val size = le32(b, ii + 4)
         if (size < 0) { i = b.length.toLong } // corrupt size: stop the walk
         else {
-          if (id == "fmt " && i + 8 + 16 <= b.length) {
+          // the fmt fields must fit inside the chunk's DECLARED size,
+          // not just the blob: a fmt chunk declaring < 16 bytes would
+          // otherwise have rate/channels/bits read from the NEXT
+          // chunk's bytes — garbage WavInfo instead of None
+          if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+            fmt = le16(b, ii + 8)
             ch = le16(b, ii + 10)
             rate = le32(b, ii + 12)
             bits = le16(b, ii + 22)
@@ -327,7 +336,7 @@ object Media {
         }
       }
       if (rate > 0 && dOff >= 0 && dLen >= 0 && dOff.toLong + dLen <= b.length)
-        Some(WavInfo(rate, ch, bits, dOff, dLen))
+        Some(WavInfo(fmt, rate, ch, bits, dOff, dLen))
       else None
     }
   }
@@ -409,13 +418,19 @@ object Media {
     * frame partial) and compute per-frame RMS. The per-frame energy
     * sum is exact integer math, so the derived doubles are
     * engine-portable (the oracle recomputes them bit-for-bit).
-    * Unparseable payloads are dropped, not fatal.
+    * Unparseable payloads are dropped, not fatal — and "parseable but
+    * non-conforming" (stereo, 8-bit, non-PCM fmt tag) is dropped too:
+    * the sample reader below assumes signed-LE16 mono, so scoring any
+    * other layout would silently produce wrong n_samples/RMS rather
+    * than an honest drop.
     */
   def audioFeatures(media: Dataset[MediaRecord], frameLen: Int): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { r =>
-        parseWav(r.bytes).map { w =>
+        parseWav(r.bytes)
+          .filter(w => w.audioFormat == 1 && w.channels == 1 && w.bitsPerSample == 16)
+          .map { w =>
           val n = w.dataLen / 2
           def sample(j: Int): Int = {
             val o = w.dataOffset + 2 * j

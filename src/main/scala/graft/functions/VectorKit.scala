@@ -54,9 +54,71 @@ object VectorKit {
 
   /** Deterministic ±1 hyperplanes (seeded PRNG; seed is part of the
     * operator definition, not runtime state).
+    *
+    * Prefix property (relied on by the corpus-scaled SemDeDup
+    * signature, asserted by VectorKitSpec): the PRNG fills plane 0
+    * completely before plane 1, so `randomSignPlanes(k, d)` equals the
+    * first k planes of `randomSignPlanes(m, d)` for any m >= k —
+    * growing the plane budget only APPENDS planes, it never reshuffles
+    * the ones already in use.
     */
   def randomSignPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
+
+  // ------------------------------------------------------------------
+  // Corpus-scaled LSH cluster sizing (SemDeDup): the plane count grows
+  // with the corpus so per-cluster membership stays ~targetClusterSize
+  // no matter how large the input — the same sizing rule MinHash LSH
+  // bands use. The ladder is INTEGER arithmetic only (n <= target<<p),
+  // never floating log2: both engines replay identical comparisons, so
+  // an n that lands exactly on a power-of-two boundary cannot diverge
+  // between Spark and the DuckDB oracle on libm rounding.
+  // ------------------------------------------------------------------
+
+  /** SemDeDup sizing constants: ~64 vectors per cluster; plane count
+    * clamped to [4, 24]. The floor matches the fixture-era 4-plane
+    * signature (small corpora keep their historical clustering); the
+    * ceiling bounds signature cost and covers 64*2^24 ≈ 1.1e9 vectors
+    * at the target density before per-cluster growth resumes.
+    */
+  val SemDedupTarget = 64L
+  val SemDedupMinPlanes = 4
+  val SemDedupMaxPlanes = 24
+
+  /** The (planeCount, maxCorpusSize) ladder steps below the clamp
+    * ceiling: plane count p serves corpora up to target * 2^p.
+    */
+  def planeLadder(target: Long, minPlanes: Int, maxPlanes: Int): Seq[(Int, Long)] =
+    (minPlanes until maxPlanes).map(p => (p, target << p))
+
+  /** Spark-side ladder: smallest p in [minPlanes, maxPlanes] with
+    * n <= target * 2^p.
+    */
+  def planeCount(n: Column, target: Long, minPlanes: Int, maxPlanes: Int): Column =
+    planeLadder(target, minPlanes, maxPlanes).foldRight(lit(maxPlanes): Column) {
+      case ((p, cap), acc) => when(n <= cap, lit(p)).otherwise(acc)
+    }
+
+  /** DuckDB mirror of [[planeCount]], generated from the SAME ladder
+    * definition (never restated by hand).
+    */
+  def planeCountSql(nExpr: String, target: Long, minPlanes: Int, maxPlanes: Int): String =
+    "CASE " + planeLadder(target, minPlanes, maxPlanes)
+      .map { case (p, cap) => s"WHEN $nExpr <= $cap THEN $p" }
+      .mkString(" ") + s" ELSE $maxPlanes END"
+
+  /** Prefix-gated hyperplane signature: bit j participates iff j < np
+    * (np a runtime column from [[planeCount]]). Projections beyond np
+    * are short-circuited by the CASE, so the per-row cost is np dot
+    * products, not maxPlanes. With the prefix property of
+    * [[randomSignPlanes]], a corpus small enough for np = k produces
+    * bit-identical clusters to a fixed k-plane signature.
+    */
+  def hyperplaneBucketScaled(v: Column, planes: Array[Array[Double]], np: Column): Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      when(lit(j) < np && (dot(v, typedLit(plane.toSeq)) > 0), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -136,20 +136,26 @@ object OracleSql {
        |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB replay of q_dedup_semantic: the 4-plane cluster signature
-    * is generated from the SAME seeded planes the Spark side uses (the
+  /** DuckDB replay of q_dedup_semantic: the corpus-scaled cluster
+    * signature is generated from the SAME seeded planes and the SAME
+    * integer plane-count ladder the Spark side uses (the
     * annLshMultiprobeSql portability argument — list_inner_product
     * folds left-to-right like the native DotProduct, so both engines
-    * compute identical clusters and identical pairwise cosines).
+    * compute identical clusters and identical pairwise cosines; the
+    * ladder is integer comparisons, so np cannot diverge either).
     */
   lazy val semanticDedupSql: String = {
-    val planes = graft.functions.VectorKit.randomSignPlanes(numPlanes = 4, dim = 64)
+    import graft.functions.VectorKit
+    val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
     val cluster = planes.zipWithIndex.map { case (p, j) =>
       val lit = p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
-      s"(CASE WHEN list_inner_product(e, CAST($lit AS DOUBLE[])) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN $j < np AND list_inner_product(e, CAST($lit AS DOUBLE[])) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |bb AS (SELECT vec_id, e, $cluster AS cluster FROM b),
+    val npSql = VectorKit.planeCountSql("COUNT(*)", VectorKit.SemDedupTarget,
+      VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes)
+    s"""WITH np0 AS (SELECT $npSql AS np FROM embeddings),
+       |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bb AS (SELECT vec_id, e, $cluster AS cluster FROM b, np0),
        |d AS (SELECT DISTINCT x.vec_id AS dup_id
        |      FROM bb a JOIN bb x ON a.cluster = x.cluster AND a.vec_id < x.vec_id
        |      WHERE list_cosine_similarity(a.e, x.e) >= 0.35)

@@ -275,25 +275,37 @@ object SimilarityQueries {
         // coarsely, then drop all but one member of every within-
         // cluster group whose pairwise cosine clears the threshold —
         // semantic (not lexical) dedup, the step that removes
-        // paraphrases MinHash can't see. Clustering here is the
-        // deterministic 4-plane LSH signature (so the oracle replays
-        // it bit-for-bit, same trick as q_similarity_ann_lsh); a
-        // production run swaps in k-means centroids — the distributed
-        // assignment pattern is q_similarity_ivf's broadcast
-        // centroid cross-join. Keep rule: a vector is dropped iff a
+        // paraphrases MinHash can't see. Clustering is a deterministic
+        // random-hyperplane LSH signature (so the oracle replays it
+        // bit-for-bit, same trick as q_similarity_ann_lsh) whose plane
+        // count is CORPUS-SIZED: np = smallest p with n <= 64*2^p
+        // (VectorKit.planeCount, integer ladder), so cluster count
+        // tracks n/64 and the within-cluster pairwise join stays
+        // ~(target/2)*n pairs TOTAL at any corpus size — linear, not
+        // N²/constant (the fixed-plane version's failure mode at
+        // 100x). n reaches the signature as a 1-row broadcast
+        // crossJoin (the llrCells plan-native scalar fold-in — no
+        // driver action); beyond the 24-plane clamp a production run
+        // swaps in k-means centroids, the q_similarity_ivf broadcast
+        // assignment pattern. Keep rule: a vector is dropped iff a
         // LOWER-id vector in its cluster is >= tau-similar (pairwise,
         // no transitive chaining — SemDeDup's own rule). Scale shape:
         // candidate generation is an equi-join on the cluster id
         // (shuffle on cluster, quadratic only within a cluster), the
         // keep flag is one left join — no global pass, no driver
-        // state; cluster count scales with the plane count, bounding
-        // per-cluster fanout the same way LSH bands do.
+        // state. tools/SemDedupScale measures the bound at 1M vectors.
         val tau = 0.35
-        val planes = VectorKit.randomSignPlanes(numPlanes = 4, dim = 64)
-        val emb = Tables(s, dir, "embeddings")
+        val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
+        val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+        val np = base.agg(count(lit(1)).as("n")).select(
+          VectorKit.planeCount(col("n"), VectorKit.SemDedupTarget,
+            VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes).as("np"))
+        val emb = base
+          .crossJoin(broadcast(np))
           .withColumn("nrm", VectorKit.norm(col("e")))
-          .withColumn("cluster", VectorKit.hyperplaneBucket(col("e"), planes))
+          .withColumn("cluster", VectorKit.hyperplaneBucketScaled(col("e"), planes, col("np")))
+          .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
         val dups = emb.as("a")
           .join(
             emb.as("b"),

@@ -1007,13 +1007,18 @@ object TextQueries {
         // aggregation buffer) — an empty eval suite must mean "no
         // contamination", not a crashed stage, so short-circuit to
         // the schema-correct empty join (the q_text_bm25 empty-corpus
-        // guard pattern; the isEmpty probe stops at the first row)
-        if (ev.isEmpty) contaminationFinish(tr.join(ev, "s"))
+        // guard pattern). The count doubles as the sketch capacity:
+        // a hardcoded capacity under-sizes the filter when the eval
+        // suite grows past it, inflating the false-positive rate and
+        // silently eroding the prune (correctness would survive via
+        // the exact confirm join, but the rung's scaling premise
+        // would not) — so the sketch is sized from the data, floored
+        // so tiny suites still get a few KB of headroom.
+        val nEv = ev.count()
+        if (nEv == 0L) contaminationFinish(tr.join(ev, "s"))
         else {
-          // capacity is a config constant (a production suite knows
-          // its benchmark size); 3% fpp keeps the sketch ~6KB per
-          // 10k items
-          val bloom = ev.stat.bloomFilter("s", 200000L, 0.03)
+          // 3% fpp keeps the sketch ~6KB per 10k items
+          val bloom = ev.stat.bloomFilter("s", math.max(nEv, 10000L), 0.03)
           val bf = s.sparkContext.broadcast(bloom)
           val mightContain =
             udf((x: String) => x != null && bf.value.mightContainString(x))
@@ -1146,14 +1151,21 @@ object TextQueries {
         // pipeline budgets tokens with. Scale shape: the encode UDF
         // (inherently sequential per word — the honest §2.10 rung)
         // runs once per DISTINCT token, and the resulting
-        // (token -> piece count) table broadcast-joins back to the
-        // exploded stream — the expensive-function-on-distinct-keys
-        // pattern, so UDF invocations scale with vocabulary size, not
-        // corpus size. Oracle: the vocabulary is finite and fixed, so
-        // the merge table's OUTPUT is replayed as a DuckDB LUT (the
-        // Stemmer trick); out-of-vocabulary tokens fall back to a
-        // value the real encoder would NOT produce under merges, so a
-        // stale vocabulary fails the gate loudly.
+        // (token -> piece count) table joins back to the exploded
+        // stream — the expensive-function-on-distinct-keys pattern,
+        // so UDF invocations scale with vocabulary size, not corpus
+        // size. The join-back carries NO broadcast hint: web-scale
+        // text has an effectively unbounded distinct-token set (URLs,
+        // typos, numbers), so a hard hint on the LUT is a driver OOM
+        // at 100x — AQE elects broadcast at runtime when the LUT is
+        // actually small (it is here; verified in the fixture plan)
+        // and falls back to a shuffled hash join when it isn't, the
+        // same reasoning as the Bloom confirm join below. Oracle: the
+        // vocabulary is finite and fixed, so the merge table's OUTPUT
+        // is replayed as a DuckDB LUT (the Stemmer trick);
+        // out-of-vocabulary tokens fall back to a value the real
+        // encoder would NOT produce under merges, so a stale
+        // vocabulary fails the gate loudly.
         val rk = graft.functions.Bpe.ranks(bpeMerges)
         val nPieces = udf((tok: String) =>
           if (tok == null) 0 else graft.functions.Bpe.encode(tok, rk).length)
@@ -1161,7 +1173,7 @@ object TextQueries {
           .select(col("doc_id"), explode(TextKit.tokens(col("text"))).as("tok"))
         val lut = toks.select(col("tok")).distinct()
           .withColumn("np", nPieces(col("tok")))
-        toks.join(broadcast(lut), "tok")
+        toks.join(lut, "tok")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"), sum(col("np")).as("p"))
           .select(
@@ -1172,6 +1184,15 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
+        // The oracle replays the encoder driver-side over bpeVocab at
+        // query-REGISTRATION time and inlines one VALUES row per word
+        // — sound only while the vocabulary stays LUT-sized. This
+        // guard keeps a future vocabulary change from silently
+        // ballooning the SQL text (or the registration-time encode
+        // cost) past what a VALUES-list oracle can carry.
+        require(bpeVocab.size <= 4096,
+          s"bpeVocab has ${bpeVocab.size} entries — too large to replay as a " +
+            "VALUES-list oracle; regenerate the oracle strategy before growing it")
         val rk = graft.functions.Bpe.ranks(bpeMerges)
         val lut = bpeVocab
           .map(w => s"('$w', ${graft.functions.Bpe.encode(w, rk).length})")

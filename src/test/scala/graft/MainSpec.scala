@@ -110,6 +110,18 @@ class MainSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("the BPE oracle VALUES LUT stays LUT-sized (registration-time replay guard)") {
+    // The oracle for q_text_bpe_tokenize inlines a (token -> pieces)
+    // VALUES row per vocabulary word, encoded driver-side at query
+    // registration — sound only while the vocabulary is small. The
+    // builder require()s <= 4096 entries; this pins the CURRENT size
+    // well under it so growth is a deliberate, reviewed change.
+    val sql = SparkEntry.oracleSql("q_text_bpe_tokenize")
+    val rows = "\\('[^']*', \\d+\\)".r.findAllIn(sql).size
+    rows should be > 0
+    rows should be <= 4096
+  }
+
   test("xml source round-trips (Spark 4 built-in)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-xml").toString

@@ -381,6 +381,35 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     buckets(0) should (be >= 0L and be < 16L)
   }
 
+  test("VectorKit corpus-scaled planes: prefix property, integer ladder, gated bucket") {
+    import spark.implicits._
+    // prefix property: a larger plane budget only APPENDS planes — the
+    // corpus-scaled signature relies on this to keep small corpora
+    // bit-identical to the historical fixed-k signature
+    val big = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
+    val small = VectorKit.randomSignPlanes(4, dim = 64)
+    big.take(4).map(_.toSeq).toSeq shouldBe small.map(_.toSeq).toSeq
+    // integer ladder: smallest p with n <= 64*2^p, clamped to [4, 24]
+    val cases = Seq(0L -> 4, 500L -> 4, 1024L -> 4, 1025L -> 5, 2000L -> 5,
+      1000000L -> 14, (64L << 24) -> 24, Long.MaxValue -> 24)
+    val ladder = cases.toDF("n", "expect")
+      .withColumn("np", VectorKit.planeCount(col("n"), VectorKit.SemDedupTarget,
+        VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes))
+      .collect()
+    ladder.foreach(r => withClue(s"n=${r.getLong(0)}: ")(r.getInt(2) shouldBe r.getInt(1)))
+    // SQL mirror is generated from the same ladder definition
+    val sql = VectorKit.planeCountSql("n", 64L, 4, 24)
+    sql should include("WHEN n <= 1024 THEN 4")
+    sql should include(s"WHEN n <= ${64L << 23} THEN 23")
+    sql should include("ELSE 24 END")
+    // gated bucket at np = k equals the fixed k-plane bucket
+    val vecs = Seq.tabulate(8)(i => Seq.tabulate(64)(j => math.sin(i * 64 + j + 1))).toDF("v")
+    val fixed = vecs.select(VectorKit.hyperplaneBucket(col("v"), small).as("b"))
+    val gated = vecs.select(
+      VectorKit.hyperplaneBucketScaled(col("v"), big, lit(4)).as("b"))
+    fixed.collect().map(_.getLong(0)).toSeq shouldBe gated.collect().map(_.getLong(0)).toSeq
+  }
+
   test("MonteCarlo.criticalValue is deterministic in the seed and positive") {
     val v1 = MonteCarlo.criticalValue(100, 50, Seq(100L, 200L, 300L), 1000, 0.95, seed = 7L)
     val v2 = MonteCarlo.criticalValue(100, 50, Seq(100L, 200L, 300L), 1000, 0.95, seed = 7L)
@@ -484,6 +513,7 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     val pcm = Array.tabulate(5)(i => (i * 100 - 200).toShort)
     val wav = Media.wavContainer(16000, pcm, "trailing doc text".getBytes("UTF-8"))
     val info = Media.parseWav(wav).get
+    info.audioFormat shouldBe 1 // PCM fmt tag
     info.sampleRate shouldBe 16000
     info.channels shouldBe 1
     info.bitsPerSample shouldBe 16
@@ -515,6 +545,39 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     val db = java.nio.ByteBuffer.wrap(hugeData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     db.putInt(40, 0x7FFFFFF0) // declared data-chunk size (offset 36+4)
     Media.parseWav(hugeData) shouldBe None
+    // a fmt chunk DECLARING size < 16 must be treated as unparseable,
+    // not have its rate/channels/bits read from the next chunk's bytes
+    val smallFmt = wav.clone()
+    java.nio.ByteBuffer.wrap(smallFmt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 8) // declared fmt-chunk size
+    Media.parseWav(smallFmt) shouldBe None
+  }
+
+  test("Media.audioFeatures drops parseable but non-conforming WAVs (stereo/8-bit/non-PCM)") {
+    import spark.implicits._
+    val pcm = Array.tabulate(8)(i => (i * 50).toShort)
+    val good = Media.wavContainer(8000, pcm, Array[Byte]())
+    // fmt field offsets inside the container: audioFormat @20,
+    // channels @22, bitsPerSample @34
+    def patched(off: Int, v: Short): Array[Byte] = {
+      val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(off, v)
+      b
+    }
+    val recs = Seq(
+      Media.MediaRecord(1L, good, "s", "en", 1L),
+      Media.MediaRecord(2L, patched(22, 2), "s", "en", 1L),  // stereo
+      Media.MediaRecord(3L, patched(34, 8), "s", "en", 1L),  // 8-bit
+      Media.MediaRecord(4L, patched(20, 3), "s", "en", 1L)   // IEEE-float fmt tag
+    ).toDS()
+    // every patched container still PARSES (the walker reports what
+    // the fmt chunk says)...
+    Media.parseWav(patched(22, 2)).get.channels shouldBe 2
+    Media.parseWav(patched(34, 8)).get.bitsPerSample shouldBe 8
+    Media.parseWav(patched(20, 3)).get.audioFormat shouldBe 3
+    // ...but only the conforming record is scored
+    val feats = Media.audioFeatures(recs, frameLen = 4).collect()
+    feats.map(_.doc_id).toSeq shouldBe Seq(1L)
   }
 
   test("Media.audioFeatures frames PCM with a partial tail and exact RMS") {

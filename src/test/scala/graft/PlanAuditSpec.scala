@@ -18,8 +18,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_theta_array_contains",   // broadcast word LUT vs array_contains membership
     "q_similarity_ivf",         // queries x broadcast k-row centroid table (probe assignment)
     "q_window_ntile_approx",    // fact x broadcast 1-row cutpoint array (range lookup)
-    "q_llr_significance"        // cells x broadcast 1-row total-report count
+    "q_llr_significance",       // cells x broadcast 1-row total-report count
                                 // (plan-native scalar fold-in, see llrCells)
+    "q_dedup_semantic"          // corpus x broadcast 1-row plane-count row
+                                // (the same scalar fold-in: np from the
+                                // corpus-size ladder, VectorKit.planeCount)
   )
 
   /** Partition-less windows funnel the whole input through ONE task —
@@ -72,6 +75,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
+      // The whole body runs under try/finally on the CacheManager: if
+      // any assertion throws AFTER the builder persisted something,
+      // the leaked entry must still be cleared here or the NEXT
+      // query's leak guard would misattribute it (ADVICE r7).
+      val cacheMgr = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+      try {
       // plan with AQE off: AdaptiveSparkPlanExec hides its inner tree
       // from TreeNode.collect, and scan shape (pruning, pushdown) is
       // decided before AQE anyway. executedPlan is a LAZY val reading
@@ -128,17 +139,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       // unpersist before returning (q_similarity_ivf) or use
       // localCheckpoint (the cascade, llrCells).
       // NB the query was built ABOVE this line, so non-empty here is
-      // attributable: the suite cleans up after every leak (below) and
-      // the non-vacuity test is snapshot-relative, leaving this query
-      // the only possible source.
-      val cacheMgr = spark
-        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sharedState.cacheManager
-      val leaked = !cacheMgr.isEmpty
-      if (leaked) cacheMgr.clearCache() // keep one leak from cascading
+      // attributable: the finally below cleans up after every leak (on
+      // ANY exit path) and the non-vacuity test is snapshot-relative,
+      // leaving this query the only possible source.
       withClue(s"$name left persisted plans in the CacheManager — " +
         "unpersist before returning or use localCheckpoint: ") {
-        leaked shouldBe false
+        cacheMgr.isEmpty shouldBe true
+      }
+      } finally {
+        // keep one leak from cascading into the next query's guard,
+        // no matter which assertion above threw
+        if (!cacheMgr.isEmpty) cacheMgr.clearCache()
       }
     }
   }
