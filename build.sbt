@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console VERBATIM: sbt's default
+// LoggedOutput prepends "[info] " to every stdout line, which breaks
+// downstream JSON parsing of the one-line bench/verify results (the
+// harness JSON-parses the line as captured). StdoutOutput passes the
+// child's stdout/stderr straight through, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
