@@ -35,6 +35,33 @@ object VectorKit {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** TRUE iff a vector with the given precomputed [[norm]] can
+    * participate in cosine math: the norm is finite and strictly
+    * positive. Zero vectors (no direction), NaN/Inf components, and
+    * magnitudes whose self-dot overflows to Inf all fail.
+    *
+    * Policy (the degenerate-vector rung of the robustness sweeps):
+    * RANKING queries (cosine top-k, ANN) must DROP un-normalizable
+    * vectors at the scan — their cosine is NaN, and NaN orders ABOVE
+    * every real similarity under a descending sort in both Spark and
+    * DuckDB, so one bad vector would otherwise claim the top rank of
+    * every query. DEDUP thresholds need no filter: NaN >= tau is FALSE
+    * in both engines, so an un-normalizable vector is never a
+    * near-duplicate of anything and is carried (kept) naturally.
+    * A NULL embedding yields a NULL norm, which also fails the filter.
+    */
+  def normalizable(nrm: Column): Column =
+    !isnan(nrm) && nrm > 0 && nrm < lit(Double.PositiveInfinity)
+
+  /** DuckDB mirror of [[normalizable]] over a DOUBLE[] expression.
+    * Equivalent by monotonicity of sqrt: norm=sqrt(dot(e,e)) is finite
+    * and positive iff dot(e,e) is (NaN sqrt is NaN, Inf sqrt is Inf),
+    * and isfinite() rejects both NaN and Inf; a NULL list yields NULL,
+    * which WHERE drops like the Spark filter.
+    */
+  def normalizableSql(e: String): String =
+    s"(isfinite(list_inner_product($e, $e)) AND list_inner_product($e, $e) > 0)"
+
   /** Cosine similarity; denominator is sqrt(na)*sqrt(nb) (not
     * sqrt(na*nb)) to match the conventional engine implementations
     * bit-for-bit.

@@ -171,7 +171,10 @@ object OracleSql {
     }.mkString(" + ")
     val probeCond = ("b.bucket = qb" +: planes.indices.map(j => s"b.bucket = xor(qb, ${1L << j})"))
       .mkString(" OR ")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    val normalizable = graft.functions.VectorKit
+      .normalizableSql("CAST(embedding AS DOUBLE[])")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |            WHERE $normalizable),
        |bb AS (SELECT vec_id, e, $bucket AS bucket FROM b),
        |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM bb WHERE vec_id < 10),
        |cand AS (SELECT qid, b.vec_id AS nid, list_cosine_similarity(qe, b.e) AS cos

@@ -31,9 +31,15 @@ object SimilarityQueries {
         // Norms are computed once per vector (not per pair): the pair
         // expression is a single dot product, and dot/(qn*nn) is
         // bit-identical to the per-pair cosine formula.
+        // Un-normalizable vectors (zero norm, NaN/Inf components, NULL)
+        // are DROPPED at the scan: their cosine is NaN, which sorts
+        // above every real similarity in a descending rank — one bad
+        // row would otherwise top every query's list (see
+        // VectorKit.normalizable; the oracle applies the same filter).
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
         val queries = emb
           .filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
@@ -50,11 +56,12 @@ object SimilarityQueries {
           .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
           .orderBy("qid", "rk")
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id < 10),
+      Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")}),
+        q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
         sc AS (SELECT qid, e.vec_id AS nid,
-                 list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
-               FROM q, embeddings e WHERE e.vec_id != qid),
+                 list_cosine_similarity(qe, e.e) AS cos
+               FROM q, b e WHERE e.vec_id != qid),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
               FROM sc)
         SELECT qid, CAST(rk AS INTEGER) AS rk, nid, ROUND(cos, 6) AS cosine
@@ -65,7 +72,12 @@ object SimilarityQueries {
       "q_dedup_embedding_cosine",
       (s, dir) => {
         // Embedding-cosine near-dup: pairwise within a blocking key
-        // (label), threshold 0.4.
+        // (label), threshold 0.4. Un-normalizable vectors (zero norm,
+        // NaN/Inf, NULL) need no scan filter here: their cosine is NaN
+        // (or NULL), and NaN >= 0.4 is FALSE in both engines, so a
+        // degenerate vector is never reported as a near-dup of
+        // anything — the CARRY side of the VectorKit.normalizable
+        // policy, pinned by the degenerate-vector smoke sweep.
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
@@ -109,9 +121,12 @@ object SimilarityQueries {
         // native DotProduct, so both engines compute identical buckets
         // (verified bit-for-bit) — the oracle replays the same probing.
         val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
+        // ranking query -> un-normalizable vectors dropped at the scan
+        // (NaN cosine would take rank 1; see VectorKit.normalizable)
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
           .withColumn("bucket", VectorKit.hyperplaneBucket(col("e"), planes))
         val queries = emb
           .filter(col("vec_id") < 10)
@@ -158,11 +173,16 @@ object SimilarityQueries {
         import org.apache.spark.ml.functions.array_to_vector
         val nprobe = 2
         // NULL embeddings are un-indexable (array_to_vector NPEs on
-        // null) — drop bad rows at the scan, the media-builder policy
+        // null) — drop bad rows at the scan, the media-builder policy.
+        // Un-normalizable vectors (zero norm, NaN/Inf) are dropped too:
+        // a NaN component poisons every k-means centroid it touches
+        // (cost and cluster assignments both go NaN), and a NaN cosine
+        // would outrank every real neighbor (VectorKit.normalizable).
         val emb = Tables(s, dir, "embeddings")
           .filter(col("embedding").isNotNull)
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
           .withColumn("fv", array_to_vector(col("e")))
           .persist()
         // persist() covers the k-means training iterations (many full
@@ -257,11 +277,12 @@ object SimilarityQueries {
           .orderBy("qid", "rk")
         }
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id < 10),
+      Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")}),
+        q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
         sc AS (SELECT qid, e.vec_id AS nid,
-                 list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
-               FROM q, embeddings e WHERE e.vec_id != qid),
+                 list_cosine_similarity(qe, e.e) AS cos
+               FROM q, b e WHERE e.vec_id != qid),
         e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
         SELECT qid, CAST(r.rk AS INTEGER) AS rk, TRUE AS in_exact_top10, exact1_cosine
         FROM e1, (VALUES (1), (2), (3)) r(rk)
@@ -294,6 +315,12 @@ object SimilarityQueries {
         // (shuffle on cluster, quadratic only within a cluster), the
         // keep flag is one left join — no global pass, no driver
         // state. tools/SemDedupScale measures the bound at 1M vectors.
+        // Un-normalizable vectors (zero norm, NaN/Inf): NaN projections
+        // compare FALSE against 0, so such a vector lands in a regular
+        // bucket; its pairwise cosine is NaN, and NaN >= tau is FALSE
+        // in both engines — it is never marked a duplicate and never
+        // marks anything else, so it is CARRIED with kept=true
+        // (VectorKit.normalizable policy; degenerate-vector sweep).
         val tau = 0.35
         val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
         val base = Tables(s, dir, "embeddings")
