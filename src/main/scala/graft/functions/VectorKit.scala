@@ -40,14 +40,23 @@ object VectorKit {
     * positive. Zero vectors (no direction), NaN/Inf components, and
     * magnitudes whose self-dot overflows to Inf all fail.
     *
-    * Policy (the degenerate-vector rung of the robustness sweeps):
-    * RANKING queries (cosine top-k, ANN) must DROP un-normalizable
-    * vectors at the scan — their cosine is NaN, and NaN orders ABOVE
-    * every real similarity under a descending sort in both Spark and
-    * DuckDB, so one bad vector would otherwise claim the top rank of
-    * every query. DEDUP thresholds need no filter: NaN >= tau is FALSE
-    * in both engines, so an un-normalizable vector is never a
-    * near-duplicate of anything and is carried (kept) naturally.
+    * Policy (the degenerate-vector rung of the robustness sweeps,
+    * pinned by DegenerateVectorSpec in BOTH ANSI modes): EVERY cosine
+    * consumer must keep un-normalizable vectors out of the cosine
+    * math, because the failure is loud or wrong in every direction —
+    * (a) NaN compares GREATER than any real double in Spark AND DuckDB
+    * (NaN >= tau is TRUE; NaN is the ordering's largest value), so an
+    * unfiltered NaN cosine both claims the top rank of every ranking
+    * query and marks everything a near-duplicate in the threshold
+    * queries; (b) DuckDB's list_cosine_similarity returns -1.0 (not
+    * NaN) for zero/NaN vectors, so the two engines diverge exactly
+    * where the comparison semantics would need to agree; (c) under
+    * ANSI mode (the Spark 4 default, active in Verify/Bench sessions)
+    * dividing by a zero norm throws DIVIDE_BY_ZERO outright. RANKING
+    * queries (cosine top-k, ANN, IVF) therefore DROP un-normalizable
+    * vectors at the scan; DEDUP queries exclude them from the pairwise
+    * join and CARRY them in the output with kept=true — a vector with
+    * no direction duplicates nothing.
     * A NULL embedding yields a NULL norm, which also fails the filter.
     */
   def normalizable(nrm: Column): Column =
@@ -56,11 +65,29 @@ object VectorKit {
   /** DuckDB mirror of [[normalizable]] over a DOUBLE[] expression.
     * Equivalent by monotonicity of sqrt: norm=sqrt(dot(e,e)) is finite
     * and positive iff dot(e,e) is (NaN sqrt is NaN, Inf sqrt is Inf),
-    * and isfinite() rejects both NaN and Inf; a NULL list yields NULL,
-    * which WHERE drops like the Spark filter.
+    * and isfinite() rejects both NaN and Inf.
+    *
+    * WHERE-context ONLY. DuckDB 1.0's list_inner_product THROWS on a
+    * NULL list (it does not return NULL when the input comes from a
+    * real column), so the fragment leads with `IS NOT NULL`: filter
+    * conjuncts evaluate left-to-right over selection vectors, so the
+    * guard keeps NULL rows away from the function. A PROJECTION gets
+    * no such short-circuit — even CASE/COALESCE wrappers still feed
+    * the raw vector to the function and throw (probed on DuckDB
+    * v1.0.0) — so projection call-sites must first materialize a
+    * COALESCE-to-zero-vector column (see OracleSql.semanticDedupSql).
     */
   def normalizableSql(e: String): String =
-    s"(isfinite(list_inner_product($e, $e)) AND list_inner_product($e, $e) > 0)"
+    s"($e IS NOT NULL AND isfinite(list_inner_product($e, $e))" +
+      s" AND list_inner_product($e, $e) > 0)"
+
+  /** A 64-dim all-zeros DOUBLE[] literal: the COALESCE stand-in for a
+    * NULL embedding in oracle SQL projection contexts. A zero vector is
+    * in the same policy class as the NULL it replaces (un-normalizable,
+    * cluster 0), so substituting it changes no output.
+    */
+  def zerosSql(dim: Int): String =
+    "CAST([" + Seq.fill(dim)("0.0").mkString(",") + "] AS DOUBLE[])"
 
   /** Cosine similarity; denominator is sqrt(na)*sqrt(nb) (not
     * sqrt(na*nb)) to match the conventional engine implementations

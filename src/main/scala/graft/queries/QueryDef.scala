@@ -153,12 +153,28 @@ object OracleSql {
     }.mkString(" + ")
     val npSql = VectorKit.planeCountSql("COUNT(*)", VectorKit.SemDedupTarget,
       VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes)
+    // Degenerate vectors (zero norm, NaN/Inf, NULL) keep their cluster
+    // (NaN projections land in the all-bits bucket in both engines,
+    // NULL/zero vectors in bucket 0) but are excluded from BOTH sides
+    // of the pairwise dup join and carried kept=true — mirrors the
+    // Spark side's `good` filter exactly. The cluster signature is a
+    // PROJECTION, where DuckDB's list_inner_product throws on NULL
+    // lists with no way to guard (see VectorKit.normalizableSql), so
+    // `b` is a MATERIALIZED CTE that first COALESCEs NULL embeddings
+    // to an explicit zero vector — same policy class, same cluster 0,
+    // flat vector for the projection. The normalizable checks then sit
+    // in the dup join's WHERE (filter conjuncts short-circuit).
+    val okA = VectorKit.normalizableSql("a.e")
+    val okX = VectorKit.normalizableSql("x.e")
     s"""WITH np0 AS (SELECT $npSql AS np FROM embeddings),
-       |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |      COALESCE(CAST(embedding AS DOUBLE[]), ${VectorKit.zerosSql(64)}) AS e
+       |      FROM embeddings),
        |bb AS (SELECT vec_id, e, $cluster AS cluster FROM b, np0),
        |d AS (SELECT DISTINCT x.vec_id AS dup_id
        |      FROM bb a JOIN bb x ON a.cluster = x.cluster AND a.vec_id < x.vec_id
-       |      WHERE list_cosine_similarity(a.e, x.e) >= 0.35)
+       |      WHERE $okA AND $okX
+       |        AND list_cosine_similarity(a.e, x.e) >= 0.35)
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dup_id IS NULL AS kept
        |FROM bb LEFT JOIN d ON vec_id = dup_id ORDER BY vec_id""".stripMargin
   }

@@ -73,14 +73,19 @@ object SimilarityQueries {
       (s, dir) => {
         // Embedding-cosine near-dup: pairwise within a blocking key
         // (label), threshold 0.4. Un-normalizable vectors (zero norm,
-        // NaN/Inf, NULL) need no scan filter here: their cosine is NaN
-        // (or NULL), and NaN >= 0.4 is FALSE in both engines, so a
-        // degenerate vector is never reported as a near-dup of
-        // anything — the CARRY side of the VectorKit.normalizable
-        // policy, pinned by the degenerate-vector smoke sweep.
+        // NaN/Inf, NULL) are DROPPED at the scan, same as the ranking
+        // queries: a NaN cosine compares GREATER than tau in Spark
+        // (NaN is the largest double in comparisons), so without the
+        // filter one degenerate vector would be reported as a near-dup
+        // of every same-label row — and under ANSI mode (the Spark 4
+        // default, active in Verify/Bench sessions) a zero norm makes
+        // the division throw DIVIDE_BY_ZERO before the comparison even
+        // runs. The oracle mirrors the filter; DegenerateVectorSpec
+        // pins the policy in both ANSI modes.
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), VectorKit.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
         emb.as("a")
           .join(
             emb.as("b"),
@@ -95,13 +100,14 @@ object SimilarityQueries {
           .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
           .orderBy("v1", "v2")
       },
-      Some("""SELECT a.vec_id AS v1, b.vec_id AS v2,
-          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+      Some(s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")})
+        SELECT a.vec_id AS v1, x.vec_id AS v2,
+          ROUND(list_cosine_similarity(a.e, x.e), 6) AS cosine
+        FROM b a JOIN b x
+          ON a.label = x.label AND a.vec_id < x.vec_id
+        WHERE list_cosine_similarity(a.e, x.e) >= 0.4
         ORDER BY 1, 2""")
     ),
     // ------------------------------------------------------------------
@@ -190,20 +196,29 @@ object SimilarityQueries {
         // cache is released before the query's own action runs.
         // KMeans.fit throws on an EMPTY dataset ("Nothing has been
         // added to this summarizer") and AIOOBEs when k exceeds the
-        // row count (block-path aggregator) — an empty table must
-        // yield an empty result and a tiny one a clamped k, never a
-        // failed stage (the empty/null-rows smoke specs cover every
-        // embeddings-driven query). This count() is ALSO the action
-        // that materializes the persist() — it pays the projection
-        // pipeline once so the k-means iterations read the cache.
+        // number of DISTINCT points — not just the row count: k-means||
+        // init seeds one center per distinct point, and the block-path
+        // aggregator then indexes past the short center array (a
+        // duplicate-heavy corpus triggers this with plenty of rows;
+        // DegenerateVectorSpec's fixture did). An empty table must
+        // yield an empty result and a low-diversity one a clamped k,
+        // never a failed stage. This count() is ALSO the action that
+        // materializes the persist() — it pays the projection pipeline
+        // once so the distinct scan and k-means iterations read the
+        // cache.
         val nEmb = emb.count()
         if (nEmb == 0) {
           emb.unpersist()
           emb.filter(lit(false)).select(
-            col("vec_id").as("qid"), lit(1).as("rk"),
-            lit(true).as("in_exact_top10"), lit(0.0).as("exact1_cosine"))
+            col("vec_id").as("qid"),
+            lit(true).as("all_in_exact_top10"), lit(0.0).as("exact1_cosine"))
         } else {
-        val model = new KMeans().setK(math.min(8L, nEmb).toInt)
+        // exact bounded distinct count: GlobalLimit stops collecting at
+        // 8, so this is one hash-agg pass over the cached projection —
+        // same cost class as the count() above, and never larger than
+        // the k it clamps
+        val k = emb.select(col("e")).distinct().limit(8).count().toInt
+        val model = new KMeans().setK(k)
           .setSeed(42L).setFeaturesCol("fv").fit(emb)
         emb.unpersist()
         val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
@@ -248,7 +263,12 @@ object SimilarityQueries {
         // neighbor must sit inside the exact cosine top-10, and the
         // exact top-1 cosine — recomputed from scratch by DuckDB — must
         // agree bit-for-bit. The brute-force pass is the test harness
-        // here, not the product path (that is the point of IVF).
+        // here, not the product path (that is the point of IVF). The
+        // verdict is aggregated to ONE row per query: the per-rank row
+        // count depends on how many candidates the probed cells hold,
+        // which no oracle can replay (it would need the quantizer) and
+        // which drops below 3 on tiny/degenerate corpora — the
+        // aggregate shape is exactly predictable at every corpus size.
         val wE = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("enid").asc)
         val exactTop = emb
           .join(
@@ -266,15 +286,22 @@ object SimilarityQueries {
             collect_set(col("enid")).as("top10"),
             round(max(col("ecos")), 6).as("e1")
           )
-        ivf
-          .join(broadcast(exactTop), Seq("qid"))
+        // min-of-int instead of bool_and: same fold, no engine-specific
+        // aggregate; a query whose probed cells hold zero candidates
+        // (possible only on tiny corpora) is vacuously TRUE via the
+        // left join + coalesce
+        val ivfOk = ivf
+          .join(broadcast(exactTop.select(col("qid"), col("top10"))), Seq("qid"))
+          .groupBy(col("qid"))
+          .agg(min(array_contains(col("top10"), col("nid")).cast("int")).as("minok"))
+        queries.select(col("qid"))
+          .join(broadcast(ivfOk), Seq("qid"), "left")
+          .join(broadcast(exactTop.select(col("qid"), col("e1"))), Seq("qid"), "left")
           .select(
             col("qid"),
-            col("rk"),
-            array_contains(col("top10"), col("nid")).as("in_exact_top10"),
-            col("e1").as("exact1_cosine")
-          )
-          .orderBy("qid", "rk")
+            coalesce(col("minok") === 1, lit(true)).as("all_in_exact_top10"),
+            col("e1").as("exact1_cosine"))
+          .orderBy("qid")
         }
       },
       Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -284,9 +311,9 @@ object SimilarityQueries {
                  list_cosine_similarity(qe, e.e) AS cos
                FROM q, b e WHERE e.vec_id != qid),
         e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
-        SELECT qid, CAST(r.rk AS INTEGER) AS rk, TRUE AS in_exact_top10, exact1_cosine
-        FROM e1, (VALUES (1), (2), (3)) r(rk)
-        ORDER BY qid, rk""")
+        SELECT qid, TRUE AS all_in_exact_top10, exact1_cosine
+        FROM q LEFT JOIN e1 USING (qid)
+        ORDER BY qid""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -315,12 +342,18 @@ object SimilarityQueries {
         // (shuffle on cluster, quadratic only within a cluster), the
         // keep flag is one left join — no global pass, no driver
         // state. tools/SemDedupScale measures the bound at 1M vectors.
-        // Un-normalizable vectors (zero norm, NaN/Inf): NaN projections
-        // compare FALSE against 0, so such a vector lands in a regular
-        // bucket; its pairwise cosine is NaN, and NaN >= tau is FALSE
-        // in both engines — it is never marked a duplicate and never
-        // marks anything else, so it is CARRIED with kept=true
-        // (VectorKit.normalizable policy; degenerate-vector sweep).
+        // Un-normalizable vectors (zero norm, NaN/Inf, NULL): a NaN
+        // projection compares GREATER than 0 in both engines (NaN is
+        // the largest double), so a NaN vector lands deterministically
+        // in the all-participating-bits cluster — but its pairwise
+        // cosine is NaN too, which Spark ALSO orders above tau (while
+        // DuckDB's list_cosine_similarity returns -1.0), and a zero
+        // norm throws DIVIDE_BY_ZERO under ANSI mode (the Verify/Bench
+        // default). So the pairwise dup join runs over NORMALIZABLE
+        // vectors only; degenerate rows skip it on both sides and are
+        // CARRIED in the output with kept=true — a vector with no
+        // direction duplicates nothing (VectorKit.normalizable policy;
+        // DegenerateVectorSpec pins both ANSI modes, oracle mirrored).
         val tau = 0.35
         val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
         val base = Tables(s, dir, "embeddings")
@@ -333,9 +366,10 @@ object SimilarityQueries {
           .withColumn("nrm", VectorKit.norm(col("e")))
           .withColumn("cluster", VectorKit.hyperplaneBucketScaled(col("e"), planes, col("np")))
           .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
-        val dups = emb.as("a")
+        val good = emb.filter(VectorKit.normalizable(col("nrm")))
+        val dups = good.as("a")
           .join(
-            emb.as("b"),
+            good.as("b"),
             col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
           .filter(
             VectorKit.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= tau)
