@@ -213,11 +213,26 @@ object SimilarityQueries {
             col("vec_id").as("qid"),
             lit(true).as("all_in_exact_top10"), lit(0.0).as("exact1_cosine"))
         } else {
-        // exact bounded distinct count: GlobalLimit stops collecting at
-        // 8, so this is one hash-agg pass over the cached projection —
-        // same cost class as the count() above, and never larger than
-        // the k it clamps
-        val k = emb.select(col("e")).distinct().limit(8).count().toInt
+        // Exact bounded distinct count — NOT distinct().limit(8), which
+        // still hash-aggregates the whole corpus (512-byte array keys)
+        // before the limit applies; the wrong cost at 100 TB for a
+        // value clamped to 8. Instead each partition emits its FIRST
+        // up-to-8 distinct vectors through an early-exit iterator (it
+        // stops consuming rows the moment 8 are found, so a partition
+        // with leading diversity reads ~8 rows), and the global
+        // distinct runs over <= 8*numPartitions tiny rows. Exact:
+        // every partition with <= 8 distinct vectors emits ALL of
+        // them, so the union's distinct count is min(8, nDistinct)
+        // after the outer clamp.
+        import s.implicits._
+        val k = math.min(8L,
+          emb.select(col("e")).as[Seq[Double]]
+            .mapPartitions { it =>
+              val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+              while (it.hasNext && seen.size < 8) seen += it.next()
+              seen.iterator
+            }
+            .distinct().count()).toInt
         val model = new KMeans().setK(k)
           .setSeed(42L).setFeaturesCol("fv").fit(emb)
         emb.unpersist()
