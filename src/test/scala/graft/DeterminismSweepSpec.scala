@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Partitioning-determinism sweep: every registered query must produce
+  * IDENTICAL results when the physical partitioning changes — a
+  * different shuffle partition count (different hash distribution, so
+  * aggregation buffers merge in a different order) and a different
+  * scan split size (rows enter the plan grouped differently). At
+  * 100 TB the partitioning is never the same twice (AQE, cluster size,
+  * file layout all move it), so any result that depends on it is a
+  * result that silently changes between runs — and the driver's
+  * DuckDB hash compare would flag it only when the driver happens to
+  * change its CPU count. This sweep forces the comparison every build.
+  *
+  * Queries whose OUTPUT is a documented contract over a
+  * partitioning-sensitive computation (nothing else) may be listed in
+  * `contractOnly` with the reason; they get a schema + row-count check
+  * instead of exact equality.
+  */
+class DeterminismSweepSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  /** Canonical form mirroring the driver gate: columns sorted by name,
+    * rows rendered and sorted. Array columns keep element order, so an
+    * unsorted collect_list/collect_set dependence FAILS here.
+    */
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def withConf[A](conf: Map[String, String])(body: => A): A = {
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Queries exempted from exact cross-partitioning equality, each with
+    * the reason the sensitivity is inherent (and why the driver gate
+    * still holds for them). Keep this list SHORT and justified — every
+    * entry is a query whose exact output the engine does not promise.
+    *
+    * EMPTY BY MEASUREMENT, not by omission: all 102 registered queries
+    * passed the exact sweep (collect_lists are sorted before emission,
+    * Word2Vec/Monte-Carlo/approx outputs are contract-shaped or
+    * seed-pinned, every ranking window carries a total-order
+    * tie-break). A future query that fails this sweep should first be
+    * FIXED (sort the array, add the tie-break); list it here only when
+    * the sensitivity is inherent to the algorithm.
+    */
+  private val contractOnly: Map[String, String] = Map.empty
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name is invariant under re-partitioning") {
+      val base = canon(fn(spark, sfDir))
+      // different shuffle fan-out AND different scan splits than the
+      // shared session's 4/128MB defaults
+      val alt = withConf(Map(
+        "spark.sql.shuffle.partitions" -> "7",
+        "spark.sql.files.maxPartitionBytes" -> "65536"
+      )) {
+        canon(fn(spark, sfDir))
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      contractOnly.get(name) match {
+        case Some(reason) =>
+          withClue(s"contract-only ($reason): ") {
+            alt.size shouldBe base.size
+          }
+        case None =>
+          alt shouldBe base
+      }
+    }
+  }
+}
