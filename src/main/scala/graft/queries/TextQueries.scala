@@ -36,6 +36,15 @@ object TextQueries {
     */
   private[queries] val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
+  /** q_quality_lm_perplexity keep threshold: documents at or below this
+    * bigram-LM perplexity pass the filter. Tuned to split this corpus
+    * (measured ppl spans ~26-37 with median ~29.6 at sf0.001 AND
+    * sf0.01; 30.0 keeps the ~70% low-perplexity head — the CCNet
+    * head/middle cut); a real pipeline calibrates against a held-out
+    * target-domain sample (CCNet uses a Wikipedia-trained LM).
+    */
+  private val LmPerplexityKeepMax = 30.0
+
   /** DuckDB mirror of TextKit.shingles(_, 3). */
   private val shinglesSql =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
@@ -1138,6 +1147,93 @@ object TextQueries {
         SELECT doc_id, CAST(n AS INTEGER) AS n_ngrams, CAST(rep AS INTEGER) AS n_repeated,
           ROUND(rep / n, 6) AS repeated_frac, (rep / n > 0.2) AS boilerplate
         FROM dd ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_quality_lm_perplexity",
+      (s, dir) => {
+        // CCNet-style LM quality filtering (Wenzek et al. 2020 §4.3:
+        // score documents by language-model perplexity, keep the
+        // low-perplexity head) with the LM trained on the corpus
+        // itself: an add-one-smoothed bigram model,
+        //   P(w2|w1) = (c(w1,w2) + 1) / (c(w1,*) + V),
+        // per-doc perplexity = exp(-mean ln P) over the doc's bigram
+        // positions. Complements q_quality_gopher (rule-based, within-
+        // doc) with a statistical, corpus-calibrated signal — the
+        // third member of the quality family, and unlike Gopher it
+        // penalizes UNUSUAL text (rare transitions), not repeated
+        // text. Scale shape: explode non-distinct bigrams -> global
+        // groupBy((w1,w2)) count (partial-agg'd shuffle, the BM25-df /
+        // repeated-ngrams pattern) -> c(w1,*) via a window over the
+        // COUNT table (vocab-sized, not corpus-sized) -> join counts
+        // back on the bigram key (same-key exchange reuse, AQE handles
+        // skewed stopword bigrams) -> per-doc aggregate. V folds in as
+        // a 1-row broadcast crossJoin (the llrCells plan-native scalar
+        // pattern). DETERMINISM: each ln is rounded to 9dp and cast to
+        // DECIMAL(18,9) before the per-doc SUM, so the fold is exact
+        // and order-free (the ColumnKit money recipe applied to
+        // log-space); one double division + exp at the end, rounded to
+        // 6dp (the llr recipe — absorbs the <=1-ulp libm/JVM ln
+        // disagreement). Every doc reports one row (degenerate-docs
+        // house rule): <2 tokens or NULL text -> n_bigrams=0, ppl
+        // NULL, keep=false.
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val pairs = when(size(col("w")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => struct(
+              element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"))))
+        val bg = toks.select(col("doc_id"), explode(pairs).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val counts = c2.withColumn(
+          "c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+        val vdf = toks.select(explode(col("w")).as("t"))
+          .agg(count_distinct(col("t")).as("V"))
+        val scored = bg
+          .join(counts, Seq("w1", "w2"))
+          .crossJoin(broadcast(vdf))
+          .select(
+            col("doc_id"),
+            round(
+              log((col("c2") + 1).cast("double") / (col("c1") + col("V")).cast("double")),
+              9).cast("decimal(18,9)").as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lp")).as("slp"), count(lit(1)).as("nb"))
+          .select(
+            col("doc_id"),
+            col("nb"),
+            round(exp(-(col("slp").cast("double") / col("nb"))), 6).as("ppl"))
+        toks.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
+            col("ppl"),
+            (col("ppl").isNotNull && col("ppl") <= LmPerplexityKeepMax).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                i -> {'w1': w[i], 'w2': w[i+1]})) AS b FROM t),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM g),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        c AS (SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM c2),
+        v AS (SELECT COUNT(DISTINCT tk) AS V FROM (SELECT unnest(w) AS tk FROM t)),
+        lp AS (SELECT doc_id,
+                 CAST(ROUND(LN(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE)), 9)
+                      AS DECIMAL(18,9)) AS lp
+               FROM bg JOIN c USING (w1, w2), v),
+        agg AS (SELECT doc_id, SUM(lp) AS slp, COUNT(*) AS nb FROM lp GROUP BY 1),
+        r AS (SELECT t.doc_id, COALESCE(nb, 0) AS nb,
+                     ROUND(EXP(-(CAST(slp AS DOUBLE) / nb)), 6) AS ppl
+              FROM t LEFT JOIN agg USING (doc_id))
+        SELECT doc_id, CAST(nb AS INTEGER) AS n_bigrams, ppl,
+               COALESCE(ppl <= $LmPerplexityKeepMax, FALSE) AS keep
+        FROM r ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -20,9 +20,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_window_ntile_approx",    // fact x broadcast 1-row cutpoint array (range lookup)
     "q_llr_significance",       // cells x broadcast 1-row total-report count
                                 // (plan-native scalar fold-in, see llrCells)
-    "q_dedup_semantic"          // corpus x broadcast 1-row plane-count row
+    "q_dedup_semantic",         // corpus x broadcast 1-row plane-count row
                                 // (the same scalar fold-in: np from the
                                 // corpus-size ladder, VectorKit.planeCount)
+    "q_quality_lm_perplexity"   // bigrams x broadcast 1-row vocab-size row
+                                // (the llrCells scalar fold-in: V for the
+                                // add-one smoothing denominator)
   )
 
   /** Partition-less windows funnel the whole input through ONE task —
