@@ -841,24 +841,35 @@ object TextQueries {
         // BM25 relevance scoring of every (document, frequent-term)
         // pair — the classic quality/retrieval scorer a training-data
         // pipeline runs corpus-wide (k1=1.2, b=0.75, df>=20 LUT).
-        // ONE token explode feeds everything: tf on (doc, term); dl
-        // and df both derive from tf (dl = sum of tfs per doc, df =
-        // rows per term), so the fact table is scanned once. The
-        // corpus scalars (N, avgdl) cross the driver as an O(1) fold
-        // (the reference's scalar-fold pattern, Search.scala:605) and
-        // come back as literals; the df LUT broadcasts. The score is
-        // one double expression mirrored token-for-token in the
-        // oracle, surfaced as floor(x*1e6) micros (the bit-exact
-        // compare recipe — see searchCascade's multiplier).
+        // tf (the (doc, term) fact table) is consumed twice (df LUT +
+        // final join) and dl once: all three RECOMPUTE from the
+        // columnar scan instead of caching — the r10 2M-doc probe
+        // (tools.LmScale's corpus) OOMed the 8 GB local JVM on the
+        // deserialized localCheckpoint blocks of the corpus-sized tf,
+        // and at 100 TB a cached corpus-sized intermediate can never
+        // be assumed resident; repeated columnar scans are the
+        // unconditionally-scaling trade (same choice as
+        // q_quality_lm_perplexity's bigram stream). The corpus
+        // scalars (N, avgdl) cross the driver as an O(1) fold (the
+        // reference's scalar-fold pattern, Search.scala:605) and come
+        // back as literals. The df LUT broadcasts — BOUNDED because
+        // df>=20 keeps only the frequent-term head, which Zipf caps
+        // regardless of corpus size (the 2M synthetic corpus has 1.6M
+        // singleton terms and a 24-term LUT). dl is corpus-sized
+        // (one row per doc), so its join pins shuffle_hash — AQE's
+        // compressed-bytes threshold underestimates string-light
+        // tables and would broadcast it (the lm_perplexity lesson).
+        // The score is one double expression mirrored token-for-token
+        // in the oracle, surfaced as floor(x*1e6) micros (the
+        // bit-exact compare recipe — see searchCascade's multiplier).
         val k1 = 1.2
         val b = 0.75
         val toks = TextKit.tokens(col("text"))
-        val tf = Tables(s, dir, "documents")
+        def ex = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(toks).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // consumed 3x: dl, df, final join
-        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        def tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // dl = token occurrences per doc == sum of tfs, one agg level less
+        val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         val firstRow = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
         val nDocs = firstRow.getLong(0)
         // empty corpus: SUM is null (getLong would NPE) and avgdl
@@ -873,7 +884,7 @@ object TextQueries {
         val score = idf * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
         tf.join(broadcast(dfLut), "term")
-          .join(dl, "doc_id")
+          .join(dl.hint("shuffle_hash"), "doc_id")
           .select(
             col("doc_id"),
             col("term"),
@@ -1193,8 +1204,19 @@ object TextQueries {
           "c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
         val vdf = toks.select(explode(col("w")).as("t"))
           .agg(count_distinct(col("t")).as("V"))
+        // shuffle_hash PINNED on both corpus-proportional joins: the
+        // count table is vocab^2-shaped (corpus-dependent, provably
+        // unbounded — the inverse of the BPE-LUT case, where a bounded
+        // vocab let AQE elect), and AQE's compressed-shuffle-bytes
+        // threshold underestimates the in-memory hash relation for
+        // string-heavy aggregates ~10x: at 2M docs (tools.LmScale) AQE
+        // elected broadcast and the driver OOMed at blockify. The hint
+        // forbids that conversion while keeping a per-partition hash
+        // build (counts keys are UNIQUE, so build partitions stay
+        // balanced at 1/P of the table — no sort of the 20x-larger
+        // bigram stream, which is what a merge pin would cost).
         val scored = bg
-          .join(counts, Seq("w1", "w2"))
+          .join(counts.hint("shuffle_hash"), Seq("w1", "w2"))
           .crossJoin(broadcast(vdf))
           .select(
             col("doc_id"),
@@ -1208,7 +1230,7 @@ object TextQueries {
             col("nb"),
             round(exp(-(col("slp").cast("double") / col("nb"))), 6).as("ppl"))
         toks.select(col("doc_id"))
-          .join(scored, Seq("doc_id"), "left")
+          .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(
             col("doc_id"),
             coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
