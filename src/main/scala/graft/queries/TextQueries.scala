@@ -974,6 +974,96 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_corpus_dsir",
+      (s, dir) => {
+        // DSIR importance resampling (Xie et al. 2023, "Data Selection
+        // for Language Models via Importance Resampling"): weight each
+        // raw document by how target-domain-like its hashed n-gram
+        // feature distribution is, then select the high-importance
+        // subset. Target sample here: the lang='en' slice (standing in
+        // for the paper's Wikipedia/books formal-text sample); raw =
+        // the whole corpus. Features are the paper's hashed unigrams +
+        // bigrams into B=1024 buckets (the engine-portable charHash,
+        // so the oracle replays identical buckets); bucket
+        // distributions get add-one smoothing, and a document's log
+        // importance weight is the mean over its feature positions of
+        //   ln p_target(bucket) - ln p_raw(bucket),
+        // selected iff > 0 (more target-like than raw). The fourth
+        // member of the quality/selection family: Gopher rules (shape),
+        // LM perplexity (fluency), mixture permille (source balance),
+        // DSIR (domain match). Scale shape: the bucket LUT is
+        // B-BOUNDED BY CONSTRUCTION — that is DSIR's design point, the
+        // hash collapses an unbounded vocabulary into a fixed table —
+        // so the per-position weight lookup is a broadcast join at any
+        // corpus size (contrast the perplexity query's provably
+        // unbounded count table, which must shuffle); the per-doc fold
+        // reuses the exact-decimal log-sum recipe, and the final
+        // per-doc join pins shuffle_hash (corpus-proportional side —
+        // the LmScale lesson). One row per doc incl. degenerate docs.
+        val B = 1024
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextKit.tokens(col("text")).as("w"))
+        val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        val feats = base
+          .select(col("doc_id"), col("lang"), explode(col("w")).as("g"))
+          .unionByName(base.select(col("doc_id"), col("lang"), explode(bigrams).as("g")))
+          .select(col("doc_id"), col("lang"), (TextKit.charHash(col("g")) % B).as("b"))
+        val cr = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val ct = feats.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val tot = feats.agg(
+          count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        val lut = cr
+          .join(ct, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("b"),
+            round(
+              log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+                (col("nt") + B).cast("double")) -
+                log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")),
+              9).cast("decimal(18,9)").as("lw"))
+        val perDoc = feats
+          .join(broadcast(lut), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lw")).as("slw"), count(lit(1)).as("n"))
+        base.select(col("doc_id"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n"), lit(0L)).cast("int").as("n_features"),
+            round(col("slw").cast("double") / col("n"), 6).as("log_weight"),
+            coalesce(col("slw").cast("double") / col("n") > 0, lit(false)).as("selected"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+        uni AS (SELECT doc_id, lang, unnest(w) AS g FROM d),
+        bi AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+        f AS (SELECT doc_id, lang, (${OracleSql.foldSql("g", 31)}) % 1024 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        cr AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY 1),
+        ct AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT COUNT(*) FROM f) AS nr,
+                       (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt),
+        lut AS (SELECT b,
+                  CAST(ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+                           - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 9)
+                       AS DECIMAL(18,9)) AS lw
+                FROM cr LEFT JOIN ct USING (b), tot),
+        s AS (SELECT doc_id, SUM(lw) AS slw, COUNT(*) AS n
+              FROM f JOIN lut USING (b) GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(n, 0) AS INTEGER) AS n_features,
+               ROUND(CAST(slw AS DOUBLE) / n, 6) AS log_weight,
+               COALESCE(CAST(slw AS DOUBLE) / n > 0, FALSE) AS selected
+        FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_contamination_ngram",
       (s, dir) => {
         // Train/eval contamination detection — the decontamination

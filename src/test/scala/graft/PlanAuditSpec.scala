@@ -23,9 +23,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_dedup_semantic",         // corpus x broadcast 1-row plane-count row
                                 // (the same scalar fold-in: np from the
                                 // corpus-size ladder, VectorKit.planeCount)
-    "q_quality_lm_perplexity"   // bigrams x broadcast 1-row vocab-size row
+    "q_quality_lm_perplexity",  // bigrams x broadcast 1-row vocab-size row
                                 // (the llrCells scalar fold-in: V for the
                                 // add-one smoothing denominator)
+    "q_corpus_dsir"             // bucket LUT x broadcast 1-row (nr, nt)
+                                // totals row (the same scalar fold-in)
   )
 
   /** Partition-less windows funnel the whole input through ONE task —
