@@ -19,8 +19,22 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorKit {
 
-  /** Exact float->double widening of an embedding column. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+  /** Exact float->double widening of an embedding column.
+    *
+    * A vector containing NULL ELEMENTS (legal in the parquet schema:
+    * the list element is nullable) maps to a NULL vector, so it joins
+    * the NULL-embedding policy class everywhere downstream (dropped
+    * from rankings, carried kept=true by SemDeDup). Without this, the
+    * engines would diverge in the worst way: the native DotProduct
+    * reads a null slot as 0.0 (finite norm, silently-wrong cosine)
+    * while DuckDB's list_inner_product THROWS on lists with null
+    * elements — not a mismatch but a crashed oracle run. exists() is
+    * an interpreted HOF like the transform it guards; the native
+    * codegen'd math (dot/norm) stays downstream of the projection.
+    */
+  def toDouble(v: Column): Column =
+    when(exists(v, x => x.isNull), lit(null).cast("array<double>"))
+      .otherwise(transform(v, x => x.cast(DoubleType)))
 
   /** Sequential-fold dot product — the native codegen'd expression
     * (graft.plans.DotProduct), bit-identical to the HOF fold
@@ -67,19 +81,37 @@ object VectorKit {
     * and positive iff dot(e,e) is (NaN sqrt is NaN, Inf sqrt is Inf),
     * and isfinite() rejects both NaN and Inf.
     *
-    * WHERE-context ONLY. DuckDB 1.0's list_inner_product THROWS on a
-    * NULL list (it does not return NULL when the input comes from a
-    * real column), so the fragment leads with `IS NOT NULL`: filter
-    * conjuncts evaluate left-to-right over selection vectors, so the
-    * guard keeps NULL rows away from the function. A PROJECTION gets
-    * no such short-circuit — even CASE/COALESCE wrappers still feed
-    * the raw vector to the function and throw (probed on DuckDB
-    * v1.0.0) — so projection call-sites must first materialize a
-    * COALESCE-to-zero-vector column (see OracleSql.semanticDedupSql).
+    * REQUIRES a [[sanitizedSql]] input, in WHERE context only. DuckDB
+    * 1.0's list_inner_product THROWS on a NULL list and on a list
+    * with NULL ELEMENTS (it does not return NULL when the input comes
+    * from a real column). Only the leading `IS NOT NULL` reliably
+    * guards it: null-mask conjuncts narrow the selection before
+    * expression conjuncts run, but expression-vs-expression conjunct
+    * order is NOT guaranteed (probed: a `len(list_filter(..))=0`
+    * conjunct placed before the inner_product did not prevent the
+    * throw — tools/degen_check.py caught exactly that), and CASE /
+    * COALESCE wrappers in projections evaluate the function on every
+    * row anyway. Hence the two-step contract: [[sanitizedSql]] first
+    * maps bad-SHAPE vectors (NULL, null element) to NULL inside a
+    * MATERIALIZED CTE, then this fragment's null-mask + norm checks
+    * drop bad-VALUE vectors (zero norm, NaN/Inf).
     */
   def normalizableSql(e: String): String =
     s"($e IS NOT NULL AND isfinite(list_inner_product($e, $e))" +
       s" AND list_inner_product($e, $e) > 0)"
+
+  /** Shape sanitizer for oracle SQL: maps a raw DOUBLE[] expression to
+    * itself when well-shaped, NULL when the list is NULL or contains
+    * NULL elements — mirroring [[toDouble]]'s null-element -> NULL
+    * normalization on the Spark side. list_filter/len tolerate NULL
+    * lists (only the distance functions throw), so this expression is
+    * safe in any context; wrap it in an `AS MATERIALIZED` CTE so
+    * downstream list_inner_product consumers read a flat, already-
+    * sanitized vector (see [[normalizableSql]] for why that matters).
+    */
+  def sanitizedSql(raw: String): String =
+    s"(CASE WHEN $raw IS NOT NULL" +
+      s" AND len(list_filter($raw, x -> x IS NULL)) = 0 THEN $raw END)"
 
   /** A 64-dim all-zeros DOUBLE[] literal: the COALESCE stand-in for a
     * NULL embedding in oracle SQL projection contexts. A zero vector is

@@ -153,22 +153,26 @@ object OracleSql {
     }.mkString(" + ")
     val npSql = VectorKit.planeCountSql("COUNT(*)", VectorKit.SemDedupTarget,
       VectorKit.SemDedupMinPlanes, VectorKit.SemDedupMaxPlanes)
-    // Degenerate vectors (zero norm, NaN/Inf, NULL) keep their cluster
-    // (NaN projections land in the all-bits bucket in both engines,
-    // NULL/zero vectors in bucket 0) but are excluded from BOTH sides
-    // of the pairwise dup join and carried kept=true — mirrors the
-    // Spark side's `good` filter exactly. The cluster signature is a
-    // PROJECTION, where DuckDB's list_inner_product throws on NULL
-    // lists with no way to guard (see VectorKit.normalizableSql), so
-    // `b` is a MATERIALIZED CTE that first COALESCEs NULL embeddings
-    // to an explicit zero vector — same policy class, same cluster 0,
-    // flat vector for the projection. The normalizable checks then sit
-    // in the dup join's WHERE (filter conjuncts short-circuit).
+    // Degenerate vectors (zero norm, NaN/Inf, NULL, null element) keep
+    // their cluster (NaN projections land in the all-bits bucket in
+    // both engines, NULL/null-element/zero vectors in bucket 0) but
+    // are excluded from BOTH sides of the pairwise dup join and
+    // carried kept=true — mirrors the Spark side's `good` filter
+    // exactly. The cluster signature is a PROJECTION, where DuckDB's
+    // list_inner_product throws on NULL lists AND on lists with null
+    // elements with no way to guard (see VectorKit.normalizableSql),
+    // so `b` is a MATERIALIZED CTE that first maps both to an explicit
+    // zero vector — same policy class, same cluster 0 (matching
+    // VectorKit.toDouble's null-element -> NULL normalization on the
+    // Spark side), flat vector for the projection. The normalizable
+    // checks then sit in the dup join's WHERE (filter conjuncts
+    // short-circuit).
     val okA = VectorKit.normalizableSql("a.e")
     val okX = VectorKit.normalizableSql("x.e")
     s"""WITH np0 AS (SELECT $npSql AS np FROM embeddings),
        |b AS MATERIALIZED (SELECT vec_id,
-       |      COALESCE(CAST(embedding AS DOUBLE[]), ${VectorKit.zerosSql(64)}) AS e
+       |      COALESCE(${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")},
+       |               ${VectorKit.zerosSql(64)}) AS e
        |      FROM embeddings),
        |bb AS (SELECT vec_id, e, $cluster AS cluster FROM b, np0),
        |d AS (SELECT DISTINCT x.vec_id AS dup_id
@@ -187,10 +191,11 @@ object OracleSql {
     }.mkString(" + ")
     val probeCond = ("b.bucket = qb" +: planes.indices.map(j => s"b.bucket = xor(qb, ${1L << j})"))
       .mkString(" OR ")
-    val normalizable = graft.functions.VectorKit
-      .normalizableSql("CAST(embedding AS DOUBLE[])")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |            WHERE $normalizable),
+    val sanitized = graft.functions.VectorKit
+      .sanitizedSql("CAST(embedding AS DOUBLE[])")
+    val normalizable = graft.functions.VectorKit.normalizableSql("e")
+    s"""WITH b0 AS MATERIALIZED (SELECT vec_id, $sanitized AS e FROM embeddings),
+       |b AS (SELECT vec_id, e FROM b0 WHERE $normalizable),
        |bb AS (SELECT vec_id, e, $bucket AS bucket FROM b),
        |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM bb WHERE vec_id < 10),
        |cand AS (SELECT qid, b.vec_id AS nid, list_cosine_similarity(qe, b.e) AS cos

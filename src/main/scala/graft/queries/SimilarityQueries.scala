@@ -56,8 +56,10 @@ object SimilarityQueries {
           .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
           .orderBy("qid", "rk")
       },
-      Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")}),
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
         q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
         sc AS (SELECT qid, e.vec_id AS nid,
                  list_cosine_similarity(qe, e.e) AS cos
@@ -100,9 +102,11 @@ object SimilarityQueries {
           .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
           .orderBy("v1", "v2")
       },
-      Some(s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-                FROM embeddings
-                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")})
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id, label,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, label, e FROM b0
+              WHERE ${VectorKit.normalizableSql("e")})
         SELECT a.vec_id AS v1, x.vec_id AS v2,
           ROUND(list_cosine_similarity(a.e, x.e), 6) AS cosine
         FROM b a JOIN b x
@@ -238,7 +242,6 @@ object SimilarityQueries {
         emb.unpersist()
         val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
         // centroid table: k rows -> a broadcast DataFrame, not driver math
-        import s.implicits._
         val centroids = model.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }
           .toDF("cell", "centroid")
@@ -272,7 +275,7 @@ object SimilarityQueries {
           )
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
-          .select(col("qid"), col("rk"), col("nid"))
+          .select(col("qid"), col("nid"))
         // Recall contract (the k-means quantizer itself is not
         // SQL-expressible, but its OUTPUT is checkable): every IVF
         // neighbor must sit inside the exact cosine top-10, and the
@@ -301,26 +304,34 @@ object SimilarityQueries {
             collect_set(col("enid")).as("top10"),
             round(max(col("ecos")), 6).as("e1")
           )
-        // min-of-int instead of bool_and: same fold, no engine-specific
-        // aggregate; a query whose probed cells hold zero candidates
-        // (possible only on tiny corpora) is vacuously TRUE via the
-        // left join + coalesce
-        val ivfOk = ivf
-          .join(broadcast(exactTop.select(col("qid"), col("top10"))), Seq("qid"))
+        // exactTop (the brute-force pass, the dominant cost here) is
+        // joined ONCE: two joins over different projections of it
+        // would canonicalize to different BroadcastExchanges, defeat
+        // ReuseExchange, and execute the whole corpus-x-queries scan
+        // twice. The IVF side collapses to one set-valued row per
+        // query first; the membership verdict is then a per-row forall
+        // over <= 3 elements. A query whose probed cells hold zero
+        // candidates (possible only on tiny corpora) is vacuously TRUE
+        // via the left join + coalesce.
+        val ivfNids = ivf
           .groupBy(col("qid"))
-          .agg(min(array_contains(col("top10"), col("nid")).cast("int")).as("minok"))
+          .agg(collect_set(col("nid")).as("nids"))
         queries.select(col("qid"))
-          .join(broadcast(ivfOk), Seq("qid"), "left")
-          .join(broadcast(exactTop.select(col("qid"), col("e1"))), Seq("qid"), "left")
+          .join(broadcast(ivfNids), Seq("qid"), "left")
+          .join(broadcast(exactTop), Seq("qid"), "left")
           .select(
             col("qid"),
-            coalesce(col("minok") === 1, lit(true)).as("all_in_exact_top10"),
+            coalesce(
+              forall(col("nids"), n => array_contains(col("top10"), n)),
+              lit(true)).as("all_in_exact_top10"),
             col("e1").as("exact1_cosine"))
           .orderBy("qid")
         }
       },
-      Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-                WHERE ${VectorKit.normalizableSql("CAST(embedding AS DOUBLE[])")}),
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
         q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
         sc AS (SELECT qid, e.vec_id AS nid,
                  list_cosine_similarity(qe, e.e) AS cos

@@ -45,6 +45,12 @@ object TextQueries {
     */
   private val LmPerplexityKeepMax = 30.0
 
+  /** q_corpus_dsir feature-hash bucket count (the paper's fixed hash
+    * width): interpolated into BOTH the Spark plan and the oracle SQL
+    * so the two cannot drift.
+    */
+  private val DsirBuckets = 1024
+
   /** DuckDB mirror of TextKit.shingles(_, 3). */
   private val shinglesSql =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
@@ -1000,7 +1006,7 @@ object TextQueries {
         // reuses the exact-decimal log-sum recipe, and the final
         // per-doc join pins shuffle_hash (corpus-proportional side —
         // the LmScale lesson). One row per doc incl. degenerate docs.
-        val B = 1024
+        val B = DsirBuckets
         val base = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), TextKit.tokens(col("text")).as("w"))
         val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
@@ -1044,15 +1050,15 @@ object TextQueries {
         uni AS (SELECT doc_id, lang, unnest(w) AS g FROM d),
         bi AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
                  i -> w[i] || ' ' || w[i+1])) AS g FROM d),
-        f AS (SELECT doc_id, lang, (${OracleSql.foldSql("g", 31)}) % 1024 AS b
+        f AS (SELECT doc_id, lang, (${OracleSql.foldSql("g", 31)}) % $DsirBuckets AS b
               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
         cr AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY 1),
         ct AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
         tot AS (SELECT (SELECT COUNT(*) FROM f) AS nr,
                        (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt),
         lut AS (SELECT b,
-                  CAST(ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
-                           - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 9)
+                  CAST(ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+                           - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)), 9)
                        AS DECIMAL(18,9)) AS lw
                 FROM cr LEFT JOIN ct USING (b), tot),
         s AS (SELECT doc_id, SUM(lw) AS slw, COUNT(*) AS n
