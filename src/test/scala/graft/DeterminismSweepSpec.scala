@@ -48,7 +48,7 @@ class DeterminismSweepSpec extends AnyFunSuite with Matchers with SparkSessionSe
     * still holds for them). Keep this list SHORT and justified — every
     * entry is a query whose exact output the engine does not promise.
     *
-    * EMPTY BY MEASUREMENT, not by omission: all 102 registered queries
+    * EMPTY BY MEASUREMENT, not by omission: every registered query
     * passed the exact sweep (collect_lists are sorted before emission,
     * Word2Vec/Monte-Carlo/approx outputs are contract-shaped or
     * seed-pinned, every ranking window carries a total-order
