@@ -19,22 +19,34 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorKit {
 
-  /** Exact float->double widening of an embedding column.
+  /** The embeddings table's vector dimension — the single source for
+    * the shape guards, the seeded plane tables, and the oracle's
+    * zero-vector literal.
+    */
+  val EmbeddingDim = 64
+
+  /** Exact float->double widening of an embedding column, with the
+    * SHAPE guard of the degenerate-vector policy.
     *
     * A vector containing NULL ELEMENTS (legal in the parquet schema:
-    * the list element is nullable) maps to a NULL vector, so it joins
-    * the NULL-embedding policy class everywhere downstream (dropped
-    * from rankings, carried kept=true by SemDeDup). Without this, the
+    * the list element is nullable) or with the WRONG DIMENSION (a
+    * truncated upstream write) maps to a NULL vector, so it joins the
+    * NULL-embedding policy class everywhere downstream (dropped from
+    * rankings, carried kept=true by SemDeDup). Without this, the
     * engines would diverge in the worst way: the native DotProduct
-    * reads a null slot as 0.0 (finite norm, silently-wrong cosine)
-    * while DuckDB's list_inner_product THROWS on lists with null
-    * elements — not a mismatch but a crashed oracle run. exists() is
-    * an interpreted HOF like the transform it guards; the native
-    * codegen'd math (dot/norm) stays downstream of the projection.
+    * reads a null slot as 0.0 and folds over the shorter length on a
+    * dimension mismatch (finite norm, silently-wrong cosine) while
+    * DuckDB's list distance functions THROW on null elements and
+    * length mismatches — not a hash mismatch but a crashed oracle
+    * run. exists() is an interpreted HOF like the transform it
+    * guards; the native codegen'd math (dot/norm) stays downstream of
+    * the projection.
     */
-  def toDouble(v: Column): Column =
-    when(exists(v, x => x.isNull), lit(null).cast("array<double>"))
-      .otherwise(transform(v, x => x.cast(DoubleType)))
+  def toDouble(v: Column, dim: Int = EmbeddingDim): Column =
+    when(
+      size(v) === dim && !exists(v, x => x.isNull),
+      transform(v, x => x.cast(DoubleType)))
+      .otherwise(lit(null).cast("array<double>"))
 
   /** Sequential-fold dot product — the native codegen'd expression
     * (graft.plans.DotProduct), bit-identical to the HOF fold
@@ -101,16 +113,17 @@ object VectorKit {
       s" AND list_inner_product($e, $e) > 0)"
 
   /** Shape sanitizer for oracle SQL: maps a raw DOUBLE[] expression to
-    * itself when well-shaped, NULL when the list is NULL or contains
-    * NULL elements — mirroring [[toDouble]]'s null-element -> NULL
-    * normalization on the Spark side. list_filter/len tolerate NULL
-    * lists (only the distance functions throw), so this expression is
-    * safe in any context; wrap it in an `AS MATERIALIZED` CTE so
-    * downstream list_inner_product consumers read a flat, already-
-    * sanitized vector (see [[normalizableSql]] for why that matters).
+    * itself when well-shaped, NULL when the list is NULL, has the
+    * wrong dimension, or contains NULL elements — mirroring
+    * [[toDouble]]'s shape guard on the Spark side. list_filter/len
+    * tolerate NULL lists (only the distance functions throw), so this
+    * expression is safe in any context; wrap it in an
+    * `AS MATERIALIZED` CTE so downstream list_inner_product consumers
+    * read a flat, already-sanitized vector (see [[normalizableSql]]
+    * for why that matters).
     */
-  def sanitizedSql(raw: String): String =
-    s"(CASE WHEN $raw IS NOT NULL" +
+  def sanitizedSql(raw: String, dim: Int = EmbeddingDim): String =
+    s"(CASE WHEN $raw IS NOT NULL AND len($raw) = $dim" +
       s" AND len(list_filter($raw, x -> x IS NULL)) = 0 THEN $raw END)"
 
   /** A 64-dim all-zeros DOUBLE[] literal: the COALESCE stand-in for a

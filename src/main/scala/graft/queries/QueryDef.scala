@@ -146,7 +146,7 @@ object OracleSql {
     */
   lazy val semanticDedupSql: String = {
     import graft.functions.VectorKit
-    val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
+    val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = VectorKit.EmbeddingDim)
     val cluster = planes.zipWithIndex.map { case (p, j) =>
       val lit = p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
       s"(CASE WHEN $j < np AND list_inner_product(e, CAST($lit AS DOUBLE[])) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -172,7 +172,7 @@ object OracleSql {
     s"""WITH np0 AS (SELECT $npSql AS np FROM embeddings),
        |b AS MATERIALIZED (SELECT vec_id,
        |      COALESCE(${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")},
-       |               ${VectorKit.zerosSql(64)}) AS e
+       |               ${VectorKit.zerosSql(VectorKit.EmbeddingDim)}) AS e
        |      FROM embeddings),
        |bb AS (SELECT vec_id, e, $cluster AS cluster FROM b, np0),
        |d AS (SELECT DISTINCT x.vec_id AS dup_id
@@ -184,7 +184,8 @@ object OracleSql {
   }
 
   lazy val annLshMultiprobeSql: String = {
-    val planes = graft.functions.VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
+    val planes = graft.functions.VectorKit.randomSignPlanes(
+      numPlanes = 6, dim = graft.functions.VectorKit.EmbeddingDim)
     val bucket = planes.zipWithIndex.map { case (p, j) =>
       val lit = p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
       s"(CASE WHEN list_inner_product(e, CAST($lit AS DOUBLE[])) > 0 THEN ${1L << j} ELSE 0 END)"

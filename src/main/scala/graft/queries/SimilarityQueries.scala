@@ -130,7 +130,7 @@ object SimilarityQueries {
         // list_inner_product folds left-to-right exactly like the
         // native DotProduct, so both engines compute identical buckets
         // (verified bit-for-bit) — the oracle replays the same probing.
-        val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = 64)
+        val planes = VectorKit.randomSignPlanes(numPlanes = 6, dim = VectorKit.EmbeddingDim)
         // ranking query -> un-normalizable vectors dropped at the scan
         // (NaN cosine would take rank 1; see VectorKit.normalizable)
         val emb = Tables(s, dir, "embeddings")
@@ -227,7 +227,12 @@ object SimilarityQueries {
         // distinct runs over <= 8*numPartitions tiny rows. Exact:
         // every partition with <= 8 distinct vectors emits ALL of
         // them, so the union's distinct count is min(8, nDistinct)
-        // after the outer clamp.
+        // after the outer clamp. The set uses boxed equality (-0.0 !=
+        // 0.0 — a per-partition SUPERSET is always safe), while the
+        // global Dataset.distinct normalizes -0.0 inside arrays
+        // (probed: Seq(1.0,0.0) vs Seq(1.0,-0.0) count as 1), i.e. it
+        // counts by the same numeric equality k-means dedups centers
+        // with — so k can never exceed the effective center count.
         import s.implicits._
         val k = math.min(8L,
           emb.select(col("e")).as[Seq[Double]]
@@ -381,7 +386,7 @@ object SimilarityQueries {
         // direction duplicates nothing (VectorKit.normalizable policy;
         // DegenerateVectorSpec pins both ANSI modes, oracle mirrored).
         val tau = 0.35
-        val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = 64)
+        val planes = VectorKit.randomSignPlanes(VectorKit.SemDedupMaxPlanes, dim = VectorKit.EmbeddingDim)
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
         val np = base.agg(count(lit(1)).as("n")).select(

@@ -1017,19 +1017,20 @@ object TextQueries {
           .select(col("doc_id"), col("lang"), explode(col("w")).as("g"))
           .unionByName(base.select(col("doc_id"), col("lang"), explode(bigrams).as("g")))
           .select(col("doc_id"), col("lang"), (TextKit.charHash(col("g")) % B).as("b"))
-        val cr = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val ct = feats.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val tot = feats.agg(
-          count(lit(1)).as("nr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-        val lut = cr
-          .join(ct, Seq("b"), "left")
+        // ONE corpus pass builds both bucket counts (conditional agg),
+        // and the totals derive from the <= B-row count table — the
+        // corpus-sized feature stream is scanned exactly twice overall
+        // (LUT build + per-doc scoring), not four times
+        val counts = feats.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+        val lut = counts
           .crossJoin(broadcast(tot))
           .select(
             col("b"),
             round(
-              log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              log((col("ct") + 1).cast("double") /
                 (col("nt") + B).cast("double")) -
                 log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")),
               9).cast("decimal(18,9)").as("lw"))
@@ -1052,15 +1053,15 @@ object TextQueries {
                  i -> w[i] || ' ' || w[i+1])) AS g FROM d),
         f AS (SELECT doc_id, lang, (${OracleSql.foldSql("g", 31)}) % $DsirBuckets AS b
               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        cr AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY 1),
-        ct AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
-        tot AS (SELECT (SELECT COUNT(*) FROM f) AS nr,
-                       (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt),
+        c AS (SELECT b, COUNT(*) AS cr,
+                     SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+              FROM f GROUP BY 1),
+        tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM c),
         lut AS (SELECT b,
-                  CAST(ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+                  CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
                            - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)), 9)
                        AS DECIMAL(18,9)) AS lw
-                FROM cr LEFT JOIN ct USING (b), tot),
+                FROM c, tot),
         s AS (SELECT doc_id, SUM(lw) AS slw, COUNT(*) AS n
               FROM f JOIN lut USING (b) GROUP BY 1)
         SELECT d.doc_id, CAST(COALESCE(n, 0) AS INTEGER) AS n_features,

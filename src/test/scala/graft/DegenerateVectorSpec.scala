@@ -31,7 +31,7 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
   private def oneHot(axis: Int): Seq[Float] =
     (0 until 64).map(i => if (i == axis) 1.0f else 0.0f)
 
-  private val degenerateIds = Set(10L, 11L, 12L, 13L, 14L)
+  private val degenerateIds = Set(10L, 11L, 12L, 13L, 14L, 15L)
 
   private lazy val fixtureDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-degen-vec").toString
@@ -48,6 +48,11 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
     // DuckDB's list functions throw — VectorKit.toDouble maps the
     // whole vector to NULL so both engines treat it as un-normalizable
     rows.add(Row(14L, Seq[Any](0.5f, null) ++ Seq.fill[Any](62)(0.0f), 0))
+    // wrong dimension (truncated write): DotProduct would fold over
+    // the shorter length (silently-wrong cosine) while DuckDB's
+    // distance functions throw on the length mismatch — same
+    // shape-guard NULL mapping
+    rows.add(Row(15L, (0 until 32).map(i => if (i == 0) 1.0f else 0.0f), 0))
     spark.createDataFrame(rows, embSchema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
@@ -130,7 +135,7 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
           .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
         // every input row appears exactly once — degenerate rows are
         // carried, not dropped
-        out.keySet shouldBe Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L, 14L)
+        out.keySet shouldBe Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L, 14L, 15L)
         // the exact dup is dropped; everything else (incl. all four
         // degenerate rows) is kept
         out(1L) shouldBe false

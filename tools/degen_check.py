@@ -27,6 +27,9 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import canon as check_canon  # noqa: E402 — the shared compare
+
 QUERIES = [
     "q_similarity_cosine_topk", "q_dedup_embedding_cosine",
     "q_similarity_ann_lsh", "q_similarity_ivf", "q_dedup_semantic",
@@ -47,6 +50,7 @@ def write_fixture(sf_dir):
         (12, [float("inf")] + one_hot(0)[1:], 0),  # Inf component
         (13, None, 0),                           # NULL embedding
         (14, [0.5, None] + [0.0] * 62, 0),       # NULL element
+        (15, one_hot(0)[:32], 0),                # wrong dimension
     ]
     table = pa.table({
         "vec_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -59,10 +63,7 @@ def write_fixture(sf_dir):
 def canon(con, query):
     cols = [c[0] for c in con.execute(f"DESCRIBE {query}").fetchall()]
     rows = con.execute(query).fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(cols), sorted(
-        [tuple(r[i] for i in order) for r in rows],
-        key=lambda t: tuple(str(x) for x in t))
+    return check_canon(rows, cols)  # tools/check.py's canonical compare
 
 
 def main():
