@@ -35,14 +35,19 @@ object MultimodalQueries {
           .orderBy("source", "format")
       },
       Some("""WITH f AS (
+          -- strlen = UTF-8 BYTE length (matches Spark's encode(text,
+          -- 'UTF-8') payload size; CAST(text AS BLOB) would throw on
+          -- non-ASCII text); the WHERE mirrors fromDocuments' na.drop
+          -- of rows that cannot form a container
           SELECT doc_id, source,
-                 octet_length(CAST(text AS BLOB))
+                 strlen(text)
                    + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END AS byte_len,
                  n_chars % 640 + 1 AS width,
                  n_chars * 7 % 480 + 1 AS height,
                  1 + n_chars % 16 AS n_frames,
                  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-          FROM documents)
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)
         SELECT source, format, COUNT(*) AS n_media,
                CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
                CAST(MAX(width) AS INTEGER) AS max_width,
@@ -70,11 +75,14 @@ object MultimodalQueries {
           .orderBy("doc_id")
       },
       Some("""WITH f AS (
+          -- WHERE mirrors fromDocumentsAnimated's na.drop of rows
+          -- that cannot form a container
           SELECT doc_id, source,
                  CAST(1 + n_chars % 16 AS INTEGER) AS n_frames,
                  CAST(n_chars % 640 + 1 AS INTEGER) AS w,
                  CAST(n_chars * 7 % 480 + 1 AS INTEGER) AS h
-          FROM documents)
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)
         SELECT doc_id, source, n_frames,
                CAST(CEIL(n_frames / 4.0) AS INTEGER) AS n_sampled,
                0 AS first_idx,

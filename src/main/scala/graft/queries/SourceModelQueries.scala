@@ -145,8 +145,15 @@ object SourceModelQueries {
           .orderBy("id")
       },
       Some("""SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS id, source,
-          TRIM(text) AS text, CAST(3 AS INTEGER) AS n_codes
-        FROM documents ORDER BY id""")
+          -- a flat-file round-trip LOSES empty-valued fields: the
+          -- renderer writes 'TX ' with nothing after it and the parser
+          -- (by line-coded-format contract) drops value-less lines, so
+          -- an empty/whitespace text comes back as an absent TX field
+          NULLIF(TRIM(text), '') AS text,
+          CAST(CASE WHEN TRIM(text) <> '' THEN 3 ELSE 2 END AS INTEGER) AS n_codes
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+        ORDER BY id""")
     )
   )
 }

@@ -331,14 +331,22 @@ object TextQueries {
             col("n_tokens"),
             col("n_unique"),
             col("n_subtokens"),
-            round(col("n_unique") / col("n_tokens"), 6).as("ttr"),
-            round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
-            round(
-              col("n_unique") / col("n_tokens") * 0.5 +
-                (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3 +
-                least(lit(1.0), col("n_tokens") / 100.0) * 0.2,
-              6
-            ).as("quality")
+            // zero-token guard (chaos-fixture ANSI crash class): the
+            // ratios are NULL for an empty doc — DuckDB's x/0 is NULL
+            // naturally, Spark's is Infinity/NaN non-ANSI and a
+            // DIVIDE_BY_ZERO throw under ANSI (the Verify/Bench
+            // default), so the when() is both the crash fix AND the
+            // cross-engine alignment
+            when(col("n_tokens") > 0,
+              round(col("n_unique") / col("n_tokens"), 6)).as("ttr"),
+            when(col("n_tokens") > 0,
+              round(col("n_stop") / col("n_tokens"), 6)).as("stop_ratio"),
+            when(col("n_tokens") > 0,
+              round(
+                col("n_unique") / col("n_tokens") * 0.5 +
+                  (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3 +
+                  least(lit(1.0), col("n_tokens") / 100.0) * 0.2,
+                6)).as("quality")
           )
           .orderBy("doc_id")
       },
@@ -794,7 +802,10 @@ object TextQueries {
       Some(s"""WITH $chunkCteSql
         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
           CAST(len($chunkSliceSql) AS INT) AS n_tokens,
-          array_to_string($chunkSliceSql, ' ') AS chunk_text
+          -- COALESCE: DuckDB's array_to_string([]) is NULL where
+          -- Spark's array_join([]) is '' — an empty/whitespace doc
+          -- still yields its one 0-token chunk with chunk_text ''
+          COALESCE(array_to_string($chunkSliceSql, ' '), '') AS chunk_text
         FROM c ORDER BY doc_id, chunk_id""")
     ),
     // ------------------------------------------------------------------
@@ -814,10 +825,21 @@ object TextQueries {
         // cascade. Integer addition is associative, so distributed ==
         // sequential EXACTLY.
         import graft.operators.PrefixSum
+        // Packing REQUIRES a total order (every downstream offset
+        // depends on it). (doc_id, chunk_id) is total only while
+        // doc_id is unique, so the content hash joins the sort key as
+        // a tie-break: corrupt inputs carrying two different documents
+        // under one id (the chaos-fixture probe) still pack
+        // deterministically and identically in both engines; rows tied
+        // on all three keys are bit-identical, so any order of them
+        // yields the same output multiset.
         val ch = chunkWindows(s, dir)
-          .select(col("doc_id"), col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens").cast("long").as("n_tokens"),
+            TextKit.charHash(col("chunk_text")).as("tb"))
         PrefixSum
-          .runningSum(ch, Seq(col("doc_id").asc, col("chunk_id").asc), "n_tokens", "cum_tokens")
+          .runningSum(
+            ch, Seq(col("doc_id").asc, col("chunk_id").asc, col("tb").asc),
+            "n_tokens", "cum_tokens")
           .select(
             col("doc_id"),
             col("chunk_id"),
@@ -829,10 +851,12 @@ object TextQueries {
       },
       Some(s"""WITH $chunkCteSql,
         k AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-                     CAST(len($chunkSliceSql) AS BIGINT) AS n_tokens
+                     CAST(len($chunkSliceSql) AS BIGINT) AS n_tokens,
+                     ${OracleSql.foldSql(
+          s"COALESCE(array_to_string($chunkSliceSql, ' '), '')", 31)} AS tb
               FROM c),
         r AS (SELECT doc_id, chunk_id, n_tokens,
-                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id, tb
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                        AS cum_tokens
               FROM k)
@@ -1172,10 +1196,15 @@ object TextQueries {
           .select(
             col("doc_id"),
             col("n").cast("int").as("n_tokens"),
-            round(col("mxu") / col("n"), 6).as("top_unigram_frac"),
-            round(col("mxb") / col("nb"), 6).as("top_bigram_frac"),
-            round(col("dupb") / col("nb"), 6).as("dup_bigram_frac"),
-            round(col("chars") / col("n"), 6).as("mean_token_len"),
+            // zero-denominator guards (chaos-fixture ANSI crash class):
+            // a 0-token/0-bigram doc reports NULL fractions — DuckDB's
+            // x/0 is NULL naturally, ANSI Spark would throw — while
+            // gopherKeep's own leading n/nb guards already short-
+            // circuit it to false
+            when(col("n") > 0, round(col("mxu") / col("n"), 6)).as("top_unigram_frac"),
+            when(col("nb") > 0, round(col("mxb") / col("nb"), 6)).as("top_bigram_frac"),
+            when(col("nb") > 0, round(col("dupb") / col("nb"), 6)).as("dup_bigram_frac"),
+            when(col("n") > 0, round(col("chars") / col("n"), 6)).as("mean_token_len"),
             gopherKeep.as("keep")
           )
           .orderBy("doc_id")
@@ -1237,8 +1266,13 @@ object TextQueries {
             col("doc_id"),
             col("n").cast("int").as("n_ngrams"),
             col("rep").cast("int").as("n_repeated"),
-            round(col("rep") / col("n"), 6).as("repeated_frac"),
-            (col("rep") / col("n") > 0.2).as("boilerplate"))
+            // zero-ngram guard (chaos-fixture ANSI crash class): NULL
+            // frac/flag for a <5-token doc — "no 5-grams means no
+            // repetition verdict" — matching DuckDB's NULL on x/0
+            // (non-ANSI Spark gave NaN, whose > 0.2 is TRUE: a latent
+            // cross-engine divergence, not just a crash)
+            when(col("n") > 0, round(col("rep") / col("n"), 6)).as("repeated_frac"),
+            when(col("n") > 0, col("rep") / col("n") > 0.2).as("boilerplate"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Chaos gate: the full registry, cross-engine, on HOSTILE data.
+
+tools/check.py compares Spark and DuckDB on the clean sf fixtures;
+this gate mutates sf0.001 with the bad rows 100 TB of real data is
+guaranteed to contain — NULL text/lang/source/n_chars documents, an
+empty and a whitespace-only document, non-ASCII text (emoji, CJK,
+combining marks), a DUPLICATE doc_id carrying different text, and
+degenerate embeddings (zero-norm, NaN, NULL) — then runs ALL queries
+through graft.Verify (ANSI default session, like the driver) and the
+DuckDB oracles. Its first run caught three ANSI DIVIDE_BY_ZERO
+crashes, two oracle NULL-handling gaps, a unicode-unsafe oracle BLOB
+cast, a NULL-vs-'' chunk_text divergence, and a packing order that
+was only total while doc_id was unique.
+
+EXPECTED_DIVERGENT lists the queries whose mismatch under this
+fixture is a DOCUMENTED contract, not a bug — each with the reason.
+
+Usage: python3 tools/chaos_check.py   (from /root/repo)
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import canon, eq  # noqa: E402 — the shared compare
+
+SRC = "/root/testdata/sf0.001"
+
+# Queries whose divergence on THIS fixture is by documented design.
+EXPECTED_DIVERGENT = {
+    # The oracle's OOV fallback (length(tok)+1) is an intentional
+    # vocabulary-drift tripwire: it is a value the real encoder never
+    # produces, so out-of-vocabulary tokens (the emoji/CJK doc) fail
+    # the gate loudly instead of a stale LUT passing silently. The
+    # Spark side IS the real encoding.
+    "q_text_bpe_tokenize": "OOV oracle tripwire (by design)",
+    # doc_id is the document IDENTITY: the funnel's stage joins and the
+    # cluster membership map are keyed on it, so one id carrying two
+    # different texts is upstream corruption, not an input class. The
+    # contract is id uniqueness (upstream id-dedup); the queries are
+    # deterministic whenever it holds.
+    "q_corpus_curation": "doc_id uniqueness precondition",
+    "q_dedup_clusters_deep": "doc_id uniqueness precondition",
+}
+
+
+def build_fixture(dst):
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/documents.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (100001, NULL, NULL, NULL, NULL),
+        (100002, '', 'en', 'src0', 0),
+        (100003, 'a 👍 emoji café test naïve ſtring 中文 test', 'en', 'src1', 41),
+        (3, 'duplicate doc id row the a of and is spark table', 'en', 'src0', 48),
+        (100004, '   ', 'de', 'src2', 3)
+      ) t(doc_id, text, lang, source, n_chars)
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/embeddings.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (200001, CAST([0.0 FOR i IN range(64)] AS FLOAT[]), 0),
+        (200002, NULL, 0),
+        (200003, CAST(['nan'::FLOAT] || [0.0 FOR i IN range(63)] AS FLOAT[]), 1)
+      ) t(vec_id, embedding, label)
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+
+
+def main():
+    work = tempfile.mkdtemp(prefix="graft-chaos-")
+    sf_dir = os.path.join(work, "sf")
+    out_dir = os.path.join(work, "out")
+    build_fixture(sf_dir)
+
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+        capture_output=True, text=True, timeout=1800)
+    # graft.Verify catches per-query failures and logs them; a query
+    # that could not even dump is a hard chaos failure (crash class)
+    crashed = [ln for ln in (r.stdout + r.stderr).splitlines()
+               if "[verify]" in ln and "failed" in ln]
+    for ln in crashed:
+        print(f"  ✗ CRASH {ln.strip()}")
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_expected = 0
+    for name in sorted(oracles):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue  # crash already reported above
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        got_cols, got_rows = list(got.columns), got.fetchall()
+        try:
+            exp = con.sql(oracles[name])
+            exp_cols, exp_rows = list(exp.columns), exp.fetchall()
+            gc, gr = canon(got_rows, got_cols)
+            ec, er = canon(exp_rows, exp_cols)
+            ok = (gc == ec and len(gr) == len(er) and
+                  all(all(eq(x, y) for x, y in zip(a, b))
+                      for a, b in zip(gr, er)))
+            detail = f"spark={len(gr)} oracle={len(er)}"
+        except Exception as exc:
+            ok, detail = False, f"oracle raised: {str(exc)[:90]}"
+        if ok:
+            n_pass += 1
+        elif name in EXPECTED_DIVERGENT:
+            n_expected += 1
+            print(f"  ~ {name}: diverges as documented "
+                  f"({EXPECTED_DIVERGENT[name]})")
+        else:
+            n_fail += 1
+            print(f"  ✗ {name}: {detail}")
+    n_fail += len(crashed)
+    print(f"CHAOS PASS={n_pass} FAIL={n_fail} EXPECTED-DIVERGENT={n_expected}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
