@@ -58,4 +58,29 @@ object Session {
         "spark.ui.enabled" -> "false"
       )
     )
+
+  /** The config every driver-run entry point (Verify, Bench) must use.
+    *
+    * One source of truth for the SEMANTICS-BEARING keys: before round
+    * 10, Verify/Bench built raw sessions that inherited Spark 4's
+    * ANSI-on default while `graft.Main` ran ANSI-off via [[defaultConf]]
+    * — so a permissive-cast-dependent query could pass one gate and
+    * fail the other. Now all three builders agree (pinned by
+    * SessionConfSpec). `SPARK_GRAFT_ANSI=true` flips ANSI on for
+    * hostile-data gates (tools/chaos_check.py) that deliberately probe
+    * the stricter mode; the driver never sets it.
+    */
+  def driverConf(cpus: String): Map[String, String] =
+    defaultConf ++ Map(
+      "spark.sql.shuffle.partitions" -> cpus,
+      "spark.ui.enabled" -> "false",
+      "spark.sql.ansi.enabled" ->
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", defaultConf("spark.sql.ansi.enabled"))
+    )
+
+  /** Session for the driver's Verify/Bench mains: local[cpus] with
+    * [[driverConf]] — i.e. exactly [[defaultConf]] semantics.
+    */
+  def driverLocal(cpus: String, appName: String): SparkSession =
+    build(appName, Some(s"local[$cpus]"), driverConf(cpus))
 }

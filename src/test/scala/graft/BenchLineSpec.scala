@@ -22,7 +22,8 @@ class BenchLineSpec extends AnyFunSuite {
     )
     for (names <- registries; worst <- Seq(9.94, 99.4, 123.45)) {
       val results = names.map(_ -> worst)
-      val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1", compact = true)
+      val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1",
+        compact = true, loads = Seq(123.9, 123.9))
       assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query " +
         s"x ${names.size} queries; driver tail keeps 2000 and sbt's trailer needs ~80")
     }
