@@ -25,6 +25,28 @@ object TextKit {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
+  /** PII scrub patterns, shared verbatim by the Spark query and its
+    * DuckDB oracle (q_text_pii_scrub) and by AdversarialRegexSpec.
+    *
+    * The quantifiers are BOUNDED — RFC 5321's own limits (local part
+    * <= 64 octets, domain label <= 63) — and that bound is what makes
+    * the scrub safe on hostile text: with an unbounded `+`, a document
+    * that is one long run of class characters with no `@` makes Java's
+    * backtracking engine re-consume the rest of the run from every
+    * start position — O(run^2); measured 20 s on an 80 KB bait doc,
+    * i.e. a stage-killer at 100 TB. With `{1,64}` the per-start cost
+    * is capped at the bound, so the whole scan is O(64*n) — measured
+    * 0.06 s on the same doc. DuckDB's RE2 is linear either way (no
+    * backtracking), so only match AGREEMENT needs checking there: both
+    * engines are leftmost-greedy, so for an over-long local part both
+    * match the trailing 64 chars (pinned in AdversarialRegexSpec and
+    * by the chaos-gate bait doc). No lookarounds: RE2 has none.
+    */
+  val EmailRe = "[a-z0-9._]{1,64}@[a-z]{1,63}\\.[a-z]{1,63}"
+
+  /** Literal-prefixed and bounded: linear in every engine. */
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
   /** Word n-gram shingles (space-joined), distinct. The slice/sequence
     * form stays codegen'd. Inputs shorter than n yield an EMPTY array
     * (no caller-side guard needed); a NULL input stays NULL, matching

@@ -1292,6 +1292,89 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_substring_extents",
+      (s, dir) => {
+        // Substring-GRANULAR dedup (Lee et al. 2021 §4.1 "ExactSubstr",
+        // one level finer than q_corpus_repeated_ngrams' per-doc
+        // fraction): report the POSITION-AWARE maximal extents of
+        // corpus-repeated text inside each document, so a cleaning
+        // pass can cut the repeated spans instead of dropping whole
+        // docs. Approximation contract (documented; the suffix-array
+        // original is not expressible relationally): a token position
+        // is "repeated" iff the 5-gram starting there occurs >= 2
+        // times corpus-wide, and an extent is a maximal run of
+        // consecutive repeated positions — exactly the sorted-k-gram-
+        // chain reading of the suffix-array method, so an extent of
+        // n_grams grams certifies a repeated substring of
+        // end-start+5 tokens (any 50+-token Lee-et-al extent appears
+        // here as an extent of >= 46 grams). The per-position marks
+        // are THE SAME marks q_corpus_repeated_ngrams aggregates:
+        // per doc, sum(n_grams) over extents == its n_repeated
+        // (pinned as a cross-query property in PropertySpec).
+        // Scale shape: the gram count table shards on the gram key
+        // (BM25-df pattern, partial-agg'd; no broadcast assumption),
+        // the join back reuses the same key, then ONE shuffle on
+        // doc_id carries both the island window and — because islands
+        // group by (doc_id, grp), a superset key of the window's
+        // partitioning produced by a deterministic projection — the
+        // extent aggregation without a further exchange. Docs with no
+        // repeated positions simply list no extents (this is an
+        // extent LISTING like the pair-listing dedups, not a per-doc
+        // report).
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val grams = when(size(col("w")) < 5,
+          array().cast("array<struct<p:int,ng:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 4),
+            i => struct(
+              i.cast("int").as("p"),
+              concat_ws(" ",
+                element_at(col("w"), i), element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+                element_at(col("w"), i + 4)).as("ng"))))
+        val g = toks.select(col("doc_id"), explode(grams).as("g"))
+          .select(col("doc_id"), col("g.p").as("pos"), col("g.ng").as("ng"))
+        val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+        val repeated = g.join(counts, "ng")
+          .filter(col("cnt") >= 2)
+          .select(col("doc_id"), col("pos"))
+        // islands trick: consecutive positions share pos - row_number
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        repeated
+          .withColumn("grp", col("pos") - row_number().over(wDoc))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(
+            min(col("pos")).as("start_pos"),
+            max(col("pos")).as("end_pos"),
+            count(lit(1)).cast("int").as("n_grams"))
+          .select(
+            col("doc_id"),
+            col("start_pos"),
+            col("end_pos"),
+            col("n_grams"),
+            (col("end_pos") - col("start_pos") + 5).cast("int").as("extent_tokens"))
+          .orderBy("doc_id", "start_pos")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        g0 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 3),
+                   i -> {'p': i, 'ng': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]})) AS s
+               FROM t),
+        g AS (SELECT doc_id, CAST(s.p AS INTEGER) AS pos, s.ng AS ng FROM g0),
+        c AS (SELECT ng, COUNT(*) AS cnt FROM g GROUP BY 1),
+        r AS (SELECT doc_id, pos FROM g JOIN c USING (ng) WHERE cnt >= 2),
+        i AS (SELECT doc_id, pos,
+                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM r)
+        SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+          CAST(COUNT(*) AS INTEGER) AS n_grams,
+          CAST(MAX(pos) - MIN(pos) + 5 AS INTEGER) AS extent_tokens
+        FROM i GROUP BY doc_id, grp
+        ORDER BY doc_id, start_pos""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_quality_lm_perplexity",
       (s, dir) => {
         // CCNet-style LM quality filtering (Wenzek et al. 2020 §4.3:
@@ -1471,11 +1554,15 @@ object TextQueries {
         // from the same formulas; what the gate checks is the REGEX
         // ENGINE AGREEMENT: both engines must find the same matches
         // and produce byte-identical scrubbed text (md5-compared).
-        // Embarrassingly parallel projection — no shuffle, the scan's
-        // natural partitioning carries it, which is why scrub passes
-        // at 100 TB are the cheap part of a pipeline.
-        val emailRe = "[a-z0-9._]+@[a-z]+\\.[a-z]+"
-        val phoneRe = "\\+1-555-[0-9]{4}"
+        // The patterns carry RFC-sized quantifier BOUNDS — without
+        // them Java's backtracking engine goes quadratic on hostile
+        // class-char runs (TextKit.EmailRe scaladoc; sweep:
+        // AdversarialRegexSpec). Embarrassingly parallel projection —
+        // no shuffle, the scan's natural partitioning carries it,
+        // which is why scrub passes at 100 TB are the cheap part of a
+        // pipeline.
+        val emailRe = TextKit.EmailRe
+        val phoneRe = TextKit.PhoneRe
         Tables(s, dir, "documents")
           .withColumn("email_blk",
             concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.org")))
@@ -1503,12 +1590,12 @@ object TextQueries {
           FROM documents),
         sc AS (
           SELECT doc_id, aug,
-            regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
-                           '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+            regexp_replace(regexp_replace(aug, '${TextKit.EmailRe}', '<EMAIL>', 'g'),
+                           '${TextKit.PhoneRe}', '<PHONE>', 'g') AS scrubbed
           FROM a)
         SELECT doc_id,
-          CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z]+\\.[a-z]+')) AS INTEGER) AS n_emails,
-          CAST(len(regexp_extract_all(aug, '\\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+          CAST(len(regexp_extract_all(aug, '${TextKit.EmailRe}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '${TextKit.PhoneRe}')) AS INTEGER) AS n_phones,
           CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
           md5(scrubbed) AS scrubbed_md5
         FROM sc ORDER BY doc_id""")

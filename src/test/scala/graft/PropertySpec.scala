@@ -191,4 +191,29 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       }
     }
   }
+
+  test("substring extents aggregate to exactly the repeated-ngram counts (cross-query invariant)") {
+    // q_dedup_substring_extents chains the SAME per-position repeat
+    // marks q_corpus_repeated_ngrams aggregates, so for every doc:
+    //   sum(n_grams over its extents) == n_repeated,
+    // and each extent's token length is its gram count + 4 exactly.
+    // Run both registry queries on the real sf0.001 fixture and join.
+    import spark.implicits._
+    val extents = SparkEntry.queries("q_dedup_substring_extents")(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_grams")).as("ext_grams"))
+      .as[(Long, Long)].collect().toMap
+    val marks = SparkEntry.queries("q_corpus_repeated_ngrams")(spark, sfDir)
+      .select(col("doc_id"), col("n_repeated"))
+      .as[(Long, Int)].collect().toMap
+    marks.nonEmpty shouldBe true
+    for ((doc, rep) <- marks)
+      extents.getOrElse(doc, 0L) shouldBe rep.toLong
+    extents.keySet.subsetOf(marks.keySet) shouldBe true
+    val shapes = SparkEntry.queries("q_dedup_substring_extents")(spark, sfDir)
+      .select(col("extent_tokens") - col("n_grams") - 4)
+      .as[Int].collect()
+    shapes.nonEmpty shouldBe true
+    all(shapes) shouldBe 0
+  }
 }

@@ -66,7 +66,13 @@ def build_fixture(dst):
         (100002, '', 'en', 'src0', 0),
         (100003, 'a 👍 emoji café test naïve ſtring 中文 test', 'en', 'src1', 41),
         (3, 'duplicate doc id row the a of and is spark table', 'en', 'src0', 48),
-        (100004, '   ', 'de', 'src2', 3)
+        (100004, '   ', 'de', 'src2', 3),
+        -- regex-hostile doc: an over-long email local part (both
+        -- engines must agree on the trailing-64 match) plus a long
+        -- class-char run with no '@' (the backtracking bait an
+        -- unbounded pattern goes quadratic on — AdversarialRegexSpec)
+        (100005, 'pii ' || repeat('b', 80) || '@example.org bait ' || repeat('a', 5000),
+         'en', 'src1', 5101)
       ) t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
