@@ -1250,7 +1250,10 @@ object TextQueries {
               element_at(col("w"), i + 4))))
         val g = toks.select(col("doc_id"), explode(ngrams).as("ng"))
         val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
-        val perDoc = g.join(counts, "ng")
+        // shuffle_hash PINNED — corpus-proportional count table, the
+        // side AQE must never broadcast (LmScale OOM class; rationale
+        // at q_quality_lm_perplexity)
+        val perDoc = g.join(counts.hint("shuffle_hash"), "ng")
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n"),
@@ -1260,7 +1263,7 @@ object TextQueries {
         // NULL: no 5-grams means no repetition verdict) instead of
         // silently vanishing from the report
         toks.select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
           .na.fill(0L, Seq("n", "rep"))
           .select(
             col("doc_id"),
@@ -1335,8 +1338,14 @@ object TextQueries {
                 element_at(col("w"), i + 4)).as("ng"))))
         val g = toks.select(col("doc_id"), explode(grams).as("g"))
           .select(col("doc_id"), col("g.p").as("pos"), col("g.ng").as("ng"))
+        // shuffle_hash PINNED: the gram-count table is corpus-
+        // proportional (distinct 5-grams grow with the corpus), the
+        // provably-unbounded side AQE must never broadcast (the
+        // LmScale OOM class; q_quality_lm_perplexity comment has the
+        // full rationale) — and without the hint AQE DID elect
+        // broadcast on the fixture (observed in the r10 plan audit).
         val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
-        val repeated = g.join(counts, "ng")
+        val repeated = g.join(counts.hint("shuffle_hash"), "ng")
           .filter(col("cnt") >= 2)
           .select(col("doc_id"), col("pos"))
         // islands trick: consecutive positions share pos - row_number
