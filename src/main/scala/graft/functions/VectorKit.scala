@@ -141,6 +141,33 @@ object VectorKit {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-scale int8 scalar quantization (the SQ8 ANN rung): divide by
+    * the vector's own L2 norm (direction only — cosine search never
+    * needs the magnitude) and round each coordinate to the nearest
+    * integer in [-127, 127]:  q_i = floor(x_i/nrm * 127 + 0.5).
+    *
+    * Every value is int8-representable (|x_i| <= nrm, and the 1-ulp
+    * division slack cannot push |q_i| past 127 — that would need a
+    * ratio >= 1.004); the carrier stays DOUBLE so the quantized dot
+    * product runs through the codegen'd [[dot]] and is EXACT integer
+    * arithmetic in both engines (sums of products of ints <= 127^2*64
+    * sit far inside the 2^53 exact-integer range, so fold order is
+    * irrelevant — the one float-determinism-free stage in the
+    * similarity family). A production table persists
+    * `transform(q8, _.cast("tinyint"))` — 8x smaller than float32,
+    * the memory-bandwidth win SQ exists for; the values here are
+    * bit-identical to that storage.
+    */
+  def quantize8(e: Column, nrm: Column): Column =
+    transform(e, x => floor(x / nrm * lit(127.0) + lit(0.5)).cast(DoubleType))
+
+  /** DuckDB mirror of [[quantize8]]: same expression tree, same IEEE
+    * grouping ((x / nrm) * 127 + 0.5), over a DOUBLE[] `e` and a
+    * DOUBLE `nrm` column in scope.
+    */
+  def quantize8Sql(e: String, nrm: String): String =
+    s"list_transform($e, x -> floor(x / $nrm * 127 + 0.5))"
+
   /** Random-hyperplane LSH signature: bit j = [dot(v, plane_j) > 0],
     * packed into a Long. Planes are ±1-valued and fixed (seeded), so
     * the bucketing is deterministic across runs and executors.

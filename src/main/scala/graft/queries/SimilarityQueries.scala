@@ -348,6 +348,90 @@ object SimilarityQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_similarity_sq8",
+      (s, dir) => {
+        // SQ8 scalar-quantized similarity: the third ANN rung beside
+        // LSH (hash buckets) and IVF (coarse cells) — compress every
+        // vector to int8 (VectorKit.quantize8: direction-only unit
+        // scale, 8x smaller than float32), score candidates with the
+        // EXACT-integer quantized dot product, keep the top
+        // CandidateK per query, then re-rank just those with the
+        // full-precision cosine. This is the memory-bandwidth scale
+        // path (FAISS SQ8 layout): at 1B vectors the quantized corpus
+        // is ~8 GB instead of 64 — the difference between scanning
+        // from RAM and from disk — and the exact math touches only
+        // C candidates per query instead of the corpus.
+        // Scale shape: candidate generation is the brute-force pass
+        // shape (broadcast query set x corpus, one narrow row per
+        // pair — ONLY ids and the integer score cross the candidate
+        // exchange, never the vectors), re-rank broadcasts the tiny
+        // candidate list back against the corpus scan. FULLY oracled:
+        // quantization is deterministic arithmetic and the quantized
+        // dot is exact-integer (fold-order-free), so DuckDB replays
+        // candidates AND final ranks bit-for-bit.
+        // Ranking query -> un-normalizable vectors dropped at the
+        // scan (VectorKit.normalizable; q8 would divide by the zero
+        // norm otherwise).
+        val candidateK = 20
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
+          .withColumn("q8", VectorKit.quantize8(col("e"), col("nrm")))
+        val queries = emb
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), col("q8").as("qq"))
+        val wC = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid").asc)
+        val cand = emb
+          .select(col("vec_id"), col("q8"))
+          .join(broadcast(queries.select(col("qid"), col("qq"))),
+            col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("nid"),
+            VectorKit.dot(col("qq"), col("q8")).as("iscore"))
+          .withColumn("crk", row_number().over(wC))
+          .filter(col("crk") <= candidateK)
+          .select(col("qid"), col("nid"))
+        val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+        emb
+          .select(col("vec_id").as("nid"), col("e"), col("nrm"))
+          .join(broadcast(cand), Seq("nid"))
+          .join(broadcast(queries.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+          .select(
+            col("qid"),
+            col("nid"),
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("rk", row_number().over(wE))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 6).as("cosine"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b1 AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
+        b AS MATERIALIZED (SELECT vec_id, e, nrm,
+               ${VectorKit.quantize8Sql("e", "nrm")} AS q8
+             FROM (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM b1)),
+        q AS (SELECT vec_id AS qid, e AS qe, q8 AS qq FROM b WHERE vec_id < 10),
+        sc AS (SELECT qid, b.vec_id AS nid, list_inner_product(qq, b.q8) AS iscore
+               FROM q, b WHERE b.vec_id != qid),
+        cand AS (SELECT qid, nid FROM (
+                   SELECT qid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY iscore DESC, nid) AS crk
+                   FROM sc)
+                 WHERE crk <= 20),
+        ex AS (SELECT c.qid, c.nid, list_cosine_similarity(q.qe, b.e) AS cos
+               FROM cand c JOIN q USING (qid) JOIN b ON b.vec_id = c.nid),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+              FROM ex)
+        SELECT qid, CAST(rk AS INTEGER) AS rk, nid, ROUND(cos, 6) AS cosine
+        FROM r WHERE rk <= 5 ORDER BY qid, rk""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_semantic",
       (s, dir) => {
         // SemDeDup (Abbas et al. 2023): cluster the embedding space

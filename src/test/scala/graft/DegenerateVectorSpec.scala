@@ -60,7 +60,8 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
 
   private val similarityQueries = Seq(
     "q_similarity_cosine_topk", "q_dedup_embedding_cosine",
-    "q_similarity_ann_lsh", "q_similarity_ivf", "q_dedup_semantic")
+    "q_similarity_ann_lsh", "q_similarity_ivf", "q_dedup_semantic",
+    "q_similarity_sq8")
 
   /** Run `body` with ANSI mode forced to `on`, restoring the session
     * conf afterwards (the shared session serves every suite).
@@ -87,7 +88,8 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
 
     test(s"[$mode] ranking queries drop degenerate vectors and keep exact results") {
       withAnsi(ansi) {
-        for (name <- Seq("q_similarity_cosine_topk", "q_similarity_ann_lsh")) {
+        for (name <- Seq("q_similarity_cosine_topk", "q_similarity_ann_lsh",
+          "q_similarity_sq8")) {
           withClue(s"$name: ") {
             val out = SparkEntry.queries(name)(spark, fixtureDir).collect()
             out should not be empty
@@ -157,7 +159,7 @@ class DegenerateVectorSpec extends AnyFunSuite with Matchers with SparkSessionSe
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     withAnsi(true) {
       for (name <- Seq("q_similarity_cosine_topk", "q_similarity_ann_lsh",
-        "q_similarity_ivf", "q_dedup_embedding_cosine")) {
+        "q_similarity_ivf", "q_dedup_embedding_cosine", "q_similarity_sq8")) {
         withClue(s"$name: ") {
           SparkEntry.queries(name)(spark, dir).count() shouldBe 0L
         }

@@ -15,6 +15,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   private val bnljWhitelist = Set(
     "q_similarity_cosine_topk", // broadcast query-set vs corpus, non-equi (vec_id !=)
+    "q_similarity_sq8",         // broadcast query-set vs corpus, non-equi
+                                // (int8 candidate scoring pass)
     "q_theta_array_contains",   // broadcast word LUT vs array_contains membership
     "q_similarity_ivf",         // queries x broadcast k-row centroid table (probe assignment)
     "q_window_ntile_approx",    // fact x broadcast 1-row cutpoint array (range lookup)

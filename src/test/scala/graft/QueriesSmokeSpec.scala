@@ -37,7 +37,8 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     "q_flatfile_parse", "q_multimodal_audio", "q_multimodal_features",
     "q_multimodal_framesample", "q_quality_gopher", "q_quality_lm_perplexity",
     "q_similarity_ann_lsh",
-    "q_similarity_cosine_topk", "q_similarity_ivf", "q_text_bm25",
+    "q_similarity_cosine_topk", "q_similarity_ivf", "q_similarity_sq8",
+    "q_text_bm25",
     "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
     "q_text_langid", "q_text_pii_scrub", "q_text_stats")
 
