@@ -1384,6 +1384,104 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_substring_cut",
+      (s, dir) => {
+        // The TRANSFORMATION half of substring dedup (Lee et al. 2021
+        // actually REMOVE the repeated spans — q_dedup_substring_*
+        // only report them): rebuild every document's text with all
+        // corpus-repeated spans cut out. A token position t is
+        // covered iff some repeated 5-gram starts in [t-4, t] —
+        // i.e. the union of [p, p+4] over repeated gram positions p,
+        // which needs no extent/island pass: explode each repeated
+        // position into its 5 covered token slots and anti-join the
+        // token stream against them (duplicate covered slots are
+        // harmless to an anti join, so no distinct shuffle). The
+        // surviving tokens re-assemble in position order
+        // (array_sort over (pos, token) structs — one deterministic
+        // per-doc fold), and the gate hash-compares the REBUILT TEXT
+        // itself (md5, the PII-scrub recipe), not just counts.
+        // Scale shape: gram counting shards on the gram key
+        // (shuffle_hash pinned, as its sibling queries), the
+        // anti-join and the rebuild both shuffle on doc_id. One row
+        // per doc (house rule): an uncovered doc returns its original
+        // token stream; a fully-covered (or empty/NULL-text) doc
+        // reports n_kept 0 with NULL cleaned_len/md5 ("nothing
+        // survived" is a policy verdict, not an empty string
+        // pretending to be content).
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val grams = when(size(col("w")) < 5,
+          array().cast("array<struct<p:int,ng:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("w")) - 4),
+            i => struct(
+              i.cast("int").as("p"),
+              concat_ws(" ",
+                element_at(col("w"), i), element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+                element_at(col("w"), i + 4)).as("ng"))))
+        val g = toks.select(col("doc_id"), explode(grams).as("g"))
+          .select(col("doc_id"), col("g.p").as("pos"), col("g.ng").as("ng"))
+        val counts = g.groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+        val covered = g.join(counts.hint("shuffle_hash"), "ng")
+          .filter(col("cnt") >= 2)
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 4)).as("t"))
+        val tokPos = toks
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("t"), col("tok"))
+        val kept = tokPos
+          .join(covered, Seq("doc_id", "t"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("int").as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("t"), col("tok")))),
+                x => x.getField("tok")),
+              " ").as("cleaned"))
+        toks
+          .select(col("doc_id"), size(col("w")).as("n_tokens"))
+          .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            coalesce(col("n_kept"), lit(0)).as("n_kept"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+            length(col("cleaned")).as("cleaned_len"),
+            md5(col("cleaned").cast("binary")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        g0 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 3),
+                   i -> {'p': i, 'ng': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]})) AS s
+               FROM t),
+        g AS (SELECT doc_id, CAST(s.p AS INTEGER) AS pos, s.ng AS ng FROM g0),
+        c AS (SELECT ng, COUNT(*) AS cnt FROM g GROUP BY 1),
+        cov AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS tt
+                FROM g JOIN c USING (ng) WHERE cnt >= 2),
+        tp0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w) + 1),
+                    i -> {'t': i, 'tok': w[i]})) AS s
+                FROM t),
+        tp AS (SELECT doc_id, CAST(s.t AS INTEGER) AS t, s.tok AS tok FROM tp0),
+        kept AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY t, tok) AS cleaned
+                 FROM tp
+                 WHERE NOT EXISTS (SELECT 1 FROM cov
+                                   WHERE cov.doc_id = tp.doc_id AND cov.tt = tp.t)
+                 GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+          COALESCE(n_kept, 0) AS n_kept,
+          CAST(len(w) AS INTEGER) - COALESCE(n_kept, 0) AS n_removed,
+          CAST(length(cleaned) AS INTEGER) AS cleaned_len,
+          md5(cleaned) AS cleaned_md5
+        FROM t LEFT JOIN kept USING (doc_id)
+        ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_quality_lm_perplexity",
       (s, dir) => {
         // CCNet-style LM quality filtering (Wenzek et al. 2020 §4.3:

@@ -216,4 +216,41 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     shapes.nonEmpty shouldBe true
     all(shapes) shouldBe 0
   }
+
+  test("substring cut removes exactly the extent-covered token spans (cross-query invariant)") {
+    // q_dedup_substring_cut removes the union of [start, end+4] token
+    // spans over q_dedup_substring_extents' extents, so per doc:
+    //   - docs with extents == docs with n_removed > 0,
+    //   - max(extent_tokens) <= n_removed <= sum(extent_tokens)
+    //     (spans of nearby extents may overlap, so the union is
+    //     between the largest span and the sum of spans),
+    //   - a doc with exactly ONE extent removes exactly extent_tokens,
+    //   - n_kept + n_removed == n_tokens always.
+    import spark.implicits._
+    val ext = SparkEntry.queries("q_dedup_substring_extents")(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ext"),
+        max(col("extent_tokens")).as("max_span"),
+        sum(col("extent_tokens")).as("sum_span"))
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (d, n, mx, sm) => d -> (n, mx.toLong, sm) }.toMap
+    val cut = SparkEntry.queries("q_dedup_substring_cut")(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("n_removed"))
+      .as[(Long, Int, Int, Int)].collect()
+    cut.nonEmpty shouldBe true
+    ext.nonEmpty shouldBe true
+    for ((doc, nTok, nKept, nRem) <- cut) {
+      withClue(s"doc $doc: ") {
+        (nKept + nRem) shouldBe nTok
+        ext.get(doc) match {
+          case None => nRem shouldBe 0
+          case Some((nExt, maxSpan, sumSpan)) =>
+            nRem.toLong should be >= maxSpan
+            nRem.toLong should be <= sumSpan
+            if (nExt == 1L) nRem.toLong shouldBe sumSpan
+        }
+      }
+    }
+    cut.filter(_._4 > 0).map(_._1).toSet shouldBe ext.keySet
+  }
 }

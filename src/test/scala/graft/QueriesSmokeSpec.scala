@@ -32,7 +32,7 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
     "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
     "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
-    "q_dedup_simhash", "q_dedup_substring_extents",
+    "q_dedup_simhash", "q_dedup_substring_cut", "q_dedup_substring_extents",
     "q_embedding_synonyms", "q_embedding_vector_table",
     "q_flatfile_parse", "q_multimodal_audio", "q_multimodal_features",
     "q_multimodal_framesample", "q_quality_gopher", "q_quality_lm_perplexity",
