@@ -32,6 +32,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // totals row (the same scalar fold-in)
   )
 
+  /** Queries whose dominant exchange is gated by a row_number window +
+    * `rk <= k` filter and therefore DEPENDS on Spark's WindowGroupLimit
+    * rank-limit pushdown (map-side top-k per group) for its scale
+    * posture.
+    */
+  private val windowGroupLimitExpected = Set(
+    "q_similarity_cosine_topk", // corpus x queries candidate scoring
+    "q_similarity_sq8",         // int8 candidate pass + exact re-rank
+    "q_similarity_ann_lsh",     // probe-bucket candidates
+    "q_topk_revenue_region",    // per-group revenue top-k
+    "q_window_dense_rank_argmax"
+    // NOT q_window_rank_family: it emits every rank (no rk <= k
+    // filter), so there is no limit to push
+  )
+
   /** Partition-less windows funnel the whole input through ONE task —
     * acceptable only on provably dimension-sized inputs, whitelisted
     * with the justification the code comments carry.
@@ -123,6 +138,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
         withClue(s"unexpected BroadcastNestedLoopJoin in $name — " +
           "either make the condition an equi-join or whitelist it deliberately: ") {
           plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+      if (windowGroupLimitExpected.contains(name)) {
+        // Rank-limit pushdown guard: these queries gate their BIGGEST
+        // exchange with a row_number window + `rk <= k` filter, and
+        // rely on Spark's WindowGroupLimit rewrite to prune each map
+        // partition to k rows per group BEFORE the shuffle (without
+        // it the candidate exchange is corpus x queries sized). The
+        // rewrite only fires for rank-family functions with a
+        // top-level limiting predicate — an innocent-looking window
+        // change (extra non-rank window function, filter moved behind
+        // a project barrier) silently un-prunes the exchange, so pin
+        // its presence here.
+        withClue(s"$name lost the WindowGroupLimit rank-limit pushdown — " +
+          "its top-k exchange is now unpruned: ") {
+          plan should include("WindowGroupLimit")
         }
       }
       if (!globalWindowWhitelist.contains(name)) {
