@@ -242,6 +242,12 @@ object SimilarityQueries {
               seen.iterator
             }
             .distinct().count()).toInt
+        // maxIter stays at the default 20: trimming it looked like
+        // easy wall clock (training dominates the query) but the
+        // recall contract MEASURABLY fails at sf0.01 with maxIter 5
+        // or 10 — a half-trained quantizer mis-cells real neighbors,
+        // which is exactly what the contract exists to catch. The
+        // honest cost of IVF is a converged coarse quantizer.
         val model = new KMeans().setK(k)
           .setSeed(42L).setFeaturesCol("fv").fit(emb)
         emb.unpersist()
