@@ -253,4 +253,43 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
     cut.filter(_._4 > 0).map(_._1).toSet shouldBe ext.keySet
   }
+
+  test("quantize8 output is int8-representable: tinyint round-trip is lossless") {
+    // the SQ8 scaladoc claims every quantized coordinate fits int8
+    // (|q| <= 127, so a production table can persist tinyint at 8x
+    // compression); prove it on the real fixture + adversarial shapes
+    // (single-spike vectors, where the 1-ulp division slack is
+    // largest).
+    import graft.functions.VectorKit
+    val fixture = SparkEntry
+      .queries("q_similarity_sq8") // forces the pipeline to be valid
+    fixture should not be null
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(VectorKit.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorKit.norm(col("e")))
+      .filter(VectorKit.normalizable(col("nrm")))
+      .select(VectorKit.quantize8(col("e"), col("nrm")).as("q8"))
+    val bad = emb.select(
+      sum(when(exists(col("q8"),
+        q => abs(q) > 127 || q =!= q.cast("byte").cast("double")), 1)
+        .otherwise(0)).as("bad")).first().getLong(0)
+    bad shouldBe 0L
+    // adversarial: one-hot spikes (ratio exactly 1) and near-spikes
+    import spark.implicits._
+    val spikes = Seq(
+      Seq.tabulate(64)(i => if (i == 0) 1e30 else 0.0),
+      Seq.tabulate(64)(i => if (i == 7) -3.14e-20 else 0.0),
+      Seq.tabulate(64)(i => if (i < 2) 5.0 else 0.0)
+    ).toDF("e")
+      .withColumn("nrm", VectorKit.norm(col("e")))
+      .filter(VectorKit.normalizable(col("nrm")))
+      .select(VectorKit.quantize8(col("e"), col("nrm")).as("q8"))
+      .collect()
+    spikes should have length 3
+    spikes.foreach { r =>
+      r.getSeq[Double](0).foreach { q =>
+        assert(q.isWhole && math.abs(q) <= 127.0, s"non-int8 quantized value $q")
+      }
+    }
+  }
 }
