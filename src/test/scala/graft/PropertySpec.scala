@@ -254,6 +254,74 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     cut.filter(_._4 > 0).map(_._1).toSet shouldBe ext.keySet
   }
 
+  test("substring extents and cut match a brute-force reference on random corpora") {
+    // The cross-query invariants above are necessary conditions; this
+    // is the sufficient one: on seeded random corpora (tiny vocab ->
+    // dense 5-gram collisions), the registry queries must reproduce a
+    // direct Scala re-implementation of the definition — corpus-wide
+    // 5-gram counts, repeated positions, maximal islands, covered
+    // union, surviving-token reassembly — row for row.
+    import spark.implicits._
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "f")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 12).map { id =>
+        val n = rng.nextInt(28)
+        (id.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"substr-prop-$seed").toString
+      docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // brute force
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val grams = toks.toSeq.flatMap { case (id, w) =>
+        (0 to w.length - 5).map(i => (id, i + 1, w.slice(i, i + 5).mkString(" ")))
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val rep = grams.filter(g => cnt(g._3) >= 2).map(g => (g._1, g._2))
+      val expExtents = rep.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 => (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(i => (id, i.min, i.max, i.size, i.max - i.min + 5))
+      }.sortBy(e => (e._1, e._2))
+      val expCut = docs.map { case (id, _) =>
+        val w = toks(id)
+        val covered = rep.filter(_._1 == id)
+          .flatMap { case (_, p) => p to (p + 4) }.toSet
+        val kept = w.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+        val cleaned = if (kept.isEmpty) None else Some(kept.mkString(" "))
+        (id, w.length, kept.length, w.length - kept.length, cleaned)
+      }.sortBy(_._1)
+
+      withClue(s"seed $seed extents: ") {
+        val got = SparkEntry.queries("q_dedup_substring_extents")(spark, dir)
+          .as[(Long, Int, Int, Int, Int)].collect().toSeq
+          .map { case (d, a, b, c, e) => (d, a, b, c, e) }
+        got shouldBe expExtents.map { case (d, a, b, c, e) => (d.toLong, a, b, c, e) }
+      }
+      withClue(s"seed $seed cut: ") {
+        val got = SparkEntry.queries("q_dedup_substring_cut")(spark, dir)
+          .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("n_removed"),
+            col("cleaned_md5"))
+          .as[(Long, Int, Int, Int, Option[String])].collect().toSeq.sortBy(_._1)
+        val exp = expCut.map { case (id, nt, nk, nr, cleaned) =>
+          (id, nt, nk, nr, cleaned.map { c =>
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          })
+        }
+        got shouldBe exp
+      }
+    }
+  }
+
   test("quantize8 output is int8-representable: tinyint round-trip is lossless") {
     // the SQ8 scaladoc claims every quantized coordinate fits int8
     // (|q| <= 127, so a production table can persist tinyint at 8x
