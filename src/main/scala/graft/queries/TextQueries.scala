@@ -1430,8 +1430,12 @@ object TextQueries {
         val tokPos = toks
           .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
           .select(col("doc_id"), (col("p0") + 1).as("t"), col("tok"))
+        // shuffle_hash PINNED on the covered-slot side too: it is
+        // corpus-proportional (5 rows per repeated gram position) and
+        // the static planner elected to broadcast it on the fixture —
+        // the LmScale OOM class again
         val kept = tokPos
-          .join(covered, Seq("doc_id", "t"), "left_anti")
+          .join(covered.hint("shuffle_hash"), Seq("doc_id", "t"), "left_anti")
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).cast("int").as("n_kept"),
