@@ -9,10 +9,11 @@ exercises the oracle guard paths: the NULL-list / null-element
 list_inner_product guards would be dead code without this gate).
 
 Writes a fixture with zero-norm, NaN-component, Inf-component, NULL,
-and null-element embeddings, runs `graft.Verify` on it (ANSI default
-session, like the driver), then runs each similarity oracle in DuckDB
-and compares canonically (columns sorted by name, rows sorted, exact
-values) — the tools/check.py compare, scoped to the five similarity
+and null-element embeddings, runs `graft.Verify` on it (the production
+ANSI-off session the driver uses; tools/chaos_check.py covers the
+strict-ANSI dialect), then runs each similarity oracle in DuckDB and
+compares canonically (columns sorted by name, rows sorted, exact
+values) — the tools/check.py compare, scoped to the six similarity
 queries.
 
 Usage: python3 tools/degen_check.py   (from /root/repo)
@@ -33,6 +34,7 @@ from check import canon as check_canon  # noqa: E402 — the shared compare
 QUERIES = [
     "q_similarity_cosine_topk", "q_dedup_embedding_cosine",
     "q_similarity_ann_lsh", "q_similarity_ivf", "q_dedup_semantic",
+    "q_similarity_sq8",
 ]
 
 
