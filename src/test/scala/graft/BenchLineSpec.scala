@@ -29,6 +29,21 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("load1 marker reads on this platform and is omitted when unreadable") {
+    // /proc/loadavg exists on every Linux target; elsewhere load1()
+    // yields NaN and the marker must VANISH (NaN is not valid JSON —
+    // a malformed line would zero the whole bench record)
+    val l = Bench.load1()
+    assert(l.isNaN || l >= 0.0)
+    val withLoads = Bench.renderLine(1.0, Seq("q_x" -> 1.0), Nil, "sf",
+      compact = true, loads = Seq(1.25, 2.0))
+    assert(withLoads.contains(""""load1":[1.3,2.0]"""))
+    val withNaN = Bench.renderLine(1.0, Seq("q_x" -> 1.0), Nil, "sf",
+      compact = true, loads = Seq(Double.NaN, 2.0))
+    assert(!withNaN.contains("load1"))
+    assert(!withNaN.contains("NaN"))
+  }
+
   test("compact line keeps the slowest CompactTopN queries and counts the omitted tail") {
     val names = (1 to 60).map(i => f"q_q$i%02d")
     // q_q01 slowest ... q_q60 fastest
