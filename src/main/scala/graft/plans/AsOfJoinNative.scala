@@ -46,6 +46,54 @@ object AsOfJoinNative {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Optimizer rule: push left-side filters through [[AsOfJoinNode]].
+    *
+    * Catalyst's PushDownPredicates knows nothing about the custom
+    * node, so a `.filter` applied after [[leftAsOf]] stalls directly
+    * above the join: every left row pays the exchange + sort + merge
+    * before being discarded, and nothing reaches the parquet scan's
+    * PushedFilters. The push is SAFE for exactly the predicates that
+    * reference only left-side columns and are deterministic: the
+    * as-of join emits each left row exactly once and computes its
+    * match independently of every other left row, so dropping left
+    * rows early cannot change any surviving row's match. Right-side
+    * predicates must NOT move (below the join they would filter
+    * CANDIDATES — different semantics from filtering results).
+    *
+    * The rule also walks the pushed filter through adjacent
+    * alias-only Projects (the [[leftAsOf]] freshen step) by alias
+    * substitution, because the standard pushdown batches have already
+    * run by the time user-provided rules fire — without that hop the
+    * filter would stop one node short of the scan. Physical planning
+    * happens after all optimizer batches, so a filter landing on the
+    * relation still becomes a PushedFilters entry (PlansSpec pins
+    * scan-level pushdown end to end).
+    */
+  object PushLeftFilterThroughAsOfJoin
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+    /** Sink `cond` as deep as alias-only deterministic Projects allow. */
+    private def sink(cond: Expression, plan: LogicalPlan): LogicalPlan = plan match {
+      case p @ Project(fields, child) if fields.forall(_.deterministic) =>
+        p.copy(child = sink(replaceAlias(cond, getAliasMap(p)), child))
+      case other => Filter(cond, other)
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      case f @ Filter(cond, aj: AsOfJoinNode) =>
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val pushed = aj.copy(left = sink(push.reduce(And), aj.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
   /** Planner strategy: AsOfJoinNode -> AsOfJoinExec. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -157,11 +205,16 @@ object AsOfJoinNative {
   /** Install the strategy into a live session (idempotent; also
     * injectable at build time via GraftExtensions).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
+    }
+  }
 
   /** DataFrame API: left as-of join on equality keys + time columns.
     * Right-side column names must not clash with left's (pre-alias).

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.priorityDedupIdsDescriptor)
     ext.injectFunction(GraftExtensions.charHashDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinNative.PushLeftFilterThroughAsOfJoin)
   }
 }
 

@@ -133,6 +133,50 @@ class PlansSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     native shouldBe composed
   }
 
+  test("AsOfJoinNative pushes left-side filters through the join down to the scan") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinNative
+    val dir = java.nio.file.Files.createTempDirectory("asof-pushdown").toString
+    (1 to 400).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
+      .toDF("lid", "k", "t").write.mode("overwrite").parquet(s"$dir/left")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = (1 to 100).map(i => ((i % 7).toLong, (i % 50).toLong, i.toLong * 10))
+      .toDF("k", "rt", "rv")
+
+    val unfiltered = AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+    val filtered = unfiltered.filter($"lid" > 350)
+
+    // 1. semantics: pushing must equal filtering the unpushed result
+    val got = filtered.select($"lid", $"rv").as[(Long, Option[Long])].collect().toMap
+    val want = unfiltered.select($"lid", $"rv").as[(Long, Option[Long])]
+      .collect().filter(_._1 > 350).toMap
+    got shouldBe want
+    got.size shouldBe 50
+
+    // 2. plan: the predicate reaches the parquet scan's PushedFilters
+    //    (without PushLeftFilterThroughAsOfJoin it stalls above the
+    //    custom node — verified by disabling the rule during review).
+    //    AQE-off toggle: AdaptiveSparkPlanExec hides the inner tree
+    //    from collect (the PlanAuditSpec mechanism).
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      AsOfJoinNative.leftAsOf(left, right, Seq("k"), "t", "rt")
+        .filter($"lid" > 350)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans should have size 1
+    withClue(s"pushed: ${scans.head.metadata.get("PushedFilters")}: ") {
+      scans.head.metadata("PushedFilters") should include("GreaterThan(lid,350)")
+    }
+    // 3. and the filter no longer sits above the join node
+    filtered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[AsOfJoinNative.AsOfJoinNode] => f
+    } shouldBe empty
+  }
+
   test("AsOfJoinNative handles empty right side and unmatched lefts with nulls") {
     import spark.implicits._
     import graft.plans.AsOfJoinNative
