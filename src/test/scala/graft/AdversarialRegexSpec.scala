@@ -46,7 +46,7 @@ class AdversarialRegexSpec extends AnyFunSuite with SparkSessionSetup {
     // must still FIND it (fast paths that skip hostile docs entirely
     // would pass the timing tests but fail this)
     ("real pii after run" -> ("a" * 100000 + " user@example.org +1-555-1234"))
-  ).map { case (n, s) => (n, s) }
+  )
 
   test("bounded PII patterns are near-linear on hostile bait (no catastrophic backtracking)") {
     val email = Pattern.compile(TextKit.EmailRe)
@@ -67,7 +67,7 @@ class AdversarialRegexSpec extends AnyFunSuite with SparkSessionSetup {
 
   test("the full scrub query survives a hostile doc within the linear-time budget") {
     import spark.implicits._
-    val hostile = baits.map { case (n, s) => (n, s) }.toDF("doc_id", "text")
+    val hostile = baits.toDF("doc_id", "text")
     val t0 = System.nanoTime()
     val out = hostile
       .withColumn("scrubbed",

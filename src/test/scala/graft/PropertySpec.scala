@@ -329,9 +329,6 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // (single-spike vectors, where the 1-ulp division slack is
     // largest).
     import graft.functions.VectorKit
-    val fixture = SparkEntry
-      .queries("q_similarity_sq8") // forces the pipeline to be valid
-    fixture should not be null
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(VectorKit.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", VectorKit.norm(col("e")))
