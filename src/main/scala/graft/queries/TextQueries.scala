@@ -1004,6 +1004,45 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_corpus_split",
+      (s, dir) => {
+        // Deterministic train/val/test split — the holdout step a
+        // training pipeline needs before its contamination checks
+        // mean anything. Membership is a pure function of the
+        // document IDENTITY (id + split salt), never the content:
+        // re-crawled or re-cleaned text keeps its split, so an eval
+        // example can never migrate into train across pipeline
+        // versions (the leakage mode content-keyed splits suffer; a
+        // held-out doc whose text changes would otherwise hash into
+        // the other side). 90/5/5 by portable hash mod 100 — the
+        // oracle replays the identical rule, and the mixture/shuffle
+        // salts differ so the three id-keyed decisions stay
+        // independent. Shuffle-free single projection: at 100 TB this
+        // is a scan-speed pass whose follow-on is
+        // write.partitionBy("split").
+        val bucket =
+          (TextKit.charHash(concat(col("doc_id").cast("string"), lit("#split19"))) % 100)
+            .cast("int")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, source,
+                 CAST(${foldSql("CAST(doc_id AS VARCHAR) || '#split19'", 31)} % 100 AS INT) AS bucket
+          FROM documents)
+        SELECT doc_id, source, bucket,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM h ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_corpus_dsir",
       (s, dir) => {
         // DSIR importance resampling (Xie et al. 2023, "Data Selection

@@ -29,7 +29,7 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
   private val docEmbQueries = Seq(
     "q_chunk_packing", "q_contamination_bloom", "q_contamination_ngram",
     "q_corpus_curation", "q_corpus_dsir", "q_corpus_mixture", "q_corpus_repeated_ngrams",
-    "q_corpus_shuffle", "q_dedup_clusters", "q_dedup_clusters_deep",
+    "q_corpus_shuffle", "q_corpus_split", "q_dedup_clusters", "q_dedup_clusters_deep",
     "q_dedup_embedding_cosine", "q_dedup_exact", "q_dedup_jaccard_ngram",
     "q_dedup_jaccard_ppjoin", "q_dedup_minhash_lsh", "q_dedup_semantic",
     "q_dedup_simhash", "q_dedup_substring_cut", "q_dedup_substring_extents",
