@@ -182,7 +182,7 @@ object VectorKit {
     * operator definition, not runtime state).
     *
     * Prefix property (relied on by the corpus-scaled SemDeDup
-    * signature, asserted by VectorKitSpec): the PRNG fills plane 0
+    * signature, asserted by OperatorsSpec): the PRNG fills plane 0
     * completely before plane 1, so `randomSignPlanes(k, d)` equals the
     * first k planes of `randomSignPlanes(m, d)` for any m >= k —
     * growing the plane budget only APPENDS planes, it never reshuffles
