@@ -42,6 +42,28 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     "q_text_bpe_tokenize", "q_text_chunking", "q_text_fingerprint",
     "q_text_langid", "q_text_pii_scrub", "q_text_stats")
 
+  test("q_corpus_split proportions track 90/5/5 and assignments are stable") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q_corpus_split")(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = out.length
+    n should be > 0
+    val counts = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // binomial slack on a 500-doc fixture: train 90% +- 5pp, holdouts
+    // 5% +- 4pp — loose enough to never flake, tight enough to catch a
+    // wrong modulus or an inverted CASE
+    counts.getOrElse("train", 0).toDouble / n shouldBe 0.90 +- 0.05
+    counts.getOrElse("val", 0).toDouble / n shouldBe 0.05 +- 0.04
+    counts.getOrElse("test", 0).toDouble / n shouldBe 0.05 +- 0.04
+    // identity-keyed: a second evaluation (fresh plan) assigns every
+    // doc identically
+    val again = SparkEntry.queries("q_corpus_split")(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    again.toMap shouldBe out.toMap
+  }
+
   test("entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
