@@ -25,10 +25,20 @@ object ExtendedRelationalQueries {
         // For every click, the user's most recent view at-or-before it
         // (graft.operators.AsOfJoin: union + running-last, one shuffle).
         // DuckDB verifies with its native ASOF LEFT JOIN.
+        // Event-time policy (chaos-gate divergence class): a RIGHT row
+        // without a timestamp can never be "the most recent at-or-
+        // before" — both Spark implementations would order NULL ts
+        // first (match-eligible as if -infinity) while DuckDB's ASOF
+        // sorts it last, so time-less views are EXCLUDED explicitly; a
+        // LEFT row without a timestamp is carried with a NULL match
+        // (the oracle restructures to a plain left join because
+        // DuckDB's ASOF comparison treats the NULL left ts as larger
+        // than every view — it matched the newest view, judged wrong
+        // on both engines' own NULL-comparison semantics).
         val ev = Tables(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
-        val views = ev.filter(col("event_type") === "view")
+        val views = ev.filter(col("event_type") === "view" && col("ts").isNotNull)
           .select(col("user_id"), col("event_id").as("view_id"), col("ts"), col("value"))
         AsOfJoin.leftAsOf(clicks, views, Seq("user_id"), "ts", "ts")
           .select(
@@ -40,10 +50,13 @@ object ExtendedRelationalQueries {
           .orderBy("event_id")
       },
       Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events WHERE event_type = 'view')
-        SELECT c.event_id, c.user_id, v.view_id AS last_view_id, v.value AS last_view_value
-        FROM clicks c ASOF LEFT JOIN views v
-          ON c.user_id = v.user_id AND c.ts >= v.ts
+        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events
+                  WHERE event_type = 'view' AND ts IS NOT NULL),
+        m AS (SELECT c.event_id, v.view_id, v.value
+              FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+              ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts)
+        SELECT c.event_id, c.user_id, m.view_id AS last_view_id, m.value AS last_view_value
+        FROM clicks c LEFT JOIN m USING (event_id)
         ORDER BY c.event_id""")
     ),
     // ------------------------------------------------------------------
@@ -232,11 +245,13 @@ object ExtendedRelationalQueries {
         // sorted-merge SparkPlan). One hash exchange per side, a sort,
         // and an O(|L|+|R|) per-partition merge — no union, no window
         // state. Verified against the identical DuckDB ASOF LEFT JOIN
-        // oracle as the composed version.
+        // oracle as the composed version, with the same event-time
+        // policy (see q_join_asof): time-less right rows excluded,
+        // time-less left rows carried unmatched.
         val ev = Tables(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
-        val views = ev.filter(col("event_type") === "view")
+        val views = ev.filter(col("event_type") === "view" && col("ts").isNotNull)
           .select(col("user_id"), col("event_id").as("view_id"),
             col("ts").as("view_ts"), col("value"))
         graft.plans.AsOfJoinNative
@@ -250,10 +265,13 @@ object ExtendedRelationalQueries {
           .orderBy("event_id")
       },
       Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events WHERE event_type = 'view')
-        SELECT c.event_id, c.user_id, v.view_id AS last_view_id, v.value AS last_view_value
-        FROM clicks c ASOF LEFT JOIN views v
-          ON c.user_id = v.user_id AND c.ts >= v.ts
+        views AS (SELECT user_id, event_id AS view_id, ts, value FROM events
+                  WHERE event_type = 'view' AND ts IS NOT NULL),
+        m AS (SELECT c.event_id, v.view_id, v.value
+              FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+              ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts)
+        SELECT c.event_id, c.user_id, m.view_id AS last_view_id, m.value AS last_view_value
+        FROM clicks c LEFT JOIN m USING (event_id)
         ORDER BY c.event_id""")
     ),
     // ------------------------------------------------------------------

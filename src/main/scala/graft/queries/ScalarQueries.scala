@@ -211,6 +211,12 @@ object ScalarQueries {
         // JSON column extraction. The reference parses JSON only at
         // scan level (SURVEY.md §2.8); we also cover the column-level
         // path since events.props is a JSON string payload.
+        // Malformed-JSON policy (chaos-gate crash class): Spark's
+        // get_json_object returns NULL for unparseable input; the
+        // oracle's regexp extraction naturally misses it, and its cast
+        // is TRY_CAST so an empty extraction can never throw. The
+        // pattern accepts negative values — `(\d+)` alone silently
+        // NULLed a k of -3 while Spark parsed it.
         Tables(s, dir, "events")
           .select(
             col("event_type"),
@@ -226,7 +232,7 @@ object ScalarQueries {
         CAST(SUM(k) AS BIGINT) AS sum_k,
         COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
         FROM (SELECT event_type,
-                CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS INT) AS k
+                TRY_CAST(REGEXP_EXTRACT(props, '"k": (-?\d+)', 1) AS INT) AS k
               FROM events) t
         GROUP BY 1 ORDER BY 1""")
     ),

@@ -110,7 +110,11 @@ object WindowQueries {
         // Ordered collect over a running frame (reference
         // literature/Processing.scala:104-110 collects over an ordered
         // window). Total order (ts, event_id) makes the collected
-        // prefix deterministic.
+        // prefix deterministic — including for NULL timestamps, which
+        // Spark's asc puts FIRST while DuckDB's default puts last
+        // (chaos-gate divergence class): the oracle pins NULLS FIRST
+        // to Spark's convention, so time-less events prefix the
+        // collect on both engines.
         val w = Window
           .partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
@@ -126,7 +130,7 @@ object WindowQueries {
       },
       Some("""SELECT user_id, event_id,
         STRING_AGG(CAST(event_id AS VARCHAR), ',') OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
+          PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far
         FROM events ORDER BY user_id, event_id""")
     ),
@@ -198,7 +202,14 @@ object WindowQueries {
         // batch twin of the Structured Streaming windowed aggregation in
         // graft.streaming (same window() semantics there with a
         // watermark). min/max are order-independent doubles -> exact.
+        // Event-time policy: a record without a timestamp belongs to
+        // no window — Spark's window() generator silently emits no row
+        // for it while DuckDB's time_bucket groups it under NULL
+        // (chaos-gate divergence class), so both sides filter
+        // explicitly; the streaming twin would never admit it past the
+        // watermark either.
         Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -215,7 +226,7 @@ object WindowQueries {
           .orderBy("bucket_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
         COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -228,8 +239,14 @@ object WindowQueries {
         // half-open — an event exactly at the end starts a new
         // session. The oracle is the classic gaps-and-islands
         // formulation: new-session flag via LAG >= gap, cumulative-sum
-        // island ids, per-island aggregate.
+        // island ids, per-island aggregate. Event-time policy (as the
+        // tumbling twin): a record without a timestamp belongs to no
+        // session — Spark's session_window drops it silently while the
+        // oracle's LAG ordering would thread it through a session
+        // (chaos-gate divergence class), so both sides filter
+        // explicitly.
         Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
           .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -251,7 +268,7 @@ object WindowQueries {
                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                 ROWS UNBOUNDED PRECEDING) AS sid FROM e)
         SELECT user_id, MIN(ts) AS session_start,

@@ -55,8 +55,27 @@ def build_fixture(dst):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    # hostile EVENT rows for the window/session/as-of/json consumers:
+    # NULL timestamp, NULL type/user, NaN value, malformed JSON props,
+    # a duplicate event_id with a different payload, and pre-epoch +
+    # far-future timestamps (the copy goes through DuckDB, so ts comes
+    # out as microsecond TIMESTAMP — graft.Tables handles both that
+    # and the generator's raw-nanos long)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/events.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (300001, CAST(NULL AS TIMESTAMP), 5, 'click', 1.0, '{{"k": 1}}'),
+        (300002, TIMESTAMP '2024-01-01 00:30:00', NULL, NULL, 'nan'::DOUBLE, '{{bad json'),
+        (7, TIMESTAMP '2024-01-01 00:31:00', 3, 'purchase', 2.5, NULL),
+        (300003, TIMESTAMP '1969-12-31 23:59:59', 4, 'signup', -1.0, '{{}}'),
+        (300004, TIMESTAMP '2200-01-01 00:00:00', 4, 'error', 0.0, '{{"k": -3}}')
+      ) t(event_id, ts, user_id, event_type, value, props)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+    """)
     con.execute(f"""
     COPY (
       SELECT * FROM read_parquet('{SRC}/documents.parquet')
