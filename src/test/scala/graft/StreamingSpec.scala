@@ -313,4 +313,28 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       sessions should contain(2L -> 1L)
     } finally q.stop()
   }
+
+  test("a NULL event-time row neither kills a stream nor enters any window (batch-policy twin)") {
+    // The batch queries pin "no timestamp -> no window/session" after
+    // the chaos gate caught the cross-engine divergence; this is the
+    // streaming half of the same policy: a record with a NULL event
+    // time must be dropped by the watermark path, never crash the
+    // micro-batch, and never surface inside a window.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = Streaming
+      .windowedTypeCounts(in.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("win_nullts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row(1, 5), EventRow(2L, null, 1L, "click", 1.0), row(3, 10))
+      q.processAllAvailable()
+      in.addData(row(4, 600)) // advance watermark far enough to close hour 1
+      q.processAllAvailable()
+      q.exception shouldBe empty
+      val out = spark.table("win_nullts").collect()
+      out.map(_.getAs[Long]("n_events")).sum shouldBe 2L // null-ts row absent
+    } finally q.stop()
+  }
 }
