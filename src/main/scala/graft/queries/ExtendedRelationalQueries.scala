@@ -31,10 +31,16 @@ object ExtendedRelationalQueries {
         // first (match-eligible as if -infinity) while DuckDB's ASOF
         // sorts it last, so time-less views are EXCLUDED explicitly; a
         // LEFT row without a timestamp is carried with a NULL match
-        // (the oracle restructures to a plain left join because
-        // DuckDB's ASOF comparison treats the NULL left ts as larger
-        // than every view — it matched the newest view, judged wrong
-        // on both engines' own NULL-comparison semantics).
+        // (the oracle routes NULL-ts clicks around the ASOF join via
+        // UNION ALL, because DuckDB's ASOF comparison treats the NULL
+        // left ts as larger than every view — it matched the newest
+        // view, judged wrong on both engines' own NULL-comparison
+        // semantics). The UNION ALL form — not an event_id join-back —
+        // also keeps the oracle row-per-click under DUPLICATE click
+        // event_ids (advisor r10: a join-back keyed on event_id would
+        // fan a duplicated click out to 4 rows where both Spark
+        // implementations emit one row per input row; the chaos
+        // fixture now carries such a row).
         val ev = Tables(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
@@ -52,12 +58,13 @@ object ExtendedRelationalQueries {
       Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         views AS (SELECT user_id, event_id AS view_id, ts, value FROM events
                   WHERE event_type = 'view' AND ts IS NOT NULL),
-        m AS (SELECT c.event_id, v.view_id, v.value
+        m AS (SELECT c.event_id, c.user_id, v.view_id, v.value
               FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
               ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts)
-        SELECT c.event_id, c.user_id, m.view_id AS last_view_id, m.value AS last_view_value
-        FROM clicks c LEFT JOIN m USING (event_id)
-        ORDER BY c.event_id""")
+        SELECT event_id, user_id, view_id AS last_view_id, value AS last_view_value FROM m
+        UNION ALL
+        SELECT event_id, user_id, NULL, NULL FROM clicks WHERE ts IS NULL
+        ORDER BY event_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(
@@ -267,12 +274,13 @@ object ExtendedRelationalQueries {
       Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         views AS (SELECT user_id, event_id AS view_id, ts, value FROM events
                   WHERE event_type = 'view' AND ts IS NOT NULL),
-        m AS (SELECT c.event_id, v.view_id, v.value
+        m AS (SELECT c.event_id, c.user_id, v.view_id, v.value
               FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
               ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts)
-        SELECT c.event_id, c.user_id, m.view_id AS last_view_id, m.value AS last_view_value
-        FROM clicks c LEFT JOIN m USING (event_id)
-        ORDER BY c.event_id""")
+        SELECT event_id, user_id, view_id AS last_view_id, value AS last_view_value FROM m
+        UNION ALL
+        SELECT event_id, user_id, NULL, NULL FROM clicks WHERE ts IS NULL
+        ORDER BY event_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

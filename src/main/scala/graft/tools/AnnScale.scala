@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -15,15 +14,15 @@ import graft.functions.VectorKit
   *
   * Corpus: 1M deterministic 64-dim vectors (components hashed into
   * [-1, 1]); every id % 1000 == 1 is a copy of id-1 with ONE component
-  * shifted by 0.2 — cosine ~0.999, far above any random pair (the
-  * 64-dim concentration bound puts random cosines within ~±0.4), so
+  * shifted by 0.2 â cosine ~0.999, far above any random pair (the
+  * 64-dim concentration bound puts random cosines within ~Â±0.4), so
   * the planted neighbor IS the true top-1 and recall is measurable
   * exactly. 14 planes -> 16k buckets (~61 vectors each); each planted
   * query probes its own bucket + 14 sign-flip neighbors.
   *
-  * ANN is allowed to miss: a 0.2-perturbation flips a given ±1-plane
+  * ANN is allowed to miss: a 0.2-perturbation flips a given Â±1-plane
   * projection with p ~ 0.035, so P(signature within Hamming 1) ~ 0.9
-  * — the measured recall must land there, and the exact top-k query
+  * â the measured recall must land there, and the exact top-k query
   * (q_similarity_cosine_topk's shape) remains the recall=1 fallback.
   * Everything is seeded/hashed, so the run is deterministic.
   *
@@ -39,11 +38,11 @@ object AnnScale {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](name: String)(f: => A): A = {

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -9,8 +8,8 @@ import graft.operators.GlobalRank
 
 /** Scale demonstration for the search-cascade's global-rank cutover
   * (q_search_index_cascade vs q_search_index_cascade_scaled): the
-  * cascade's TAIL — entity-level aggregate -> global relevance rank ->
-  * max-rank fold -> multiplier — run at an entity count where
+  * cascade's TAIL â entity-level aggregate -> global relevance rank ->
+  * max-rank fold -> multiplier â run at an entity count where
   * "dimension-sized" stops being true and the partition-less window
   * funnels every row through ONE task.
   *
@@ -26,11 +25,11 @@ import graft.operators.GlobalRank
   * Usage: runMain graft.tools.CascadeScale [rows]
   *
   * MEASURED (local[32], checksums equal at both scales): 10M entities
-  * — GlobalRank tail 10.8 s vs window tail 17.4 s (1.6x); 30M —
+  * â GlobalRank tail 10.8 s vs window tail 17.4 s (1.6x); 30M â
   * 24.2 s vs 144.9 s (6.0x). The two-pass leg scales near-linearly
   * (2.2x time for 3x rows) while the window leg degrades
   * super-linearly (8.3x) once the single task's sort exceeds its
-  * memory share and spills — that knee is the cutover point. On a
+  * memory share and spills â that knee is the cutover point. On a
   * real cluster the window leg also ships the whole entity table to
   * one executor; the cutover is an availability fix, not a tuning
   * knob.
@@ -39,17 +38,17 @@ object CascadeScale {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     // The cascade's `agged` shape at entity scale: unique key, skewless
     // pseudo-random revenue (unique ORDER thanks to the key tiebreak),
     // and the six tier-label strings that make rows cascade-wide
-    // (~100 bytes) — the single-task sort pays for row width too.
+    // (~100 bytes) â the single-task sort pays for row width too.
     def lab(salt: Int) =
       concat(lit("L"), pmod(xxhash64(col("l_partkey") + salt), lit(100000L)))
     def agged = spark.range(rows).select(col("id").as("l_partkey"))
@@ -80,7 +79,7 @@ object CascadeScale {
         else lit(1.0) +
           (lit(maxRank) - col("grank")).cast(DoubleType) / lit((maxRank - 1).toDouble)
       // deterministic 1/1000 sample checksum over the final multiplier
-      // column — the same value both variants must produce bit-equal
+      // column â the same value both variants must produce bit-equal
       g.select(col("l_partkey"), floor(mult * 1e6).cast("long").as("m"))
         .filter(col("l_partkey") % 1000 === 0)
         .agg(coalesce(sum((col("m") % 1000003) * (col("l_partkey") % 1000003)), lit(0L)))

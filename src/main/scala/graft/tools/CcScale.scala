@@ -1,14 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.ConnectedComponents
 
 /** Scale demonstration for the min-label connected-components operator
   * (the clustering stage of q_dedup_clusters): 1M nodes in 200k
-  * chain-of-5 components — multi-hop, so label propagation genuinely
-  * iterates (diameter 4, unlike DedupScale's pair components) — with
+  * chain-of-5 components â multi-hop, so label propagation genuinely
+  * iterates (diameter 4, unlike DedupScale's pair components) â with
   * the full labeling asserted exactly: every node's cluster must be
   * its chain's minimum id.
   *
@@ -21,11 +20,11 @@ object CcScale {
       s"nNodes must be a positive multiple of 5 (got $nNodes): the chain construction " +
         "and the cluster-count assertion both assume complete chains")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     // chains of 5: edges (i-1, i) except at chain starts

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.Graph
@@ -17,11 +16,11 @@ object ClosureCompare {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     def treeEdges = Tables(spark, dir, "part")
@@ -48,7 +47,7 @@ object ClosureCompare {
     // warmup: scan + codegen
     treeEdges.count(); dagEdges.count()
     for ((graph, edges) <- Seq("tree" -> (() => treeEdges), "dag" -> (() => dagEdges))) {
-      // NB: explicitly the plain-doubling entry point — transitiveClosure
+      // NB: explicitly the plain-doubling entry point â transitiveClosure
       // is an alias for the smart variant, which has its own leg below
       val a = time(s"$graph/doubling")(Graph.transitiveClosureDoubling(edges()).count())
       val b = time(s"$graph/frontier")(Graph.transitiveClosureFrontier(edges()).count())

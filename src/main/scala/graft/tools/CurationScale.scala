@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale demonstration for the curation funnel: run the REGISTERED
@@ -36,11 +35,11 @@ object CurationScale {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     require(n % 100 == 0 && n > 0, s"nDocs must be a positive multiple of 100 (got $n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     val vocab = Seq(

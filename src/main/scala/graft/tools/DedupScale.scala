@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextKit
@@ -8,14 +7,14 @@ import graft.functions.TextKit
 /** Scale demonstration for the MinHash+LSH dedup path (the pipeline of
   * q_dedup_minhash_lsh, unchanged): 1M synthetic documents with
   * planted near-duplicates, where the quadratic all-pairs baseline
-  * would be 5e11 comparisons — not runnable — and the LSH bucket join
+  * would be 5e11 comparisons â not runnable â and the LSH bucket join
   * finishes in seconds.
   *
   * Corpus: doc i carries 40 tokens drawn deterministically from a 10k
   * vocabulary by a mixed hash of (content id, position). Every doc
   * with id % 100 == 1 is a near-copy of id-1 differing in ONE token
   * position: shingle sets share 35 of 38 3-shingles, Jaccard
-  * 35/41 ≈ 0.854 >= tau = 0.8. Random cross-doc collisions at that
+  * 35/41 â 0.854 >= tau = 0.8. Random cross-doc collisions at that
   * threshold are vanishing, so planted pairs ARE the expected output
   * and recall is measurable exactly.
   *
@@ -27,7 +26,7 @@ import graft.functions.TextKit
   * (shingle+minhash+bands) 8.2 s, candidate bucket-join 13.6 s
   * yielding 16,372 candidates, exact verify 3.1 s with 10,000/10,000
   * planted pairs recovered, ConnectedComponents clustering 3.3 s with
-  * all 10,000 cluster labels asserted — ~28 s end to end against a
+  * all 10,000 cluster labels asserted â ~28 s end to end against a
   * 5e11-comparison quadratic baseline. At 100k docs: ~9 s, 1,063
   * candidates, 1,000/1,000.
   */
@@ -35,11 +34,11 @@ object DedupScale {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](name: String)(f: => A): A = {
@@ -56,7 +55,7 @@ object DedupScale {
         col("doc_id"),
         transform(sequence(lit(0), lit(39)), j => {
           // ...except ONE position, where the dup diverges. xxhash64
-          // mixing, NOT a linear j-progression — a linear recipe makes
+          // mixing, NOT a linear j-progression â a linear recipe makes
           // shifted docs into accidental near-dups (measured: 172k
           // unplanted J>=0.8 pairs at 100k docs before this fix).
           val base = when(col("doc_id") % 100 === 1 && j === 7, col("doc_id")).otherwise(cid)
@@ -64,7 +63,7 @@ object DedupScale {
         }).as("w")
       )
 
-    // the SAME pipeline object the oracle-checked query uses — see
+    // the SAME pipeline object the oracle-checked query uses â see
     // operators.MinHashLsh
     import graft.operators.MinHashLsh
     val prepared = time("prepare") {
@@ -95,7 +94,7 @@ object DedupScale {
     // final pipeline stage: pairs -> transitive near-dup CLUSTERS
     // (operators.ConnectedComponents, as in q_dedup_clusters). Every
     // planted pair is disjoint, so clusters = pairs and each cluster
-    // label is the pair minimum — asserted exactly.
+    // label is the pair minimum â asserted exactly.
     time("cluster") {
       val cc = graft.operators.ConnectedComponents.labels(verified)
       val nClusters = cc.select(col("cluster")).distinct().count()

@@ -1,15 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.StarContraction
 
 /** Scale demonstration for the large-star/small-star contraction
   * operator (q_dedup_clusters_deep): 1M nodes in 100 chains of 10,000
-  * — component DIAMETER 9,999, where min-label propagation would need
+  * â component DIAMETER 9,999, where min-label propagation would need
   * 10,000 one-hop rounds (its guard throws at 20) and the alternating
-  * contraction needs ~2 log2 n rounds (proven O(log^2 n)) — with the
+  * contraction needs ~2 log2 n rounds (proven O(log^2 n)) â with the
   * full labeling asserted exactly: every node's cluster must be its
   * chain's minimum id.
   *
@@ -23,11 +22,11 @@ object DeepCcScale {
       s"nNodes must be a positive multiple of chainLen (got $nNodes / $chainLen): " +
         "the construction and the cluster-count assertion assume complete chains")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     // chains of chainLen: edges (i-1, i) except at chain starts

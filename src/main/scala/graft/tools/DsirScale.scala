@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale demonstration for DSIR importance resampling: run the
@@ -9,37 +8,37 @@ import org.apache.spark.sql.functions._
   * completely:
   *
   *  - target-domain docs (id % 2 == 0, lang='en'): 24 tokens walking
-  *    the shared 24-word vocabulary with stride 1 — their bigrams are
+  *    the shared 24-word vocabulary with stride 1 â their bigrams are
   *    the 24 adjacent pairs of the cycle, which only 'en' docs
   *    produce, so those buckets have ct ~ cr and per-position weight
   *    ln((nr+B)/(nt+B)) > 0;
   *  - out-of-domain docs (id % 2 == 1, lang='xx'): the SAME unigrams
-  *    (so unigram features pull every weight toward zero — the honest
+  *    (so unigram features pull every weight toward zero â the honest
   *    hard case) but walking the cycle with stride 5 (gcd(5,24)=1, a
   *    full cycle), so their bigrams are the 24 (k, k+5) pairs, ct=0
   *    buckets with strongly negative weight.
   *
   * Assertion is distribution-free and total: every 'en' doc has
   * log_weight > 0 and selected=true, every 'xx' doc < 0 and
-  * selected=false — computed as aggregates, no driver row loops.
+  * selected=false â computed as aggregates, no driver row loops.
   *
   * Usage: runMain graft.tools.DsirScale [nDocs]
   *
   * Measured (local[32], 2026-08-13): docs=2,000,000 rows=2,000,000
   * en log_weight +0.321935, xx -5.877338, misclassified=0, 27.7 s end
   * to end (feats ~ 94M hashed positions; the bucket LUT stays 1024
-  * rows — the B-bounded broadcast path at any corpus size).
+  * rows â the B-bounded broadcast path at any corpus size).
   */
 object DsirScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     require(n > 0 && n % 2 == 0, s"nDocs must be a positive multiple of 2 (got $n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     val vocab = Seq(

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,23 +7,23 @@ import graft.operators.{GlobalRank, PrefixSum}
 
 /** Micro-bench: the distributed two-pass global-order operators vs the
   * partition-less windows they replace, at a row count where the
-  * single-task funnel actually bites (default 50M — far beyond any
+  * single-task funnel actually bites (default 50M â far beyond any
   * test SF, small enough for local[32]).
   *
   * Usage: runMain graft.tools.GlobalOrderCompare [rows]
   * Prints one line per leg: name, checksum, seconds. The checksums
   * (sum of rank*key over a deterministic 1/1000 sample) must match
-  * between each pair — a mismatched cutover fails loudly here.
+  * between each pair â a mismatched cutover fails loudly here.
   */
 object GlobalOrderCompare {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(50000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     // shuffled unique keys: a fixed odd multiplier mod 2^61-1 permutes

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale demonstration for the bigram-LM perplexity filter: run the
@@ -10,19 +9,19 @@ import org.apache.spark.sql.functions._
   * separate completely:
   *
   *  - normal docs (id % 10 != 0): 24 tokens rotating a fixed 24-word
-  *    vocabulary starting at id % 24 — every bigram is one of the 24
+  *    vocabulary starting at id % 24 â every bigram is one of the 24
   *    adjacent pairs of the shared cycle, each appearing ~n*23/24/24
   *    times corpus-wide, so P(w2|w1) is large and perplexity is LOW
   *    (the corpus-calibrated "fluent" class);
   *  - planted noise docs (id % 10 == 0): 8 doc-unique tokens
-  *    "d<id>x<k>" — every bigram has count 1 in a vocabulary of ~1.6M
+  *    "d<id>x<k>" â every bigram has count 1 in a vocabulary of ~1.6M
   *    types, so each logp ~ ln(2/V) and perplexity is ORDERS OF
   *    MAGNITUDE higher (the "rare-transition gibberish" class CCNet
   *    filtering exists to drop).
   *
   * The assertion is distribution-free and total: max(ppl) over ALL
   * normal docs < min(ppl) over ALL planted docs, plus exactly one
-  * output row per input doc. Both sides are computed as aggregates —
+  * output row per input doc. Both sides are computed as aggregates â
   * no driver-side row loops.
   *
   * Usage: runMain graft.tools.LmScale [nDocs]
@@ -33,7 +32,7 @@ import org.apache.spark.sql.functions._
   * converted the corpus-proportional count-table join to broadcast
   * (compressed shuffle bytes sat under the 10MB threshold while the
   * in-memory hash relation did not fit the driver) and OOMed at
-  * blockify — the query now pins shuffle_hash on both
+  * blockify â the query now pins shuffle_hash on both
   * corpus-proportional joins.
   */
 object LmScale {
@@ -41,11 +40,11 @@ object LmScale {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     require(n > 0 && n % 10 == 0, s"nDocs must be a positive multiple of 10 (got $n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     val vocab = Seq(

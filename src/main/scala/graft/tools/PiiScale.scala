@@ -1,11 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale demonstration for the PII scrub: run the REGISTERED
   * q_text_pii_scrub query over a million documents of which 1% are
-  * regex-HOSTILE (a 50,000-char class-character run with no '@' — the
+  * regex-HOSTILE (a 50,000-char class-character run with no '@' â the
   * exact bait the unbounded email pattern was measured quadratic on,
   * 20 s for one 80 KB doc single-threaded), and assert both halves of
   * the round-10 hardening:
@@ -13,7 +12,7 @@ import org.apache.spark.sql.functions._
   *  - LINEARITY AT SCALE: 10,000 hostile docs carry ~5e8 bait chars;
   *    with the RFC-bounded patterns the whole corpus scrubs inside a
   *    bound that the quadratic pattern would miss by >100x (its cost
-  *    on this fixture is ~10,000 docs x 2.5e9 char-ops — days, not
+  *    on this fixture is ~10,000 docs x 2.5e9 char-ops â days, not
   *    seconds);
   *  - EXACTNESS: the query injects doc_id%3 synthetic emails and
   *    doc_id%2 phones per doc, so corpus totals are closed-form;
@@ -32,16 +31,16 @@ object PiiScale {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     require(n > 0 && n % 100 == 0, s"nDocs must be a positive multiple of 100 (got $n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("pii-scale").toString
     val hostile = col("id") % 100 === 0
-    // hostile: one unbroken run of email-class chars, no '@' — the
+    // hostile: one unbroken run of email-class chars, no '@' â the
     // backtracking bait; normal: short benign prose
     val baitTxt = concat_ws("", transform(sequence(lit(1), lit(500)),
       _ => lit("a.b_c9" * 17))) // 102 chars x 500 = 51,000-char run
@@ -68,7 +67,7 @@ object PiiScale {
     val tRun = (System.nanoTime() - t1) / 1e9
 
     // closed-form totals of the query's own doc_id%3 / doc_id%2
-    // injection (n is a multiple of 6 whenever it is of 100? no —
+    // injection (n is a multiple of 6 whenever it is of 100? no â
     // compute the exact modular sums instead of assuming divisibility)
     val expEmails = (0L until 3L).map(r => ((n - 1 - r) / 3 + 1) * r).sum
     val expPhones = (0L until 2L).map(r => ((n - 1 - r) / 2 + 1) * r).sum
@@ -81,7 +80,7 @@ object PiiScale {
     require(stats.getLong(3) == 0L, "every doc must hash its scrubbed text")
     // the linearity gate: generous for co-tenancy, impossible for the
     // quadratic pattern (estimated >100x over)
-    require(tRun < 300.0, f"scrub took $tRun%.0f s — backtracking blowup territory")
+    require(tRun < 300.0, f"scrub took $tRun%.0f s â backtracking blowup territory")
     println("bounded-pattern scrub stayed linear on 1%-hostile corpus OK")
     spark.stop()
   }

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
 
 import graft.SparkEntry
@@ -16,16 +15,18 @@ object ScanAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE wraps the plan in AdaptiveSparkPlanExec, whose inner tree
-      // is invisible to TreeNode.collect — turn it off; scan shape
-      // (pruning, pushdown) is decided before AQE anyway
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.build keeps the production dialect (ANSI off, UTC,
+    // nanosAsLong); AQE is the one deliberate departure — it wraps the
+    // plan in AdaptiveSparkPlanExec, whose inner tree is invisible to
+    // TreeNode.collect, and scan shape (pruning, pushdown) is decided
+    // before AQE anyway.
+    val spark = graft.core.Session.build(
+      "graft-scan-audit",
+      Some(s"local[$cpus]"),
+      Map(
+        "spark.sql.shuffle.partitions" -> cpus,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.ui.enabled" -> "false"))
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorKit
@@ -8,11 +7,11 @@ import graft.functions.VectorKit
 /** Scale demonstration for the corpus-scaled SemDeDup clustering (the
   * signature of q_dedup_semantic, unchanged): the round-7 version used
   * a FIXED 4-plane signature (16 clusters), so the within-cluster
-  * pairwise join grew as N²/16 — an all-pairs job with a constant
+  * pairwise join grew as NÂ²/16 â an all-pairs job with a constant
   * discount. The corpus-scaled ladder (VectorKit.planeCount) grows the
   * plane count with the corpus, holding expected cluster size at
-  * ~SemDedupTarget and the TOTAL candidate-pair count at ~(target/2)·N
-  * — linear in N.
+  * ~SemDedupTarget and the TOTAL candidate-pair count at ~(target/2)Â·N
+  * â linear in N.
   *
   * Corpus: N synthetic 64-dim vectors, components drawn
   * deterministically from xxhash64(id, j) in [-1, 1). Every vector
@@ -22,7 +21,7 @@ import graft.functions.VectorKit
   * Usage: runMain graft.tools.SemDedupScale [nVecs]
   * Prints np, cluster stats, candidate-pair counts, pairs/vector, and
   * planted-duplicate recall, then REQUIREs pairs/vector stays within a
-  * small multiple of the target — the boundedness the round-7 verdict
+  * small multiple of the target â the boundedness the round-7 verdict
   * asked to demonstrate.
   *
   * MEASURED (local[32], dim 64): 100k vecs -> np=11 (2,048 clusters),
@@ -32,18 +31,18 @@ import graft.functions.VectorKit
   * ~13 s. Pairs/vector stays O(target) while N grows 10x (the mild
   * 33->48 drift is sign-bit correlation skewing cluster sizes, not
   * quadratic growth); the fixed 4-plane signature at 1M would be
-  * 3.1e10 pairs — ~650x the scaled signature's candidate work.
+  * 3.1e10 pairs â ~650x the scaled signature's candidate work.
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val dim = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](name: String)(f: => A): A = {
@@ -54,11 +53,11 @@ object SemDedupScale {
     }
 
     // near-copies share the base id's components except position 7,
-    // which is nudged by 1e-6 — cosine to the base stays ~1 (>> tau).
+    // which is nudged by 1e-6 â cosine to the base stays ~1 (>> tau).
     // The nudge is small so a plane projection (std ~4.6) essentially
     // never sits within 1e-6 of zero: P(any sign flip across all
     // planted pairs and planes) ~ 2% at 1M vecs, vs near-certain
-    // flips at a 1e-3 nudge — keeps the exact-recall require stable.
+    // flips at a 1e-3 nudge â keeps the exact-recall require stable.
     val cid = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
     val vecs = spark.range(nVecs).select(
       col("id").as("vec_id"),
@@ -101,7 +100,7 @@ object SemDedupScale {
       f"(fixed-4-plane would be ~${nVecs.toDouble * (nVecs - 1) / 32}%.2e)")
 
     // end-to-end dedup at tau: within-cluster pairwise join, then the
-    // keep flag — the exact q_dedup_semantic shape
+    // keep flag â the exact q_dedup_semantic shape
     val tau = 0.35
     val dups = time("dedup") {
       val d = clustered.as("a")
@@ -117,7 +116,7 @@ object SemDedupScale {
 
     // recall: every planted near-copy pair (i-1, i) must land in the
     // same cluster (signatures of ~identical vectors agree unless the
-    // nudged component sits exactly on a plane boundary — with these
+    // nudged component sits exactly on a plane boundary â with these
     // magnitudes it never does) and clear tau
     val planted = spark.range(nVecs).filter(col("id") % 100 === 1)
       .select((col("id") - 1).as("d1"), col("id").as("d2"))

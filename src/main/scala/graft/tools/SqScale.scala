@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -15,13 +14,13 @@ import graft.functions.VectorKit
   *
   * Corpus: the AnnScale generator verbatim (1M deterministic 64-dim
   * vectors, components hashed into [-1, 1]; every id % 1000 == 1 is a
-  * copy of id-1 with one component shifted 0.2 — cosine ~0.999 vs its
+  * copy of id-1 with one component shifted 0.2 â cosine ~0.999 vs its
   * source, far above any random pair). Unlike LSH, SQ8 scores EVERY
   * corpus vector (it is brute force on compressed data), so the only
   * approximation is the int8 rounding noise inside the candidate
   * ranking: a planted pair's quantized dot sits ~0.999*127^2 while
   * random pairs concentrate near 0, and the candidate list is 20 deep
-  * — top-1 recall must therefore be ~1.0, a STRICTER bar than the
+  * â top-1 recall must therefore be ~1.0, a STRICTER bar than the
   * LSH rung's 0.85 (missing means the quantizer, not a probe budget,
   * broke).
   *
@@ -29,7 +28,7 @@ import graft.functions.VectorKit
   *
   * MEASURED (1M vectors, local[32]): quantize+checkpoint 5.3 s;
   * int8 score + re-rank + recall 18.1 s over a 50-query panel x 1M
-  * vectors (the quantized corpus is 64 MB vs 512 — the 8x
+  * vectors (the quantized corpus is 64 MB vs 512 â the 8x
   * memory-bandwidth multiple SQ exists for); top-1 recall 50/50.
   * A 1000-query run (one full corpus scan per query, brute force by
   * design) also measured recall 1000/1000.
@@ -38,11 +37,11 @@ object SqScale {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](name: String)(f: => A): A = {
@@ -70,7 +69,7 @@ object SqScale {
     }
 
     // 50 planted queries (every 20,000th id): SQ8 is brute force on
-    // compressed data, so per-query cost is a full corpus scan — the
+    // compressed data, so per-query cost is a full corpus scan â the
     // recall statistic needs a panel, not the full planted set (the
     // LSH harness can afford all 1000 because buckets prune 790x)
     val queries = emb.filter(col("vec_id") % 20000 === 1)
@@ -111,7 +110,7 @@ object SqScale {
         f"(${recall * 100}%.1f%%) candidateK=$candidateK")
       // SQ8 scans everything: only int8 rounding can cost recall, and
       // a 0.999-cosine pair cannot round below a 20-deep candidate
-      // cut on this corpus — demand (near-)perfect recall
+      // cut on this corpus â demand (near-)perfect recall
       require(recall >= 0.999, f"SQ8 top-1 recall $recall%.4f below the 0.999 floor")
     }
     spark.stop()

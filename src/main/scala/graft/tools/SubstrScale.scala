@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scale demonstration for substring-granular dedup: run the
@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    5-grams each occur n/10 times corpus-wide; every boundary gram
   *    mixes in a doc-unique token and stays count-1. The query must
   *    therefore report EXACTLY one extent per planted doc, at
-  *    start_pos = a+1, with n_grams = 8 and extent_tokens = 12 — and
+  *    start_pos = a+1, with n_grams = 8 and extent_tokens = 12 â and
   *    nothing anywhere else.
   *
   * All assertions are aggregates (no driver-side row loops): row count
@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *
   * Measured (local[32], 2026-08-14): docs=2,000,000 (200,000 planted)
   * extents=200,000, 0 shape deviations, gen=29.8s run=77.2s. The
-  * dominant cost is the gram-key exchange — it shards with the corpus
+  * dominant cost is the gram-key exchange â it shards with the corpus
   * (shuffle_hash pinned; no broadcast of the corpus-proportional count
   * table), which is the shape that survives 1000 executors.
   */
@@ -34,11 +34,11 @@ object SubstrScale {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     require(n > 0 && n % 10 == 0, s"nDocs must be a positive multiple of 10 (got $n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Session.driverLocal: the production dialect (ANSI off, UTC,
+    // nanosAsLong — core/Session.defaultConf), so scale demos measure
+    // the SAME semantics Verify/Bench run (advisor r10: raw builders
+    // inherited Spark 4 ANSI-on here).
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
 
     val shared = Seq(

@@ -117,13 +117,20 @@ class AdversarialRegexSpec extends AnyFunSuite with SparkSessionSetup {
     // must at least ~3x the time for the unbounded pattern (quadratic
     // = 4x) while the bounded one stays ~2x (linear). Ratios, not
     // absolutes, so host speed doesn't matter.
+    // median of 5 runs per size: the other timing tests carry ~50x
+    // margins, but this one asserts a growth RATIO of two
+    // millisecond-scale measurements, where a single JIT/GC/co-tenancy
+    // hiccup could flake it (advisor r10) — the median absorbs that.
     def cost(re: String, n: Int): Double = {
       val bait = "a" * n
       val pat = Pattern.compile(re)
-      val t0 = System.nanoTime()
-      val m = pat.matcher(bait)
-      while (m.find()) {}
-      (System.nanoTime() - t0) / 1e9
+      val runs = Seq.fill(5) {
+        val t0 = System.nanoTime()
+        val m = pat.matcher(bait)
+        while (m.find()) {}
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(runs.size / 2)
     }
     val unbounded = "[a-z0-9._]+@[a-z]+\\.[a-z]+"
     cost(unbounded, 4000) // JIT warm
