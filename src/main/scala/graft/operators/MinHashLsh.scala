@@ -57,6 +57,73 @@ object MinHashLsh {
       .distinct()
   }
 
+  // ------------------------------------------------------------------
+  // Incremental (cross-batch) dedup: a production corpus is ingested
+  // continuously, and re-running whole-corpus dedup per batch is
+  // quadratic in the ingest count. Instead the corpus keeps a PERSISTED
+  // INDEX — one row per admitted doc: (id, sorted shingle set, band
+  // keys), i.e. exactly [[prepare]]'s output with the signature scaffold
+  // dropped — and each new batch is deduped against the index alone:
+  // candidate join new-batch-bands x index-bands, exact-confirm against
+  // the STORED shingle sets (the corpus text is never rescanned or
+  // re-tokenized), then the surviving rows are appended to the index via
+  // the crash-atomic streaming upsert (streaming/Streaming.upsertBatch).
+  // Per-batch cost is O(batch x bands) + confirmed-candidate work —
+  // proportional to the batch, not the corpus (tools/IncrementalScale
+  // measures it). Reference analogue: the per-load latest-version dedup
+  // the reference runs on every literature ingest
+  // (literature/PreProcessing.scala:8-27), upgraded from exact-id to
+  // near-dup matching.
+  // ------------------------------------------------------------------
+
+  /** The persisted-index projection of a [[prepare]] output: (id,
+    * sorted shingle set, bands). Sorting happens once at index-build
+    * time so every future batch's exact-confirm merge reads the set
+    * as-is.
+    */
+  def index(prepared: DataFrame, idCol: String): DataFrame =
+    prepared.select(col(idCol), sort_array(col("ss")).as("ss"), col("bands"))
+
+  /** Distinct (d_new, d_old) candidate pairs: a new-batch doc shares at
+    * least one band bucket with an indexed doc. Same equi-join shape as
+    * the batch [[candidates]], minus the self-join id ordering — the
+    * two sides are disjoint by construction (the index holds prior
+    * batches).
+    */
+  def candidatesAgainst(newPrep: DataFrame, idx: DataFrame, idCol: String): DataFrame = {
+    val nb = newPrep.select(col(idCol).as("d_new"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val ib = idx.select(col(idCol).as("d_old"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    nb.join(ib, Seq("band", "bkey"))
+      .select(col("d_new"), col("d_old"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard confirmation of cross-batch candidates against the
+    * index's STORED sets: (d_new, d_old, j) for every pair with
+    * j >= tau. `idx` must be an [[index]] output (sets pre-sorted);
+    * only the new side pays a sort.
+    */
+  def verifyAgainst(
+      newPrep: DataFrame,
+      idx: DataFrame,
+      cand: DataFrame,
+      idCol: String,
+      tau: Double
+  ): DataFrame = {
+    val newSets = newPrep.select(col(idCol).as("d_new"), sort_array(col("ss")).as("ss_new"))
+    val oldSets = idx.select(col(idCol).as("d_old"), col("ss").as("ss_old"))
+    cand
+      .join(newSets, "d_new")
+      .join(oldSets, "d_old")
+      .withColumn("inter",
+        graft.plans.GraftExtensions.sortedIntersectCount(col("ss_new"), col("ss_old")))
+      .withColumn("j",
+        col("inter").cast(DoubleType) /
+          (size(col("ss_new")) + size(col("ss_old")) - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("d_new"), col("d_old"), col("j"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs: (d1, d2, j) for
     * every pair with j >= tau, via the native sorted-merge intersect.
     */

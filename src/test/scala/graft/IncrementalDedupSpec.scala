@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MinHashLsh
+import graft.streaming.Streaming
+
+/** The PERSISTED cycle of incremental cross-batch dedup, which the
+  * oracled q_dedup_incremental (in-plan fixture split) cannot show:
+  * batch 1 builds the band index and writes it as a parquet table;
+  * batch 2 is deduped against the table READ BACK FROM DISK — the
+  * batch-1 documents' text never exists in that session's plan — and
+  * the surviving rows are merged into the index via the crash-atomic
+  * streaming upsert; batch 3 then proves the cycle closed by matching
+  * a near-copy of a batch-2 document through the updated index alone.
+  * Per-batch cost at scale is measured by tools/IncrementalScale.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
+
+  /** 40 deterministic tokens for content id `cid`; a near-copy shares
+    * 39 of 40 (one token swapped at position 7), so 3-shingle Jaccard
+    * is 35/41 ≈ 0.854 >= tau 0.8 (the DedupScale construction) while
+    * unrelated content ids share nothing.
+    */
+  private def doc(id: Long, cid: Long, variantAt: Option[Int] = None): (Long, Seq[String]) =
+    id -> (0 until 40).map { j =>
+      if (variantAt.contains(j)) s"v$id-$j"
+      else s"t${math.abs((cid * 2654435761L + j * 40503L) % 10000)}"
+    }
+
+  private def prep(rows: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    MinHashLsh.prepare(rows.toDF("doc_id", "w"), "doc_id", "w")
+  }
+
+  private def dedupAgainst(idx: DataFrame, batch: DataFrame): DataFrame =
+    MinHashLsh.verifyAgainst(
+      batch, idx, MinHashLsh.candidatesAgainst(batch, idx, "doc_id"), "doc_id", tau = 0.8)
+
+  test("index persist -> new-batch dedup from disk -> upsert -> next batch") {
+    val target = Files.createTempDirectory("graft-inc-idx").toString + "/index"
+    val upsert = Streaming.upsertBatch(target, keyCol = "doc_id", versionCol = "batch_id") _
+
+    // batch 1: six distinct docs -> index table on disk
+    val b1 = prep((1L to 6L).map(i => doc(i, cid = i)))
+    upsert(MinHashLsh.index(b1, "doc_id").withColumn("batch_id", lit(1L)), 1L)
+
+    // batch 2: doc 12 is a near-copy of indexed doc 3; 11/13 are new
+    // content. Dedup reads ONLY the index parquet — no batch-1 text.
+    val idx1 = spark.read.parquet(target)
+    val b2 = prep(Seq(doc(11L, 11L), doc(12L, 3L, variantAt = Some(7)), doc(13L, 13L)))
+    val hits2 = dedupAgainst(idx1, b2)
+      .select(col("d_new"), col("d_old")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits2.toSet == Set((12L, 3L)))
+
+    // admit the survivors (kept docs only — the dup is dropped, the
+    // production admission rule) and upsert them into the index
+    val kept2 = MinHashLsh.index(b2.filter(col("doc_id") =!= 12L), "doc_id")
+      .withColumn("batch_id", lit(2L))
+    upsert(kept2, 2L)
+    val idx2 = spark.read.parquet(target)
+    assert(idx2.count() == 8) // 6 from batch 1 + {11, 13}
+    assert(idx2.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0)
+
+    // batch 3: a near-copy of batch-2 doc 11 is caught through the
+    // UPDATED index alone — the cycle composes across batches
+    val b3 = prep(Seq(doc(21L, 11L, variantAt = Some(7))))
+    val hits3 = dedupAgainst(idx2, b3)
+      .select(col("d_new"), col("d_old")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits3.toSet == Set((21L, 11L)))
+  }
+
+  test("re-ingesting an id replaces its index row (latest version wins)") {
+    val target = Files.createTempDirectory("graft-inc-idx2").toString + "/index"
+    val upsert = Streaming.upsertBatch(target, keyCol = "doc_id", versionCol = "batch_id") _
+    upsert(MinHashLsh.index(prep(Seq(doc(1L, 1L))), "doc_id")
+      .withColumn("batch_id", lit(1L)), 1L)
+    // same id arrives again with different content (an upstream
+    // re-crawl): the index keeps exactly one row, the newer one
+    upsert(MinHashLsh.index(prep(Seq(doc(1L, 99L))), "doc_id")
+      .withColumn("batch_id", lit(2L)), 2L)
+    val idx = spark.read.parquet(target)
+    assert(idx.count() == 1)
+    assert(idx.select(col("batch_id")).head().getLong(0) == 2L)
+    // and the stored set is the NEW content: a near-copy of the old
+    // content no longer matches
+    val probe = dedupAgainst(idx, prep(Seq(doc(31L, 1L, variantAt = Some(7)))))
+    assert(probe.count() == 0)
+  }
+}
