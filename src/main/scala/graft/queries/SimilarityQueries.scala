@@ -438,6 +438,154 @@ object SimilarityQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_similarity_ivf_sq8",
+      (s, dir) => {
+        // IVF x SQ8 — the COMPOSITION of the two proven ANN rungs, and
+        // the actual billion-vector serving shape (FAISS IVFx,SQ8):
+        // the coarse k-means quantizer bounds WHICH vectors each query
+        // touches (probe nprobe cells, not the corpus), the int8
+        // scalar quantization bounds the BYTES each touch costs (8x
+        // smaller in-cell representation, exact-integer scoring), and
+        // a full-precision re-rank of the short candidate list
+        // restores exact cosine at the top. Cell assignment,
+        // centroid broadcast, probe selection, k clamping, and the
+        // empty-corpus guard are q_similarity_ivf's verbatim; the
+        // in-cell scorer is q_similarity_sq8's verbatim (quantized dot
+        // -> top-candidateK -> exact re-rank). The quantizer is
+        // approximate, so the driver check is the IVF RECALL CONTRACT
+        // (one aggregated row per query: every returned neighbor must
+        // sit in the exact cosine top-10, and the exact top-1 cosine —
+        // recomputed from scratch by DuckDB — must agree bit-for-bit);
+        // tools/IvfSqScale measures the composition at 1M vectors.
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val nprobe = 2
+        val candidateK = 20
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
+          .withColumn("q8", VectorKit.quantize8(col("e"), col("nrm")))
+          .withColumn("fv", array_to_vector(col("e")))
+          .persist()
+        val nEmb = emb.count()
+        if (nEmb == 0) {
+          emb.unpersist()
+          emb.filter(lit(false)).select(
+            col("vec_id").as("qid"),
+            lit(true).as("all_in_exact_top10"), lit(0.0).as("exact1_cosine"))
+        } else {
+        import s.implicits._
+        val k = math.min(8L,
+          emb.select(col("e")).as[Seq[Double]]
+            .mapPartitions { it =>
+              val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+              while (it.hasNext && seen.size < 8) seen += it.next()
+              seen.iterator
+            }
+            .distinct().count()).toInt
+        val model = new KMeans().setK(k)
+          .setSeed(42L).setFeaturesCol("fv").fit(emb)
+        emb.unpersist()
+        val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+        val centroids = model.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("cell", "centroid")
+        val queries = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), col("q8").as("qq"))
+        val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+        val probeDf = queries
+          .select(col("qid"), col("qe"))
+          .crossJoin(broadcast(centroids))
+          .withColumn(
+            "d2",
+            aggregate(
+              zip_with(col("qe"), col("centroid"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+          )
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nprobe)
+          .select(col("qid"), col("cell"))
+        // in-cell SQ8 candidate pass: only ids + the integer score
+        // cross the exchange, never the vectors
+        val wC = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid").asc)
+        val cand = assigned
+          .select(col("cell"), col("vec_id"), col("q8"))
+          .join(broadcast(probeDf), Seq("cell"))
+          .join(broadcast(queries.select(col("qid"), col("qq"))), Seq("qid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("nid"),
+            VectorKit.dot(col("qq"), col("q8")).as("iscore"))
+          .withColumn("crk", row_number().over(wC))
+          .filter(col("crk") <= candidateK)
+          .select(col("qid"), col("nid"))
+        // full-precision re-rank of the candidateK survivors
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+        val ivfSq = emb
+          .select(col("vec_id").as("nid"), col("e"), col("nrm"))
+          .join(broadcast(cand), Seq("nid"))
+          .join(broadcast(queries.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+          .select(
+            col("qid"),
+            col("nid"),
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("nid"))
+        // recall contract, aggregated to one row per query (the
+        // q_similarity_ivf rationale verbatim; the brute-force pass is
+        // the test harness, not the product path)
+        val wE = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("enid").asc)
+        val exactTop = emb
+          .join(
+            broadcast(queries.select(col("qid"), col("qe"), col("qn"))),
+            col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("enid"),
+            (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("ecos")
+          )
+          .withColumn("erk", row_number().over(wE))
+          .filter(col("erk") <= 10)
+          .groupBy(col("qid"))
+          .agg(
+            collect_set(col("enid")).as("top10"),
+            round(max(col("ecos")), 6).as("e1")
+          )
+        val selNids = ivfSq
+          .groupBy(col("qid"))
+          .agg(collect_set(col("nid")).as("nids"))
+        queries.select(col("qid"))
+          .join(broadcast(selNids), Seq("qid"), "left")
+          .join(broadcast(exactTop), Seq("qid"), "left")
+          .select(
+            col("qid"),
+            coalesce(
+              forall(col("nids"), n => array_contains(col("top10"), n)),
+              lit(true)).as("all_in_exact_top10"),
+            col("e1").as("exact1_cosine"))
+          .orderBy("qid")
+        }
+      },
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
+        q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(qe, e.e) AS cos
+               FROM q, b e WHERE e.vec_id != qid),
+        e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
+        SELECT qid, TRUE AS all_in_exact_top10, exact1_cosine
+        FROM q LEFT JOIN e1 USING (qid)
+        ORDER BY qid""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_semantic",
       (s, dir) => {
         // SemDeDup (Abbas et al. 2023): cluster the embedding space

@@ -28,8 +28,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_quality_lm_perplexity",  // bigrams x broadcast 1-row vocab-size row
                                 // (the llrCells scalar fold-in: V for the
                                 // add-one smoothing denominator)
-    "q_corpus_dsir"             // bucket LUT x broadcast 1-row (nr, nt)
+    "q_corpus_dsir",            // bucket LUT x broadcast 1-row (nr, nt)
                                 // totals row (the same scalar fold-in)
+    "q_similarity_ivf_sq8",     // IVF's centroid cross-join + SQ8's
+                                // non-equi broadcast passes, composed
+    "q_quality_classifier"      // docs x broadcast 1-row prior
+                                // (the llrCells scalar fold-in) +
+                                // LUT totals cross-join as in DSIR
   )
 
   /** Queries whose dominant exchange is gated by a row_number window +
@@ -40,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
   private val windowGroupLimitExpected = Set(
     "q_similarity_cosine_topk", // corpus x queries candidate scoring
     "q_similarity_sq8",         // int8 candidate pass + exact re-rank
+    "q_similarity_ivf_sq8",     // in-cell int8 candidate pass
     "q_similarity_ann_lsh",     // probe-bucket candidates
     "q_topk_revenue_region",    // per-group revenue top-k
     "q_window_dense_rank_argmax"
