@@ -93,6 +93,56 @@ object MultimodalQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_multimodal_pixels",
+      (s, dir) => {
+        // PIXEL-LEVEL image decode (the level the other image rungs
+        // stop short of): every document wrapped in a genuine 24bpp
+        // BMP (fixture dims <= 16x12, deterministic per-pixel RGB
+        // pattern), batch-decoded by a real BMP reader
+        // (Media.parseBmp + bmpPixelStats: validated header, pixel
+        // array walked bottom-up with 4-byte row padding, BGR order)
+        // into per-image channel sums and luminance extrema — all
+        // exact integer math, so the oracle recomputes every value
+        // from the fixture's pixel formula without touching a byte.
+        // BMP is the honest pixel codec for this build (uncompressed
+        // — no DEFLATE/DCT/LZW library needed); the decode pattern
+        // (offset walk over a validated layout inside mapPartitions)
+        // is exactly what a libjpeg-backed rung would plug into.
+        val media = Media.fromDocumentsBmp(s, Tables(s, dir, "documents"))
+        Media.bmpPixelStats(media)
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          -- WHERE mirrors fromDocumentsBmp's na.drop; dims and pixel
+          -- values replay Media.fixtureBmp* exactly
+          SELECT doc_id, source,
+                 CAST(n_chars % 16 + 1 AS INTEGER) AS w,
+                 CAST(n_chars % 12 + 1 AS INTEGER) AS h
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+        p AS (
+          SELECT doc_id, source, w, h,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256) AS rr,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id * 2 + 5 * (i % w) + 11 * (i // w)) % 256) AS gg,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id * 3 + (i % w) + 13 * (i // w)) % 256) AS bb
+          FROM f)
+        SELECT doc_id, source, w AS width, h AS height,
+               w * h AS n_pixels,
+               CAST(list_sum(rr) AS BIGINT) AS sum_r,
+               CAST(list_sum(gg) AS BIGINT) AS sum_g,
+               CAST(list_sum(bb) AS BIGINT) AS sum_b,
+               CAST(list_min(list_transform(range(0, w * h),
+                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS min_lum,
+               CAST(list_max(list_transform(range(0, w * h),
+                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS max_lum
+        FROM p ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_multimodal_audio",
       (s, dir) => {
         // Audio decode + feature extraction (the third modality of the

@@ -553,6 +553,50 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Media.parseWav(smallFmt) shouldBe None
   }
 
+  test("Media.parseBmp + bmpPixelStats decode real pixels and reject junk") {
+    import spark.implicits._
+    // 3x2 image, pixel (x,y) = (x*10+y, 100+x, 200+y): exercises the
+    // bottom-up row order, the 4-byte row padding (3*3=9 -> stride 12),
+    // the BGR channel order, and trailing payload tolerance
+    val bmp = Media.bmpContainer(3, 2, (x, y) => (x * 10 + y, 100 + x, 200 + y),
+      "trailing doc text".getBytes("UTF-8"))
+    val info = Media.parseBmp(bmp).get
+    info.width shouldBe 3
+    info.height shouldBe 2
+    info.rowStride shouldBe 12
+    val stats = Media.bmpPixelStats(
+      Seq(Media.MediaRecord(1L, bmp, "s", "en", 1L)).toDS()).collect()(0)
+    stats.n_pixels shouldBe 6
+    // sums over x in 0..2, y in 0..1 of each channel formula
+    stats.sum_r shouldBe (0 until 3).flatMap(x => (0 until 2).map(y => x * 10 + y)).sum
+    stats.sum_g shouldBe (0 until 3).flatMap(x => (0 until 2).map(y => 100 + x)).sum
+    stats.sum_b shouldBe (0 until 3).flatMap(x => (0 until 2).map(y => 200 + y)).sum
+    stats.min_lum shouldBe (0 + 100 + 200) // pixel (0,0)
+    stats.max_lum shouldBe (21 + 102 + 201) // pixel (2,1)
+    // rejection cases: junk, empty, other containers, truncation
+    Media.parseBmp("not an image".getBytes) shouldBe None
+    Media.parseBmp(Array[Byte]()) shouldBe None
+    Media.parseBmp(Media.pngContainer(2, 2, Array[Byte]())) shouldBe None
+    Media.parseBmp(bmp.take(53)) shouldBe None
+    Media.parseBmp(bmp.take(54 + 5)) shouldBe None // pixel array truncated
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = bmp.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    // non-24bpp / compressed / top-down layouts the pixel reader does
+    // not understand are an honest None, never a mis-decode
+    Media.parseBmp(patched(28, 8 | (1 << 16))) shouldBe None // 8bpp (planes stay 1)
+    Media.parseBmp(patched(30, 1)) shouldBe None // BI_RLE8
+    Media.parseBmp(patched(22, -2)) shouldBe None // negative = top-down
+    // crafted dims near Int.MaxValue must fail the Long bounds check,
+    // not overflow into an in-range product (the parseWav lesson)
+    Media.parseBmp(patched(18, 0x40000000)) shouldBe None
+    val crafted = patched(18, 0x10000)
+    Media.parseBmp(java.nio.ByteBuffer.wrap(crafted.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, 0x10000).array()) shouldBe None
+  }
+
   test("Media.audioFeatures drops parseable but non-conforming WAVs (stereo/8-bit/non-PCM)") {
     import spark.implicits._
     val pcm = Array.tabulate(8)(i => (i * 50).toShort)
