@@ -26,6 +26,15 @@ object Bench {
     // SPARK_GRAFT_ONLY=<comma-separated names> restricts the run for
     // local single-query profiling; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query PROCESS CPU TIME rides along with wall time (judge r10
+    // item 6): every round since r7 has reported 2-3.5x phantom
+    // wall-time regressions under co-tenancy that evaporate on an idle
+    // host. CPU time sums over this JVM's threads only, so a co-tenant
+    // stealing cores stretches wall but barely moves cpu — a query
+    // whose wall doubled at flat cpu is contention, not a regression,
+    // and the driver's own numbers become trustworthy without a judge
+    // re-run. (In local mode the executor pool is in-process, so this
+    // captures the whole query's compute.)
     // Host-contention marker (judge r9 item 6: driver-run benches have
     // repeatedly reported 2-5x phantom regressions under co-tenancy
     // that evaporate on an idle host). 1-minute loadavg before and
@@ -36,8 +45,9 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      def pass(): Double = {
+      def pass(): (Double, Double) = {
         val t0 = System.nanoTime()
+        val c0 = processCpuNanos()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch {
@@ -45,6 +55,9 @@ object Bench {
               errors ::= s"$name: ${e.getClass.getSimpleName}"
               false
           }
+        val cpu =
+          if (c0 < 0) Double.NaN
+          else (processCpuNanos() - c0) / 1e9
         val dt = (System.nanoTime() - t0) / 1e9
         // Cache hygiene between passes/queries: several queries
         // persist()/localCheckpoint() intermediates (the reference's
@@ -62,7 +75,7 @@ object Bench {
         // slower in-run than isolated). An explicit collect pins that
         // cost to the gap between queries where it belongs.
         System.gc()
-        if (ok) dt else -dt
+        (if (ok) dt else -dt, cpu)
       }
       // Contention robustness (round-7: a single pass on a shared
       // host reported a 3x phantom regression on two queries that
@@ -71,26 +84,30 @@ object Bench {
       // two cold-cache passes estimates the uncontended cost, and
       // only the handful of slow queries pay the retry, bounding the
       // added wall clock. A failed retry keeps the first measurement.
+      // cpu stays PAIRED with the reported pass, never mixed across
+      // passes.
       val first = pass()
       val best =
-        if (first > SlowRetrySec) {
+        if (first._1 > SlowRetrySec) {
           val second = pass()
-          if (second > 0) math.min(first, second) else first
+          if (second._1 > 0 && second._1 < first._1) second else first
         } else first
-      name -> best
+      (name, best._1, best._2)
     }
-    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
     // The driver keeps only the last 2000 bytes of stdout, and sbt
     // appends its own "[success] Total time: ..." line after ours — so
     // the stdout line must stay under ~1900 bytes to be parsed whole
     // (BenchLineSpec guards this). Full-precision detail goes to the
     // bench_out.json file below.
     val loads = Seq(loadBefore, load1())
+    val walls = results.map { case (n, w, _) => n -> w }
+    val cpuSecs = results.map { case (n, _, c) => n -> c }
     val line =
-      Bench.renderLine(total, results, errors.reverse, sfDir, compact = true, loads)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs)
     println(line)
     val fullLine =
-      Bench.renderLine(total, results, errors.reverse, sfDir, compact = false, loads)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs)
     // Belt and braces against stdout-tail truncation: the same line is
     // written whole to a file (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -111,11 +128,22 @@ object Bench {
   val SlowRetrySec = 5.0
 
   /** How many per-query entries the compact stdout line carries. Keeps
-    * the line length INDEPENDENT of registry growth: the slowest 40
-    * dominate the total (the omitted tail is sub-second noise), and 40
-    * entries sit ~800 bytes under the driver's tail budget.
+    * the line length INDEPENDENT of registry growth: the slowest 32
+    * dominate the total (the omitted tail is sub-second noise), and 32
+    * wall entries plus the aligned cpu array sit comfortably under the
+    * driver's tail budget at worst-case widths (BenchLineSpec).
     */
-  val CompactTopN = 40
+  val CompactTopN = 32
+
+  /** This JVM's cumulative process CPU time in nanoseconds, or -1
+    * where the platform bean doesn't expose it. Sums over all threads
+    * — in local mode that is the whole query's compute.
+    */
+  def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
 
   /** One bench JSON line. `compact = true` is the stdout form sized for
     * the driver's 2000-byte tail capture: only the `CompactTopN`
@@ -133,13 +161,22 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => Double.NaN }
 
+  /** `cpus` (optional, aligned by name with `results`): per-query
+    * process-CPU seconds. Compact form renders them as a BARE ARRAY
+    * aligned with the queries object's key order — repeating the 32
+    * names would double the line's dominant cost and break the tail
+    * budget; a reader zips cpu[i] with the i-th key of `queries`. The
+    * full form names them. Omitted entirely when any value is NaN
+    * (platform without the MXBean — NaN is not valid JSON).
+    */
   def renderLine(
       total: Double,
       results: Seq[(String, Double)],
       errors: Seq[String],
       sfDir: String,
       compact: Boolean,
-      loads: Seq[Double] = Nil): String = {
+      loads: Seq[Double] = Nil,
+      cpus: Seq[(String, Double)] = Nil): String = {
     def r(v: Double): String = {
       val scale =
         if (!compact) 3
@@ -156,6 +193,15 @@ object Bench {
       .mkString("{", ",", "}")
     val sf = if (compact) new java.io.File(sfDir).getName else sfDir
     val omittedJson = if (compact && omitted > 0) s""","omitted":$omitted""" else ""
+    val cpuByName = cpus.toMap
+    val cpuJson =
+      if (cpus.isEmpty || cpus.exists(_._2.isNaN)) ""
+      else if (compact)
+        kept.map { case (k, _) => r(cpuByName.getOrElse(k, 0.0)) }
+          .mkString(""","cpu":[""", ",", "]")
+      else
+        kept.map { case (k, _) => "\"" + k + "\":" + r(cpuByName.getOrElse(k, 0.0)) }
+          .mkString(""","cpu":{""", ",", "}")
     val errJson =
       if (compact && errors.isEmpty) ""
       else errors.map(e => "\"" + e + "\"").mkString(""","errors":[""", ",", "]")
@@ -166,6 +212,6 @@ object Bench {
       else loads
         .map(v => BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString)
         .mkString(""","load1":[""", ",", "]")
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$omittedJson$errJson$loadJson,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson,"sf":"$sf"}"""
   }
 }

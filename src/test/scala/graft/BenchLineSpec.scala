@@ -22,11 +22,38 @@ class BenchLineSpec extends AnyFunSuite {
     )
     for (names <- registries; worst <- Seq(9.94, 99.4, 123.45)) {
       val results = names.map(_ -> worst)
+      // cpu at 32 in-process cores can reach ~32x wall — 4-digit values
+      val cpus = names.map(_ -> worst * 32)
       val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1",
-        compact = true, loads = Seq(123.9, 123.9))
+        compact = true, loads = Seq(123.9, 123.9), cpus = cpus)
       assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query " +
         s"x ${names.size} queries; driver tail keeps 2000 and sbt's trailer needs ~80")
     }
+  }
+
+  test("compact cpu array aligns with the queries object's key order") {
+    val names = (1 to 40).map(i => f"q_q$i%02d")
+    // q_q01 slowest ... q_q40 fastest; cpu = 10x wall so values are
+    // distinguishable in the output
+    val results = names.zipWithIndex.map { case (n, i) => n -> (40.0 - i) }
+    val cpus = results.map { case (n, w) => n -> w * 10 }
+    val line = Bench.renderLine(1.0, results, Nil, "sf", compact = true, cpus = cpus)
+    val keys = "\"(q\\d+)\":".r.findAllMatchIn(
+      line.substring(line.indexOf("\"queries\":"))).map(_.group(1)).toSeq
+    val cpuArr = "\"cpu\":\\[([^\\]]*)\\]".r.findFirstMatchIn(line).get.group(1)
+      .split(",").map(_.toDouble).toSeq
+    assert(keys.size == Bench.CompactTopN && cpuArr.size == keys.size)
+    // kept = slowest 32 sorted by name: q_q01..q_q32, wall 40..9,
+    // cpu exactly 10x each — zip and check the pairing survived
+    val wallByKey = results.map { case (n, w) => n.stripPrefix("q_") -> w }.toMap
+    keys.zip(cpuArr).foreach { case (k, c) =>
+      assert(math.abs(c - wallByKey(k) * 10) < 1.0, s"cpu misaligned at $k: $c")
+    }
+    // NaN cpu (no MXBean) must drop the field, not emit invalid JSON
+    val withNaN = Bench.renderLine(1.0, results, Nil, "sf", compact = true,
+      cpus = results.map { case (n, _) => n -> Double.NaN })
+    assert(!withNaN.contains("cpu"))
+    assert(!withNaN.contains("NaN"))
   }
 
   test("load1 marker reads on this platform and is omitted when unreadable") {
