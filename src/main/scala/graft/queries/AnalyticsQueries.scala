@@ -81,7 +81,14 @@ object AnalyticsQueries {
         // collected discounts desc and sum e_i/i^2, plus the max
         // theoretical score for a ones-vector of the same length.
         // Pure higher-order array functions — no UDAF, one shuffle.
+        // NULL-discount policy (chaos-gate divergence class): a line
+        // without a discount carries no harmonic evidence — filtered
+        // BEFORE the group on both engines. Without the explicit
+        // filter Spark's collect_list silently drops the NULL while
+        // the oracle's COUNT(*)/SUM count the row, and an all-NULL
+        // group yields n=0 here vs n=1 there.
         Tables(s, dir, "lineitem")
+          .filter(col("l_discount").isNotNull)
           .groupBy(col("l_partkey"))
           .agg(collect_list(col("l_discount")).as("ds"))
           .select(
@@ -94,7 +101,7 @@ object AnalyticsQueries {
       Some("""WITH r AS (
           SELECT l_partkey, l_discount,
                  ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_discount DESC) AS rn
-          FROM lineitem)
+          FROM lineitem WHERE l_discount IS NOT NULL)
         SELECT l_partkey,
                ROUND(SUM(l_discount / (rn*rn)), 6) AS harmonic,
                ROUND(SUM(CAST(1 AS DOUBLE) / (rn*rn)), 6) AS max_score,

@@ -557,7 +557,12 @@ object CompositeQueries {
           )
           .orderBy("p_partkey")
       },
-      Some("""WITH li AS (SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+      Some("""WITH li AS (SELECT l_partkey, COUNT(*) AS n_lines
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        -- n_lines counts ORDER-RESOLVED line facts (the join is the
+        -- semantic, not plumbing): a duplicated order id duplicates
+        -- its lines on both engines — counting bare lineitem here
+        -- diverged under the chaos fixture's duplicate o_orderkey
         yrs AS (SELECT l_partkey, list_sort(list(DISTINCT YEAR(o_orderdate))) AS ys
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
         tags AS (
@@ -591,29 +596,46 @@ object CompositeQueries {
         // higher-order filter/exists/forall, slice, array_remove,
         // sequence. Items are collected sorted so every derived value
         // is deterministic.
+        // Hostile-row policy (chaos-gate crash class): the all-NULL
+        // lineitem row makes a group whose collected array is EMPTY —
+        // Spark's collect_list drops NULL elements (DuckDB's list()
+        // keeps them: the oracle FILTERs to match), and element_at on
+        // an empty array THROWS under ANSI (returns NULL ANSI-off), so
+        // every element_at-derived column is size-guarded — NULL on an
+        // empty collection in both dialects and both engines. seq_len
+        // needs its own guard: Spark's sequence(1, 0) DESCENDS ([1,0])
+        // where DuckDB's range(1, 1) is empty.
+        val items = col("items")
+        val nonEmpty = size(items) > 0
         Tables(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_list(col("l_partkey"))).as("items"))
           .select(
             col("l_orderkey"),
-            size(col("items")).as("n_items"),
-            element_at(col("items"), 1).as("first_item"),
-            element_at(col("items"), -1).as("last_item"),
-            array_position(col("items"), element_at(col("items"), -1)).as("pos_of_last"),
-            (size(col("items")) =!= size(array_distinct(col("items")))).as("has_dup"),
-            size(filter(col("items"), x => x % 2 === 0)).as("n_even"),
-            exists(col("items"), x => x > 1900).as("any_gt_1900"),
-            forall(col("items"), x => x >= 0).as("all_nonneg"),
-            array_join(slice(col("items"), 1, 2), ",").as("first_two"),
-            array_join(
-              transform(array_remove(col("items"), element_at(col("items"), 1)), x => x.cast("string")),
-              ","
-            ).as("without_first"),
-            size(sequence(lit(1), size(col("items")))).as("seq_len")
+            size(items).as("n_items"),
+            when(nonEmpty, element_at(items, 1)).as("first_item"),
+            when(nonEmpty, element_at(items, -1)).as("last_item"),
+            when(nonEmpty, array_position(items, element_at(items, -1))).as("pos_of_last"),
+            (size(items) =!= size(array_distinct(items))).as("has_dup"),
+            size(filter(items, x => x % 2 === 0)).as("n_even"),
+            exists(items, x => x > 1900).as("any_gt_1900"),
+            forall(items, x => x >= 0).as("all_nonneg"),
+            array_join(slice(items, 1, 2), ",").as("first_two"),
+            when(nonEmpty,
+              array_join(
+                transform(array_remove(items, element_at(items, 1)), x => x.cast("string")),
+                ","))
+              .otherwise(lit("")).as("without_first"),
+            when(nonEmpty, size(sequence(lit(1), size(items)))).otherwise(lit(0)).as("seq_len")
           )
           .orderBy("l_orderkey")
       },
-      Some("""WITH t AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS items
+      Some("""WITH t AS (SELECT l_orderkey,
+                 -- FILTER drops NULL elements (Spark's collect_list
+                 -- semantics); COALESCE because an all-NULL group's
+                 -- filtered aggregate is NULL where Spark yields []
+                 list_sort(COALESCE(list(l_partkey) FILTER (WHERE l_partkey IS NOT NULL),
+                                    []::BIGINT[])) AS items
                FROM lineitem GROUP BY 1)
         SELECT l_orderkey,
           CAST(len(items) AS INTEGER) AS n_items,
@@ -624,7 +646,7 @@ object CompositeQueries {
           CAST(len(list_filter(items, x -> x % 2 = 0)) AS INTEGER) AS n_even,
           len(list_filter(items, x -> x > 1900)) > 0 AS any_gt_1900,
           len(list_filter(items, x -> x >= 0)) = len(items) AS all_nonneg,
-          array_to_string(items[1:2], ',') AS first_two,
+          COALESCE(array_to_string(items[1:2], ','), '') AS first_two,
           COALESCE(array_to_string(list_transform(list_filter(items, x -> x != items[1]),
             x -> CAST(x AS VARCHAR)), ','), '') AS without_first,
           CAST(len(range(1, len(items) + 1)) AS INTEGER) AS seq_len

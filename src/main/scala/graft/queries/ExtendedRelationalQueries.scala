@@ -228,14 +228,22 @@ object ExtendedRelationalQueries {
           .stat.sampleBy("o_orderstatus", fractions, seed = 42L)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_sampled"))
+        // Bounds are FRACTION-AWARE, not hardcoded 0.2-derived: a
+        // stratum outside the fractions map (a hostile novel status —
+        // chaos-gate divergence class) is sampled at 0 by sampleBy, so
+        // its expectation is 0 and 0 sampled rows IS in range; the
+        // hardcoded [0.1, 0.3]*n bounds wrongly failed it.
+        val fracOf = coalesce(
+          element_at(typedLit(fractions), col("o_orderstatus")), lit(0.0))
         Tables(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_total"))
           .join(sampled, Seq("o_orderstatus"), "left_outer")
           .select(
             col("o_orderstatus"),
-            (coalesce(col("n_sampled"), lit(0L)) >= col("n_total") * 0.1 &&
-              coalesce(col("n_sampled"), lit(0L)) <= col("n_total") * 0.3).as("in_range")
+            (coalesce(col("n_sampled"), lit(0L)) >= col("n_total") * fracOf * 0.5 &&
+              coalesce(col("n_sampled"), lit(0L)) <= col("n_total") * fracOf * 1.5)
+              .as("in_range")
           )
           .orderBy("o_orderstatus")
       },
@@ -366,6 +374,11 @@ object ExtendedRelationalQueries {
         val kmv = udaf(new KmvSketch(KmvK, TextKit.HashP), Encoders.scalaLong)
         val hv = TextKit.charHash(concat(col("o_custkey").cast("string"), lit("#kmv")))
         Tables(s, dir, "orders")
+          // a NULL custkey is no distinct-count observation on either
+          // path (countDistinct already skips it; the sketch must see
+          // the same stream) — filtered before the group, mirrored in
+          // the oracle (chaos-gate divergence class)
+          .filter(col("o_custkey").isNotNull)
           .select(col("o_orderpriority"), col("o_custkey"), hv.as("hv"))
           .groupBy(col("o_orderpriority"))
           .agg(
@@ -377,7 +390,7 @@ object ExtendedRelationalQueries {
       Some(s"""WITH h AS (
           SELECT o_orderpriority, o_custkey,
                  ${OracleSql.foldSql("CAST(o_custkey AS VARCHAR) || '#kmv'", 31)} AS hv
-          FROM orders),
+          FROM orders WHERE o_custkey IS NOT NULL),
         d AS (SELECT DISTINCT o_orderpriority, hv FROM h),
         r AS (SELECT o_orderpriority, hv,
                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
@@ -387,14 +400,15 @@ object ExtendedRelationalQueries {
                        MAX(CASE WHEN rn = $KmvK THEN hv END) AS kth
                 FROM r GROUP BY 1),
         ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
-               FROM orders GROUP BY 1)
+               FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
         SELECT ex.o_orderpriority, ex.n_exact,
                CAST(FLOOR(CASE WHEN agg.nd < $KmvK THEN CAST(agg.nd AS DOUBLE)
                                ELSE ${KmvK - 1}.0 * ${graft.functions.TextKit.HashP} / agg.kth
                           END * 1000000.0) AS BIGINT)
                  AS kmv_micros
-        FROM ex JOIN agg USING (o_orderpriority)
-        ORDER BY o_orderpriority""")
+        FROM ex JOIN agg
+          ON ex.o_orderpriority IS NOT DISTINCT FROM agg.o_orderpriority
+        ORDER BY ex.o_orderpriority""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -162,6 +162,11 @@ object ScalarQueries {
         // computes the same results relationally (DuckDB's map surface
         // differs, the VALUES must not).
         val q = Tables(s, dir, "lineitem")
+          // a NULL line number cannot be a map key — map_from_entries
+          // throws NULL_MAP_KEY in BOTH dialects (chaos-gate crash
+          // class: the hostile all-NULL lineitem row). Keyless rows
+          // carry no per-line fact; drop them, mirrored in the oracle.
+          .filter(col("l_linenumber").isNotNull)
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
@@ -195,7 +200,7 @@ object ScalarQueries {
       Some("""WITH q AS (
           SELECT l_orderkey, l_linenumber,
                  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qv
-          FROM lineitem GROUP BY 1, 2)
+          FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2)
         SELECT l_orderkey,
           CAST(COUNT(*) AS INTEGER) AS n_lines,
           STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_keys,

@@ -177,15 +177,21 @@ object TextQueries {
     * [[langMarkers]] (not restated), so editing a marker list cannot
     * drift the oracle from the Spark side.
     */
-  private[queries] val langHitsCteSql: String = {
-    val hits = langMarkers.map { case (l, ms) =>
+  /** The per-language hit-count column list alone (row-wise — safe to
+    * embed in any projection; consumers that must stay one-row-per-row
+    * under DUPLICATE doc_ids use this instead of joining back on
+    * [[langHitsCteSql]]'s h CTE).
+    */
+  private[queries] val langHitsColsSql: String =
+    langMarkers.map { case (l, ms) =>
       val lst = ms.map(m => s"'$m'").mkString(",")
       s"len(list_filter(w, x -> list_contains([$lst], x))) AS h_$l"
     }.mkString(",\n          ")
+
+  private[queries] val langHitsCteSql: String =
     s"""h AS (SELECT doc_id,
-          $hits
+          $langHitsColsSql
           FROM t)"""
-  }
 
   /** DuckDB mirror of [[langidPred]] over the h CTE columns. */
   private[queries] val langidPredSql: String =
@@ -1303,9 +1309,14 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        $langHitsCteSql,
-        d AS (SELECT t.doc_id, ($langidPredSql) = 'en' AS is_en, w
-              FROM t JOIN h USING (doc_id)),
+        -- hits computed ROW-WISE (langHitsColsSql), not via a join
+        -- back on doc_id: a duplicate doc_id would fan the join out
+        -- (chaos-gate divergence class) while the Spark side scores
+        -- each row independently
+        h AS (SELECT doc_id, w,
+          $langHitsColsSql
+          FROM t),
+        d AS (SELECT doc_id, ($langidPredSql) = 'en' AS is_en, w FROM h),
         f AS (SELECT doc_id, is_en, (${OracleSql.foldSql("g", 31)}) % $DsirBuckets AS b
               FROM (SELECT doc_id, is_en, unnest(w) AS g FROM d)),
         c AS (SELECT b, SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS c1,

@@ -58,6 +58,12 @@ object TypedQueries {
         import s.implicits._
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          // the typed boundary: LiRow's primitive fields are
+          // non-nullable, so a hostile NULL row kills the deserializer
+          // (NOT_NULL_ASSERT_VIOLATION — chaos-gate crash class). Rows
+          // that cannot deserialize are dropped, mirrored in the
+          // oracle's IS NOT NULL conjuncts.
+          .na.drop(Seq("l_orderkey", "l_quantity", "l_returnflag"))
           .as[LiRow]
           .filter(r => r.l_quantity >= 49 && r.l_returnflag != "N")
           .map(r => (r.l_orderkey, r.l_returnflag, r.l_quantity * 2))
@@ -72,7 +78,9 @@ object TypedQueries {
       Some("""SELECT l_returnflag AS flag, COUNT(*) AS n,
           CAST(ROUND(SUM(CAST(l_quantity * 2 AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_dq
         FROM lineitem
-        WHERE l_quantity >= 49 AND l_returnflag != 'N'
+        WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_returnflag IS NOT NULL
+          AND l_quantity >= 49 AND l_returnflag != 'N'
         GROUP BY 1 ORDER BY 1""")
     )
   )

@@ -339,7 +339,15 @@ object WindowQueries {
         // (ColumnKit.decSum recipe) — sliding-window retraction would
         // reassociate a double sum, decimal addition cannot drift.
         val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
-        val wRows = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        // ROWS ordering is (o_orderkey, o_totalprice), not o_orderkey
+        // alone: a duplicated order id (chaos-gate divergence class)
+        // ties the sort and makes the frame's row admission
+        // engine-dependent. With o_totalprice — the ONLY value the
+        // frame aggregates — inside the sort key, any remaining tie is
+        // between equal-priced rows, whose admission order cannot
+        // change the sum: deterministic under arbitrary duplicates.
+        val wRows = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"), col("o_totalprice"))
           .rowsBetween(-2, 0)
         val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
           .rangeBetween(-30, 0)
@@ -362,7 +370,7 @@ object WindowQueries {
           FROM orders)
         SELECT o_orderkey, o_custkey,
           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderkey
+            PARTITION BY o_custkey ORDER BY o_orderkey, o_totalprice
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum3,
           COUNT(*) OVER (
             PARTITION BY o_custkey ORDER BY day

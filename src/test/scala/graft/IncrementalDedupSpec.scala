@@ -74,6 +74,67 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     assert(hits3.toSet == Set((21L, 11L)))
   }
 
+  test("a streaming ingest dedups every micro-batch against the index and grows it") {
+    // The full Structured-Streaming composition (the r10 gap: the repo
+    // had the index operator and the upsert sink but never wired them
+    // into a stream): documents arrive on a stream; foreachBatch
+    // dedups each micro-batch against the PERSISTED index (read from
+    // parquet — no prior batch's text exists anywhere in the plan),
+    // appends the duplicate verdicts to a results table, and upserts
+    // the survivors into the index. Batch boundaries are real stream
+    // triggers, and a batch-3 doc matches a batch-2 admission purely
+    // through the index — continuous ingest, cost per trigger
+    // proportional to the trigger's data.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-stream").toString
+    val target = root + "/index"
+    val dupsOut = root + "/dups"
+    val upsert = Streaming.upsertBatch(target, keyCol = "doc_id", versionCol = "batch_id") _
+    upsert(MinHashLsh.index(prep((1L to 6L).map(i => doc(i, cid = i))), "doc_id")
+      .withColumn("batch_id", lit(0L)), 0L)
+
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[String])]
+    val stream = input.toDF().toDF("doc_id", "w")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = spark.read.parquet(target)
+        val prepared = MinHashLsh.prepare(batch, "doc_id", "w").localCheckpoint()
+        val dups = MinHashLsh.verifyAgainst(
+          prepared, idx,
+          MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", tau = 0.8)
+          .localCheckpoint()
+        dups.write.mode("append").parquet(dupsOut)
+        val kept = prepared.join(
+          dups.select(col("d_new").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        upsert(MinHashLsh.index(kept, "doc_id").withColumn("batch_id", lit(batchId + 1)),
+          batchId + 1)
+      }
+      .start()
+    try {
+      // trigger 1: doc 12 duplicates indexed doc 3; 11 is new
+      input.addData(doc(11L, 11L), doc(12L, 3L, variantAt = Some(7)))
+      stream.processAllAvailable()
+      // trigger 2: doc 21 duplicates doc 11 — admitted one TRIGGER ago,
+      // reachable only through the index the stream itself maintains
+      input.addData(doc(21L, 11L, variantAt = Some(7)))
+      stream.processAllAvailable()
+    } finally stream.stop()
+
+    val dups = spark.read.parquet(dupsOut)
+      .select(col("d_new"), col("d_old")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSet == Set((12L, 3L), (21L, 11L)))
+    val idx = spark.read.parquet(target)
+    // 6 seeded + admitted {11}; the dups {12, 21} were both dropped
+    // before admission (21 matched an index row the stream itself
+    // admitted one trigger earlier)
+    assert(idx.count() == 7)
+    assert(idx.filter(col("doc_id").isin(12L, 21L)).count() == 0)
+    assert(idx.filter(col("doc_id") === 11L).count() == 1)
+  }
+
   test("re-ingesting an id replaces its index row (latest version wins)") {
     val target = Files.createTempDirectory("graft-inc-idx2").toString + "/index"
     val upsert = Streaming.upsertBatch(target, keyCol = "doc_id", versionCol = "batch_id") _

@@ -54,9 +54,66 @@ EXPECTED_DIVERGENT = {
 def build_fixture(dst):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    # hostile RELATIONAL FACT rows (judge r10 item 2): the §2.3/§2.4
+    # join/agg surface had never faced dirty TPC-H-side data. Orders: a
+    # NULL join key + NULL date row, a dangling-FK far-future
+    # negative-price row, and a DUPLICATE o_orderkey with different
+    # payload. Lineitem: an all-NULL row, a dangling l_orderkey with
+    # negative quantity/price + far-future shipdate, and a duplicate
+    # (l_orderkey, l_linenumber). Customer: a NULL-nationkey negative-
+    # balance row and a duplicate c_custkey pointing at a different
+    # (possibly dangling) nation.
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/orders.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (900001, NULL, 'F', 0.0, NULL, NULL),
+        (900002, 999999, 'O', -123.45, TIMESTAMP '2999-12-31 00:00:00', '5-LOW')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          o_orderpriority)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'X', o_totalprice + 1.0,
+             o_orderdate + INTERVAL 1 DAY, o_orderpriority
+      FROM (SELECT * FROM read_parquet('{SRC}/orders.parquet')
+            ORDER BY o_orderkey LIMIT 1)
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/lineitem.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (888888, 1, 1, 1, -5.0, -100.0, 0.0, 0.0, 'R', 'F',
+         TIMESTAMP '2999-12-31 00:00:00')
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+          l_shipdate)
+      UNION ALL
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             l_quantity + 1.0, l_extendedprice, 0.9, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM (SELECT * FROM read_parquet('{SRC}/lineitem.parquet')
+            ORDER BY l_orderkey, l_linenumber LIMIT 1)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/customer.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (990001, NULL, NULL, -999.99, NULL)
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      UNION ALL
+      SELECT c_custkey, 'DUPLICATE KEY', c_nationkey + 1, c_acctbal - 5.0,
+             'AUTOMOBILE'
+      FROM (SELECT * FROM read_parquet('{SRC}/customer.parquet')
+            ORDER BY c_custkey LIMIT 1)
+    ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+    """)
     # hostile EVENT rows for the window/session/as-of/json consumers:
     # NULL timestamp, NULL type/user, NaN value, malformed JSON props,
     # a duplicate event_id with a different payload, and pre-epoch +
@@ -74,6 +131,17 @@ def build_fixture(dst):
         (300003, TIMESTAMP '1969-12-31 23:59:59', 4, 'signup', -1.0, '{{}}'),
         (300004, TIMESTAMP '2200-01-01 00:00:00', 4, 'error', 0.0, '{{"k": -3}}')
       ) t(event_id, ts, user_id, event_type, value, props)
+      UNION ALL
+      -- a duplicate CLICK event_id (advisor r10): the as-of oracles'
+      -- old join-back on event_id silently assumed click-side
+      -- uniqueness (the pre-existing duplicate id 7 is a 'purchase',
+      -- so it never exercised that path); the UNION ALL oracle rewrite
+      -- must emit one row per click ROW here, like both Spark
+      -- implementations do
+      SELECT event_id, ts + INTERVAL 2 MINUTE, user_id, 'click',
+             123.0, '{{"dup_click": true}}'
+      FROM (SELECT * FROM read_parquet('{SRC}/events.parquet')
+            WHERE event_type = 'click' ORDER BY event_id LIMIT 1)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
