@@ -93,7 +93,13 @@ object MinHashLsh {
   def candidatesAgainst(newPrep: DataFrame, idx: DataFrame, idCol: String): DataFrame = {
     val nb = newPrep.select(col(idCol).as("d_new"), posexplode(col("bands")).as(Seq("band", "bkey")))
     val ib = idx.select(col(idCol).as("d_old"), posexplode(col("bands")).as(Seq("band", "bkey")))
-    nb.join(ib, Seq("band", "bkey"))
+    // shuffle_hash PINNED on the index side: it is CORPUS-proportional
+    // by definition (the index is every admitted doc, x bands), the
+    // provably-unbounded side the planner must never broadcast (the
+    // LmScale AQE-undercount OOM class; observed statically elected on
+    // the fixture). The batch side is per-trigger bounded and stays
+    // free for AQE to broadcast when genuinely small.
+    nb.join(ib.hint("shuffle_hash"), Seq("band", "bkey"))
       .select(col("d_new"), col("d_old"))
       .distinct()
   }
@@ -112,9 +118,12 @@ object MinHashLsh {
   ): DataFrame = {
     val newSets = newPrep.select(col(idCol).as("d_new"), sort_array(col("ss")).as("ss_new"))
     val oldSets = idx.select(col(idCol).as("d_old"), col("ss").as("ss_old"))
+    // shuffle_hash pinned on the stored-set side for the same reason
+    // as the candidate join: the index's shingle sets are the
+    // corpus-heavy relation here
     cand
       .join(newSets, "d_new")
-      .join(oldSets, "d_old")
+      .join(oldSets.hint("shuffle_hash"), "d_old")
       .withColumn("inter",
         graft.plans.GraftExtensions.sortedIntersectCount(col("ss_new"), col("ss_old")))
       .withColumn("j",
