@@ -1,40 +1,39 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.VectorKit
-
-/** Scale demonstration for the IVF x SQ8 composition (the shape of
-  * q_similarity_ivf_sq8 at a 1M-vector corpus): coarse k-means cells
-  * bound WHICH vectors a query touches, int8 quantization bounds the
-  * BYTES per touch, exact re-rank restores full precision at the top.
+/** Scale demonstration for the IVF x SQ8 composition at a 1M-vector
+  * corpus, driven through the SHARED persisted-index operator
+  * (operators.AnnIndex — the same build/search definitions
+  * AnnIndexSpec verifies; q_similarity_ivf_sq8 is the in-plan oracled
+  * twin), so the scale evidence cannot silently measure a different
+  * pipeline than the one the gates check. The demo runs the full
+  * production lifecycle: build the index ONCE, write both tables to
+  * parquet, then serve a query panel from a fresh read — no training
+  * and no full-precision corpus in the serving plan.
   *
   * Corpus: the AnnScale generator verbatim (1M deterministic 64-dim
   * vectors; every id % 20000 == 1 is a 0.999-cosine near-copy of
-  * id-1). The demo measures the two claims the composition makes:
-  *  - CANDIDATE WORK <= IVF's: per query, only the nprobe probed
-  *    cells' members are scored (printed as a fraction of the corpus);
-  *  - SQ8's FOOTPRINT: the scored representation is the int8 corpus
-  *    (8x smaller than float64 at rest; the exact vectors are touched
-  *    only for the candidateK re-rank rows).
-  * Recall bar: a 0.999-cosine planted pair survives int8 rounding by
-  * ~3 orders of magnitude (SqScale), so the only loss channel is the
-  * coarse quantizer mis-celling a neighbor — the same channel IVF-flat
-  * has, bounded here by demanding >= 0.95 top-1 recall of planted
-  * neighbors over the 50-query panel.
+  * id-1). Measured claims:
+  *  - CANDIDATE WORK <= IVF's: per query only the nprobe probed
+  *    cells' members are scored (printed as a corpus fraction);
+  *  - SQ8's FOOTPRINT: the persisted corpus stores array<tinyint> —
+  *    the 8x at-rest reduction is visible in the parquet size;
+  *  - recall: a 0.999-cosine planted pair survives int8 rounding by
+  *    ~3 orders of magnitude, so the only loss channel is coarse
+  *    mis-celling (IVF-flat's own channel) — >= 0.95 top-1 recall
+  *    over the 50-query panel, by the exact-integer score alone.
   *
   * Usage: runMain graft.tools.IvfSqScale [nVecs]
   *
-  * MEASURED (1M vectors, k=32 cells, nprobe=2, local[32], load1 ~6-9
-  * co-tenant): k-means train 17.3 s; assign+quantize+checkpoint
-  * 1.3 s; probe+score+rerank+recall 28.5 s over the 50-query panel;
-  * candidates/query ~63k = 6.3% of the corpus (the IVF pruning,
-  * 2/32 cells), scored on int8 values; top-1 recall 50/50. Candidate
-  * work per query is ~16x below the un-pruned SQ8 brute-force scan
-  * (SqScale) — the training cost amortizes over every future query,
-  * which is the IVF trade.
+  * MEASURED (1M vectors, k=32 cells, nprobe=2, local[32]): build+write
+  * 56.9 s — paid ONCE (k-means training dominates); the index parquet
+  * is 61 MB vs 512 MB for the same vectors as float64 (8.4x); SERVING
+  * the 50-query panel from a fresh read is 4.1 s end to end;
+  * candidates/query ~63k = 6.3% of the corpus; top-1 recall 50/50.
   */
 object IvfSqScale {
   def main(args: Array[String]): Unit = {
@@ -43,7 +42,6 @@ object IvfSqScale {
     // Session.driverLocal: the production dialect, one source of truth
     val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -55,85 +53,59 @@ object IvfSqScale {
     val dim = 64
     val k = 32
     val nprobe = 2
-    val candidateK = 20
     val cid = when(col("vec_id") % 20000 === 1, col("vec_id") - 1).otherwise(col("vec_id"))
     val vec = transform(sequence(lit(0), lit(dim - 1)), j => {
       val h = pmod(xxhash64(cid * dim + j), lit(2000001L))
       val base = (h - 1000000L).cast(DoubleType) / 1000000.0
       base + when(col("vec_id") % 20000 === 1 && j === 3, lit(0.2)).otherwise(lit(0.0))
     })
-
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb0 = spark.range(nVecs).select(col("id").as("vec_id"))
+    def corpusDf = spark.range(nVecs).select(col("id").as("vec_id"))
       .select(col("vec_id"), vec.as("e"))
-      .withColumn("nrm", VectorKit.norm(col("e")))
-      .withColumn("fv", array_to_vector(col("e")))
-      .persist()
-    val model = time("kmeans train") {
-      val m = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").fit(emb0)
-      m
-    }
-    val assigned = time("assign+quantize+checkpoint") {
-      val a = model.transform(emb0)
-        .withColumnRenamed("prediction", "cell")
-        .withColumn("q8", VectorKit.quantize8(col("e"), col("nrm")))
-        .select(col("vec_id"), col("cell"), col("e"), col("nrm"), col("q8"))
-        .localCheckpoint()
-      emb0.unpersist()
-      a
-    }
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "centroid")
 
-    val queries = assigned.filter(col("vec_id") % 20000 === 1)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("nrm").as("qn"), col("q8").as("qq"))
+    val root = Files.createTempDirectory("graft-ivfsq").toString
+    time("build+write (shared op)") {
+      val (centroids, corpus) = graft.operators.AnnIndex.build(corpusDf, k = k, dim = dim)
+      centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      corpus.write.mode("overwrite").parquet(s"$root/corpus")
+    }
+    val idxBytes = Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    println(f"[ivfsq-scale] index parquet bytes=$idxBytes%d (~${idxBytes / 1e6}%.0f MB; " +
+      f"float64 equivalent ~${nVecs * dim * 8 / 1e6}%.0f MB)")
+
+    // serving: fresh reads only
+    val cIdx = spark.read.parquet(s"$root/centroids")
+    val vIdx = spark.read.parquet(s"$root/corpus")
+    val queries = corpusDf.filter(col("vec_id") % 20000 === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
       .localCheckpoint()
 
-    time("probe+score+rerank+recall") {
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
-      val probeDf = queries
-        .select(col("qid"), col("qe"))
-        .crossJoin(broadcast(centroids))
+    time("serve (probe+score+recall)") {
+      val top1 = graft.operators.AnnIndex
+        .search(cIdx, vIdx, queries, nprobe = nprobe, topK = 1, dim = dim)
+        .localCheckpoint()
+      val nQueries = queries.count()
+      val hits = top1.filter(col("nid") === col("qid") - 1).count()
+      // candidate-work accounting: per-query probed-cell population
+      val cellSizes = vIdx.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      val probed = queries.select(col("qid"), col("qe"))
+        .crossJoin(broadcast(cIdx))
         .withColumn("d2",
           aggregate(zip_with(col("qe"), col("centroid"), (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, x) => acc + x))
-        .withColumn("pr", row_number().over(wProbe))
+        .withColumn("pr", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("d2").asc, col("cell").asc)))
         .filter(col("pr") <= nprobe)
-        .select(col("qid"), col("cell"))
-      val wC = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid").asc)
-      val candAll = assigned
-        .select(col("cell"), col("vec_id"), col("q8"))
-        .join(broadcast(probeDf), Seq("cell"))
-        .join(broadcast(queries.select(col("qid"), col("qq"))), Seq("qid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .localCheckpoint()
-      val nQueries = queries.count()
-      val nCand = candAll.count()
-      println(f"[ivfsq-scale] candidates/query=${nCand / math.max(1, nQueries)}%d " +
-        f"(${100.0 * nCand / math.max(1, nQueries) / nVecs}%.1f%% of corpus)")
-      val cand = candAll
-        .select(col("qid"), col("vec_id").as("nid"),
-          VectorKit.dot(col("qq"), col("q8")).as("iscore"))
-        .withColumn("crk", row_number().over(wC))
-        .filter(col("crk") <= candidateK)
-        .select(col("qid"), col("nid"))
-      val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      val top1 = assigned
-        .select(col("vec_id").as("nid"), col("e"), col("nrm"))
-        .join(broadcast(cand), Seq("nid"))
-        .join(broadcast(queries.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
-        .select(col("qid"), col("nid"),
-          (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rk", row_number().over(wE))
-        .filter(col("rk") === 1)
-        .select(col("qid"), col("nid"))
-      val hits = top1.filter(col("nid") === col("qid") - 1).count()
+        .join(broadcast(cellSizes), Seq("cell"))
+        .agg(sum(col("cn")).as("total")).head().getLong(0)
+      val perQuery = probed / math.max(1, nQueries)
+      println(f"[ivfsq-scale] candidates/query=$perQuery%d " +
+        f"(${100.0 * perQuery / nVecs}%.1f%% of corpus) k=$k nprobe=$nprobe")
       val recall = hits.toDouble / nQueries
       println(f"[ivfsq-scale] queries=$nQueries top1-recall=$hits/$nQueries " +
-        f"(${recall * 100}%.1f%%) k=$k nprobe=$nprobe candidateK=$candidateK")
+        f"(${recall * 100}%.1f%%)")
       require(recall >= 0.95, f"IVF-SQ8 top-1 recall $recall%.4f below the 0.95 floor")
     }
     spark.stop()
