@@ -258,10 +258,18 @@ object AnalyticsQueries {
           .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
         Graph.transitiveClosure(edges).orderBy("node", "ancestor")
       },
-      Some("""WITH RECURSIVE anc(node, a) AS (
-          SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 2
+      Some("""WITH RECURSIVE e AS (
+          -- EDGE-JOINED recursion, not arithmetic halving: ancestry is
+          -- defined by edges that EXIST, and a hostile key outside the
+          -- dense range (chaos part 980001) has a parent VALUE whose
+          -- node is no part — the arithmetic form invented its chain.
+          -- DISTINCT guards duplicate part rows producing dup edges.
+          SELECT DISTINCT p_partkey AS c, p_partkey // 2 AS p
+          FROM part WHERE p_partkey >= 2),
+        anc(node, a) AS (
+          SELECT c, p FROM e
           UNION
-          SELECT node, a // 2 FROM anc WHERE a >= 2)
+          SELECT anc.node, e.p FROM anc JOIN e ON anc.a = e.c)
         SELECT node, a AS ancestor FROM anc ORDER BY 1, 2""")
     ),
     // ------------------------------------------------------------------
@@ -327,14 +335,20 @@ object AnalyticsQueries {
           )
           .orderBy("node", "root_path")
       },
-      Some("""WITH RECURSIVE p(node, head, path) AS (
-          SELECT p_partkey, p_partkey // 2,
-                 CAST(p_partkey AS VARCHAR) || '/' || CAST(p_partkey // 2 AS VARCHAR)
-          FROM part WHERE p_partkey >= 2
+      Some("""WITH RECURSIVE e AS (
+          SELECT DISTINCT p_partkey AS c, p_partkey // 2 AS p
+          FROM part WHERE p_partkey >= 2),
+        p(node, head, path) AS (
+          SELECT c, p, CAST(c AS VARCHAR) || '/' || CAST(p AS VARCHAR) FROM e
           UNION ALL
-          SELECT node, head // 2, path || '/' || CAST(head // 2 AS VARCHAR)
-          FROM p WHERE head >= 2)
-        SELECT node, path AS root_path FROM p WHERE head = 1
+          SELECT p.node, e.p, p.path || '/' || CAST(e.p AS VARCHAR)
+          FROM p JOIN e ON p.head = e.c)
+        -- a path is root-terminated when its head has NO outgoing edge
+        -- (edge-joined, like the recursion: 'head = 1' assumed the
+        -- dense-keys root; a hostile key's parent value is a root
+        -- precisely because it is no part's child)
+        SELECT node, path AS root_path FROM p
+        WHERE head NOT IN (SELECT c FROM e)
         ORDER BY node, root_path""")
     ),
     // ------------------------------------------------------------------
@@ -358,10 +372,13 @@ object AnalyticsQueries {
           )
           .orderBy("node")
       },
-      Some("""WITH RECURSIVE anc(node, a) AS (
-          SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 2
+      Some("""WITH RECURSIVE e AS (
+          SELECT DISTINCT p_partkey AS c, p_partkey // 2 AS p
+          FROM part WHERE p_partkey >= 2),
+        anc(node, a) AS (
+          SELECT c, p FROM e
           UNION
-          SELECT node, a // 2 FROM anc WHERE a >= 2)
+          SELECT anc.node, e.p FROM anc JOIN e ON anc.a = e.c)
         SELECT a AS node,
                STRING_AGG(CAST(node AS VARCHAR), '/' ORDER BY node) AS descendants
         FROM anc GROUP BY 1 ORDER BY 1""")
@@ -389,11 +406,12 @@ object AnalyticsQueries {
           .orderBy("node")
       },
       Some("""WITH RECURSIVE e AS (
-          SELECT p_partkey AS c, p_partkey // 2 AS p FROM part WHERE p_partkey >= 2),
+          SELECT DISTINCT p_partkey AS c, p_partkey // 2 AS p
+          FROM part WHERE p_partkey >= 2),
         anc(node, a) AS (
           SELECT c, p FROM e
           UNION
-          SELECT node, a // 2 FROM anc WHERE a >= 2),
+          SELECT anc.node, e.p FROM anc JOIN e ON anc.a = e.c),
         nodes AS (SELECT DISTINCT n FROM (SELECT c AS n FROM e UNION ALL SELECT p FROM e) t),
         ancs AS (SELECT node, STRING_AGG(CAST(a AS VARCHAR), '/' ORDER BY a) AS x
                  FROM anc GROUP BY 1),

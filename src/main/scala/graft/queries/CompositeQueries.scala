@@ -138,8 +138,16 @@ object CompositeQueries {
   }
 
   private val cascadeOracleSql: String = s"""WITH assoc AS (
+          -- the revenue cell resolves supplier AND nation exactly like
+          -- the Spark side's single fact pass: a duplicated supplier id
+          -- duplicates its lines' revenue on both engines (chaos-gate
+          -- divergence class), and a supplier without a nation
+          -- contributes no cell
           SELECT l_partkey, o_custkey, SUM($revTerm) AS revdec
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2),
         supp AS (
           SELECT l_partkey, o_custkey,
                  list_sort(list_distinct(list(n_name))) AS supp_labels
@@ -558,11 +566,12 @@ object CompositeQueries {
           .orderBy("p_partkey")
       },
       Some("""WITH li AS (SELECT l_partkey, COUNT(*) AS n_lines
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
-        -- n_lines counts ORDER-RESOLVED line facts (the join is the
-        -- semantic, not plumbing): a duplicated order id duplicates
-        -- its lines on both engines — counting bare lineitem here
-        -- diverged under the chaos fixture's duplicate o_orderkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                              JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+        -- n_lines counts FULLY-RESOLVED enrichment facts — the Spark
+        -- side is ONE pass through lineitem x orders x supplier, so a
+        -- duplicated order OR supplier id duplicates its lines on both
+        -- engines (chaos fixture carries both)
         yrs AS (SELECT l_partkey, list_sort(list(DISTINCT YEAR(o_orderdate))) AS ys
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
         tags AS (
@@ -577,8 +586,14 @@ object CompositeQueries {
                   FROM best GROUP BY 1)
         SELECT p.p_partkey,
           COALESCE(li.n_lines, 0) AS n_lines,
-          array_to_string(list_sort(list_distinct(
-            string_split(p.p_name, ' ') || [lower(p.p_brand)])), ',') AS aliases,
+          -- null-EXACT alias mirror of safeArrayUnion + array_join:
+          -- a NULL side becomes [], a NULL element is dropped by the
+          -- join, and an all-empty result renders '' (hostile NULL
+          -- name/brand rows diverged as NULL under the bare form)
+          COALESCE(array_to_string(list_sort(list_filter(list_distinct(
+            COALESCE(string_split(p.p_name, ' '), []) ||
+            CASE WHEN p.p_brand IS NULL THEN [] ELSE [lower(p.p_brand)] END),
+            x -> x IS NOT NULL)), ','), '') AS aliases,
           COALESCE(idagg.supplier_ids, '') AS supplier_ids,
           COALESCE(array_to_string(list_transform(yrs.ys, y -> CAST(y AS VARCHAR)), ','), '') AS active_years
         FROM part p

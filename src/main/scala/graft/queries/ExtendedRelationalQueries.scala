@@ -350,7 +350,12 @@ object ExtendedRelationalQueries {
       Some(s"""WITH d AS (
           SELECT p_partkey,
                  CAST(p_partkey % 1024 AS INTEGER) AS x,
-                 CAST(CAST(FLOOR(p_retailprice) AS BIGINT) % 1024 AS INTEGER) AS y
+                 -- POSITIVE modulus ((v %% m) + m) %% m: Spark's pmod is
+                 -- sign-positive while DuckDB's %% keeps the dividend's
+                 -- sign — a hostile NEGATIVE price (chaos part) diverged
+                 -- (-1 vs 1023) under the bare %%
+                 CAST(((CAST(FLOOR(p_retailprice) AS BIGINT) % 1024) + 1024) % 1024
+                      AS INTEGER) AS y
           FROM part)
         SELECT p_partkey, x, y,
                CAST(${graft.functions.Layout.zorder2Sql("x", "y", bits = 10)} AS INTEGER) AS zval

@@ -38,7 +38,8 @@ object ScalarQueries {
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey,
         CONCAT_WS('|', p_brand, p_type) AS brand_type,
-        CAST(SPLIT_PART(p_brand, '#', 2) AS BIGINT) AS brand_num,
+        CAST(CASE WHEN p_brand IS NULL THEN NULL
+                  ELSE SPLIT_PART(p_brand, '#', 2) END AS BIGINT) AS brand_num,
         UPPER(p_name) AS name_upper,
         CAST(LENGTH(p_name) AS INTEGER) AS name_len,
         TRANSLATE(p_name, 'aeiou', 'AEIOU') AS name_tr,
@@ -370,7 +371,11 @@ object ScalarQueries {
           .orderBy("p_brand")
       },
       Some("""SELECT p_brand,
-          STRING_AGG(p_name, ',' ORDER BY LENGTH(p_name), p_name) AS names_by_len
+          -- COALESCE: STRING_AGG over a group whose every name is NULL
+          -- (hostile part row) is NULL, while Spark's collect_list
+          -- drops the NULLs and array_join renders ''
+          COALESCE(STRING_AGG(p_name, ',' ORDER BY LENGTH(p_name), p_name), '')
+            AS names_by_len
         FROM part GROUP BY 1 ORDER BY 1""")
     ),
     // ------------------------------------------------------------------

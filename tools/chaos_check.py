@@ -54,8 +54,40 @@ EXPECTED_DIVERGENT = {
 def build_fixture(dst):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in ["region", "nation", "supplier", "part"]:
+    for t in ["region", "nation"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    # hostile DIMENSION rows: the enrichment/LLR/search surfaces join
+    # part and supplier everywhere — give them the same corruption
+    # classes as the fact tables (NULL attributes incl. the join-key
+    # nationkey, duplicate primary keys with DIFFERENT payloads,
+    # negative money).
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/supplier.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (970001, NULL, NULL, -12.5)
+      ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+      UNION ALL
+      SELECT s_suppkey, 'DUPLICATE SUPP', s_nationkey, 9999.0
+      FROM (SELECT * FROM read_parquet('{SRC}/supplier.parquet')
+            ORDER BY s_suppkey LIMIT 1)
+    ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/part.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (980001, NULL, NULL, NULL, NULL, -1.0)
+      ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+      UNION ALL
+      SELECT p_partkey, 'dup part row', p_brand, p_type, p_size + 1,
+             p_retailprice + 1.0
+      FROM (SELECT * FROM read_parquet('{SRC}/part.parquet')
+            ORDER BY p_partkey LIMIT 1)
+    ) TO '{dst}/part.parquet' (FORMAT PARQUET)
+    """)
     # hostile RELATIONAL FACT rows (judge r10 item 2): the §2.3/§2.4
     # join/agg surface had never faced dirty TPC-H-side data. Orders: a
     # NULL join key + NULL date row, a dangling-FK far-future
