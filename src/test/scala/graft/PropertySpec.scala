@@ -158,6 +158,40 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("incremental cross-batch dedup equals the batch pipeline restricted to cross pairs") {
+    // The composition theorem behind q_dedup_incremental: band keys
+    // are a pure per-document function, so a cross pair (old, new)
+    // shares a band bucket in the cross-batch join iff it does in the
+    // whole-corpus self-join, and both paths confirm with the same
+    // exact Jaccard over the same shingle sets — the incremental
+    // result must therefore equal the batch result restricted to
+    // pairs that straddle the split, EXACTLY (not probabilistically).
+    // Random small-vocab corpora make high-Jaccard pairs common.
+    import spark.implicits._
+    import graft.operators.MinHashLsh
+    val tau = 0.5
+    val docGen = Gen.listOfN(6, Gen.choose(0, 7)).map(_.map(i => s"w$i"))
+    forAll(Gen.listOfN(20, docGen), 5) { corpus =>
+      val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w")
+      val p = MinHashLsh.prepare(df, "doc_id", "w").localCheckpoint()
+      val full = MinHashLsh
+        .verify(p, MinHashLsh.candidates(p, "doc_id"), "doc_id", tau)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val idx = MinHashLsh.index(
+        MinHashLsh.prepare(df.filter(col("doc_id") % 2 === 0), "doc_id", "w"), "doc_id")
+      val np = MinHashLsh.prepare(df.filter(col("doc_id") % 2 === 1), "doc_id", "w")
+      val cross = MinHashLsh
+        .verifyAgainst(np, idx,
+          MinHashLsh.candidatesAgainst(np, idx, "doc_id"), "doc_id", tau)
+        .select("d_new", "d_old").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.collect {
+        case (a, b) if (a % 2 == 0) != (b % 2 == 0) =>
+          if (a % 2 == 1) (a, b) else (b, a) // normalize to (new, old)
+      }
+      cross shouldBe expected
+    }
+  }
+
   test("unionDifferentSchema preserves total row count and unions columns") {
     import spark.implicits._
     forAll(Gen.choose(0, 5), Gen.choose(0, 5)) { (n, m) =>
