@@ -700,9 +700,7 @@ object CompositeQueries {
         val withDup = base
           .withColumn("fp", md5(col("text").cast("binary")))
           .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wFp))
-        val withLang = TextQueries.langMarkers.foldLeft(withDup) { case (df, (l, ms)) =>
-          df.withColumn(s"h_$l", size(filter(col("w"), x => array_contains(typedLit(ms), x))))
-        }
+        val withLang = TextQueries.withLangHits(withDup)
         val Seq(de, en, es, fr, zh) =
           Seq("de", "en", "es", "fr", "zh").map(l => col(s"h_$l"))
         val sig = TextQueries.gopherSignals(base.select(col("doc_id"), col("w")))

@@ -80,6 +80,24 @@ object TextQueries {
     "zh" -> Seq("的", "是", "了")
   )
 
+  /** Add the five `h_<lang>` marker-hit columns for token column `w` —
+    * one definition shared by q_text_langid, q_quality_classifier, and
+    * the curation composite. The counts are NULL-GUARDED so a NULL
+    * token array yields NULL hits in BOTH dialects (bare size() is -1
+    * under the production ANSI-off session via legacy sizeOfNull, NULL
+    * under ANSI — the dual-dialect chaos gate caught the -1 leaking
+    * into pred_lang as a spurious 'de' verdict); langidPred then lands
+    * in its otherwise-'zh' branch exactly like the oracle's CASE ELSE.
+    */
+  private[queries] def withLangHits(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    langMarkers.foldLeft(df) { case (d, (l, ms)) =>
+      d.withColumn(
+        s"h_$l",
+        when(col("w").isNotNull,
+          size(filter(col("w"), x => array_contains(typedLit(ms), x)))))
+    }
+
   /** Argmax with alphabetical tie-break over the five marker-hit
     * counts (the q_text_langid rule).
     */
@@ -280,7 +298,13 @@ object TextQueries {
     * tests the PRODUCTION expression, not a copy.
     */
   private[graft] def chunkCount(toks: Column): Column =
-    when(size(toks) <= ChunkW, lit(1))
+    // leading NULL guard (dual-dialect chaos class): a NULL token
+    // array must yield NULL — no chunks — in BOTH dialects; without it
+    // the production ANSI-off session's size(NULL) = -1 satisfies
+    // `<= ChunkW` and invents one chunk for a NULL-text document
+    // (ANSI and the oracle both produce none)
+    when(toks.isNull, lit(null).cast("int"))
+      .when(size(toks) <= ChunkW, lit(1))
       .otherwise(ceil((size(toks) - lit(ChunkW)).cast(DoubleType) / ChunkS).cast("int") + 1)
 
   private def chunkWindows(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -324,9 +348,13 @@ object TextQueries {
           .select(col("doc_id"), col("text"), w.as("w"))
           .select(
             col("doc_id"),
-            size(col("w")).as("n_tokens"),
-            size(array_distinct(col("w"))).as("n_unique"),
-            size(filter(col("w"), x => array_contains(stopLit, x))).as("n_stop"),
+            // NULL-guarded sizes (dual-dialect chaos class): bare
+            // size(NULL) is -1 under the production ANSI-off session
+            // while the oracle's len(NULL) is NULL
+            when(col("w").isNotNull, size(col("w"))).as("n_tokens"),
+            when(col("w").isNotNull, size(array_distinct(col("w")))).as("n_unique"),
+            when(col("w").isNotNull,
+              size(filter(col("w"), x => array_contains(stopLit, x)))).as("n_stop"),
             // BPE-style pre-tokenizer count: letter runs, digit runs,
             // and single punctuation marks (the subword budget a
             // tokenizer would see, before merges)
@@ -382,14 +410,8 @@ object TextQueries {
         // the marker lists for char-n-gram profiles; the operator
         // shape (per-doc scoring + deterministic argmax) is identical.
         val w = TextKit.tokens(col("text"))
-        val withHits = langMarkers.foldLeft(
-          Tables(s, dir, "documents").select(col("doc_id"), w.as("w"))
-        ) { case (df, (lang, ms)) =>
-          df.withColumn(
-            s"h_$lang",
-            size(filter(col("w"), x => array_contains(typedLit(ms), x)))
-          )
-        }
+        val withHits = withLangHits(
+          Tables(s, dir, "documents").select(col("doc_id"), w.as("w")))
         val Seq(de, en, es, fr, zh) = Seq("de", "en", "es", "fr", "zh").map(l => col(s"h_$l"))
         withHits
           .select(
@@ -1254,14 +1276,9 @@ object TextQueries {
         // shuffle_hash. One row per doc (degenerate-docs house rule):
         // no tokens -> the prior decides alone.
         val B = DsirBuckets
-        val withHits = langMarkers.foldLeft(
+        val withHits = withLangHits(
           Tables(s, dir, "documents")
-            .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
-        ) { case (df, (lang, ms)) =>
-          df.withColumn(
-            s"h_$lang",
-            size(filter(col("w"), x => array_contains(typedLit(ms), x))))
-        }
+            .select(col("doc_id"), TextKit.tokens(col("text")).as("w")))
         val Seq(hde, hen, hes, hfr, hzh) =
           Seq("de", "en", "es", "fr", "zh").map(l => col(s"h_$l"))
         val base = withHits

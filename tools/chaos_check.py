@@ -208,19 +208,19 @@ def build_fixture(dst):
     """)
 
 
-def main():
-    work = tempfile.mkdtemp(prefix="graft-chaos-")
-    sf_dir = os.path.join(work, "sf")
-    out_dir = os.path.join(work, "out")
-    build_fixture(sf_dir)
+def run_dialect(sf_dir, out_dir, ansi):
+    """One full Verify + compare pass under the given ANSI setting.
 
-    # SPARK_GRAFT_ANSI=true: graft.Verify now defaults to the
-    # production semantics (ANSI off, matching core/Session — judge r9
-    # item 2); this gate deliberately keeps probing the STRICTER
-    # dialect, where a bad row turns a silent wrong answer into a
-    # DIVIDE_BY_ZERO/CAST_INVALID_INPUT stage kill (all three crashes
-    # this gate ever caught were ANSI-only).
-    env = dict(os.environ, SPARK_GRAFT_ANSI="true")
+    The gate runs BOTH dialects since round 11: ANSI=true is the
+    stricter mode where a bad row turns a silent wrong answer into a
+    DIVIDE_BY_ZERO/CAST_INVALID_INPUT stage kill (all three crash
+    classes this gate ever caught were ANSI-only), while ANSI=false is
+    the PRODUCTION dialect Verify/Bench actually run — with its own
+    divergence channels the strict pass cannot see (legacy
+    size(NULL) = -1 vs the oracle's NULL was a real one, caught by the
+    r10 advisor precisely because the gate only ran ANSI-on).
+    """
+    env = dict(os.environ, SPARK_GRAFT_ANSI="true" if ansi else "false")
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
         capture_output=True, text=True, timeout=1800, env=env)
@@ -268,8 +268,21 @@ def main():
             n_fail += 1
             print(f"  ✗ {name}: {detail}")
     n_fail += len(crashed)
-    print(f"CHAOS PASS={n_pass} FAIL={n_fail} EXPECTED-DIVERGENT={n_expected}")
-    sys.exit(1 if n_fail else 0)
+    label = "ansi" if ansi else "prod"
+    print(f"CHAOS[{label}] PASS={n_pass} FAIL={n_fail} "
+          f"EXPECTED-DIVERGENT={n_expected}")
+    return n_fail
+
+
+def main():
+    work = tempfile.mkdtemp(prefix="graft-chaos-")
+    sf_dir = os.path.join(work, "sf")
+    build_fixture(sf_dir)
+    fails = 0
+    for ansi in (True, False):
+        out_dir = os.path.join(work, "out_ansi" if ansi else "out_prod")
+        fails += run_dialect(sf_dir, out_dir, ansi)
+    sys.exit(1 if fails else 0)
 
 
 if __name__ == "__main__":
