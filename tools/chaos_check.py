@@ -54,8 +54,31 @@ EXPECTED_DIVERGENT = {
 def build_fixture(dst):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in ["region", "nation"]:
-        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    # even the tiny broadcast dims get hostile rows (completing the
+    # all-ten-tables claim): NULL names (a real NULL r_name would
+    # masquerade as the rollup 'ALL' sentinel — both engines must
+    # treat it identically), a NULL join key, and a DUPLICATE
+    # n_nationkey mapping the same nation to a second region (fans
+    # every customer->nation->region chain identically on both
+    # engines).
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/region.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES (99, NULL)) t(r_regionkey, r_name)
+    ) TO '{dst}/region.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SRC}/nation.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES (990, NULL, NULL)) t(n_nationkey, n_name, n_regionkey)
+      UNION ALL
+      SELECT n_nationkey, 'NATION DUP', (n_regionkey + 1) % 5
+      FROM (SELECT * FROM read_parquet('{SRC}/nation.parquet')
+            ORDER BY n_nationkey LIMIT 1)
+    ) TO '{dst}/nation.parquet' (FORMAT PARQUET)
+    """)
     # hostile DIMENSION rows: the enrichment/LLR/search surfaces join
     # part and supplier everywhere — give them the same corruption
     # classes as the fact tables (NULL attributes incl. the join-key
