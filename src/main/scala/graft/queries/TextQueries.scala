@@ -818,9 +818,12 @@ object TextQueries {
         // graph here is each source's documents chained in doc_id
         // order (per-source paths up to 250 hops at sf0.1 — already
         // past propagation's default 20-round guard, which THROWS on
-        // this input; see OperatorsSpec). Components are therefore
-        // exactly the sources, and the oracle states the expected
-        // labeling independently: min doc_id per source. The lead()
+        // this input; see OperatorsSpec). On well-formed data the
+        // components are exactly the sources; the oracle REPLAYS the
+        // edge construction and closes over it recursively, so a
+        // hostile doc_id appearing in two sources (which genuinely
+        // bridges their chains — node identity is the id) agrees
+        // cross-engine too instead of being a documented divergence. The lead()
         // window is PARTITIONED by source — no global window — and
         // every contraction round is a partial-agg'd groupBy + an
         // equi-join on the node key. Fixture-scale cost (~6-8 s at
@@ -832,9 +835,12 @@ object TextQueries {
         // rounds, O(diameter) count).
         val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
         val wNext = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        // self-edge guard: a doc_id duplicated WITHIN one source would
+        // make lead() pair the id with itself; a (k, k) edge carries
+        // no connectivity and is dropped on both engines
         val edges = d
           .withColumn("nxt", lead(col("doc_id"), 1).over(wNext))
-          .filter(col("nxt").isNotNull)
+          .filter(col("nxt").isNotNull && col("nxt") =!= col("doc_id"))
           .select(col("doc_id").as("a"), col("nxt").as("b"))
         val labels = graft.operators.StarContraction.labels(edges)
         // left-join keeps one row per document even for a
@@ -843,8 +849,30 @@ object TextQueries {
           .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS cluster_id
-        FROM documents ORDER BY doc_id""")
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, source FROM documents),
+        -- the oracle replays the GRAPH the Spark side actually builds
+        -- (per-source consecutive edges) and closes over it, rather
+        -- than assuming cluster == per-source minimum: a doc_id
+        -- appearing in TWO sources genuinely bridges their chains
+        -- (node identity is the doc_id), which the per-source-min
+        -- shortcut could not see — that was this query's documented
+        -- chaos divergence, now closed. Components are invariant to
+        -- how ties order within a chain, so the closure is exact even
+        -- where lead() order is arbitrary.
+        e0 AS (SELECT doc_id AS a,
+                      LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+               FROM d),
+        e1 AS (SELECT a, b FROM e0 WHERE b IS NOT NULL AND a != b),
+        edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+                FROM reach GROUP BY a)
+        SELECT doc_id, COALESCE(lbl.cluster, doc_id) AS cluster_id
+        FROM d LEFT JOIN lbl ON d.doc_id = lbl.node
+        ORDER BY doc_id""")
     ),
     // ------------------------------------------------------------------
     QueryDef(

@@ -47,7 +47,6 @@ EXPECTED_DIVERGENT = {
     # contract is id uniqueness (upstream id-dedup); the queries are
     # deterministic whenever it holds.
     "q_corpus_curation": "doc_id uniqueness precondition",
-    "q_dedup_clusters_deep": "doc_id uniqueness precondition",
 }
 
 
