@@ -42,6 +42,8 @@ object Bench {
     // a reader to discount the totals without re-running.
     val loadBefore = load1()
     var errors = List.empty[String]
+    val pwCounter = installWindowWarnCounter()
+    var pwByQuery = List.empty[(String, Int)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -86,12 +88,15 @@ object Bench {
       // added wall clock. A failed retry keeps the first measurement.
       // cpu stays PAIRED with the reported pass, never mixed across
       // passes.
+      val pw0 = pwCounter.map(_.get()).getOrElse(0)
       val first = pass()
       val best =
         if (first._1 > SlowRetrySec) {
           val second = pass()
           if (second._1 > 0 && second._1 < first._1) second else first
         } else first
+      val pwN = pwCounter.map(_.get()).getOrElse(0) - pw0
+      if (pwN > 0) pwByQuery ::= (name -> pwN)
       (name, best._1, best._2)
     }
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
@@ -103,11 +108,12 @@ object Bench {
     val loads = Seq(loadBefore, load1())
     val walls = results.map { case (n, w, _) => n -> w }
     val cpuSecs = results.map { case (n, _, c) => n -> c }
+    val pw = pwByQuery.reverse
     val line =
-      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs, pw)
     println(line)
     val fullLine =
-      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs, pw)
     // Belt and braces against stdout-tail truncation: the same line is
     // written whole to a file (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -154,6 +160,34 @@ object Bench {
     * names), sf basename, empty errors omitted. `compact = false` is
     * the complete 3-decimal form written to bench_out.json.
     */
+  /** Attach a counting appender to the WindowExec logger so the
+    * "No Partition Defined for Window operation" warnings in the
+    * driver-captured stderr tail can be ATTRIBUTED to queries: the
+    * main loop snapshots the counter around each query and emits the
+    * nonzero counts by name (`pw` in the JSON line). Returns None when
+    * the logging backend is not log4j2-core (emit nothing rather than
+    * fail the bench).
+    */
+  def installWindowWarnCounter(): Option[java.util.concurrent.atomic.AtomicInteger] =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LogEvent
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val appender = new AbstractAppender(
+        "graft-pw-counter", null, null, true, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(e: LogEvent): Unit =
+          if (e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+            counter.incrementAndGet()
+      }
+      appender.start()
+      LogManager
+        .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+        .addAppender(appender)
+      Some(counter)
+    } catch { case _: Throwable => None }
+
   /** 1-minute loadavg, or NaN where /proc/loadavg doesn't exist. */
   def load1(): Double =
     try java.nio.file.Files
@@ -176,7 +210,8 @@ object Bench {
       sfDir: String,
       compact: Boolean,
       loads: Seq[Double] = Nil,
-      cpus: Seq[(String, Double)] = Nil): String = {
+      cpus: Seq[(String, Double)] = Nil,
+      pw: Seq[(String, Int)] = Nil): String = {
     def r(v: Double): String = {
       val scale =
         if (!compact) 3
@@ -212,6 +247,24 @@ object Bench {
       else loads
         .map(v => BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString)
         .mkString(""","load1":[""", ",", "]")
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson,"sf":"$sf"}"""
+    // Partition-less-window warning ATTRIBUTION: `pw` maps each query
+    // that logged WindowExec's "No Partition Defined" warning this run
+    // to its count (installWindowWarnCounter) — a key outside
+    // PlanContracts.globalWindowWhitelist is mechanically a regression
+    // (some query lost its partition spec) instead of a judgment call
+    // over an anonymous warning in the stderr tail. Omitted when
+    // empty; the whitelist itself rides in the full (file) form only —
+    // the compact line's tail budget carries the observed names, which
+    // are the signal.
+    val pwJson =
+      if (pw.isEmpty) ""
+      else pw.sortBy(_._1)
+        .map { case (n, c) => "\"" + key(n) + "\":" + c }
+        .mkString(""","pw":{""", ",", "}")
+    val pwWlJson =
+      if (compact || pw.isEmpty) ""
+      else graft.plans.PlanContracts.globalWindowWhitelist.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(""","pw_whitelist":[""", ",", "]")
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson$pwJson$pwWlJson,"sf":"$sf"}"""
   }
 }

@@ -11,13 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * @param partitionBy hive-style partition columns on write — this is what
   *   enables read-side partition pruning at the 100 TB scale.
+  * @param schemaDdl optional DECLARED read schema as a DDL string
+  *   ("id BIGINT, name STRING") — the third leg of the reference's
+  *   mixed schema system (SURVEY §1.3: inferred / positional /
+  *   declared). A declared schema is what makes the malformed-record
+  *   policies real: PERMISSIVE/DROPMALFORMED/FAILFAST judge each
+  *   CSV/JSON record against it at PARSE time, and a
+  *   `columnNameOfCorruptRecord` column named here receives the raw
+  *   text of quarantined records (SourceChaosSpec pins the per-class
+  *   behavior). Inference, by contrast, can only widen types to fit
+  *   the dirt — never flag it.
   */
 final case class IoConfig(
     format: String,
     path: String,
     options: Map[String, String] = Map.empty,
     partitionBy: Seq[String] = Nil,
-    mode: String = "errorifexists"
+    mode: String = "errorifexists",
+    schemaDdl: Option[String] = None
 )
 
 object Io {
@@ -31,8 +42,10 @@ object Io {
   /** Generic config-driven scan (reference IoHelpers.scala:57-72).
     * Handles csv/json/parquet/orc/text, .gz transparently, and glob paths.
     */
-  def read(spark: SparkSession, cfg: IoConfig): DataFrame =
-    spark.read.format(cfg.format).options(cfg.options).load(cfg.path)
+  def read(spark: SparkSession, cfg: IoConfig): DataFrame = {
+    val reader = spark.read.format(cfg.format).options(cfg.options)
+    cfg.schemaDdl.fold(reader)(reader.schema).load(cfg.path)
+  }
 
   /** Multi-resource scan (reference IoHelpers.scala:48-55). */
   def readAll(spark: SparkSession, cfgs: Map[String, IoConfig]): Map[String, DataFrame] =

@@ -99,4 +99,30 @@ object Bpe {
 
   def ranks(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
+
+  /** Byte-fallback piece for one UTF-8 byte — the sentencepiece
+    * `byte_fallback` / GPT-2 byte-alphabet convention: a 256-entry
+    * closed alphabet no real text can escape, rendered `<0xHH>` so a
+    * fallback piece can never collide with a learned merge symbol.
+    */
+  def bytePiece(b: Byte): String = f"<0x${b & 0xff}%02X>"
+
+  /** Vocabulary-closed encode with byte fallback (sentencepiece
+    * `byte_fallback=true`; Kudo & Richardson 2018): words in the
+    * trained vocabulary encode through the learned merge
+    * decomposition; ANY other word — unseen ASCII, emoji, CJK,
+    * combining marks — decomposes deterministically into the finite
+    * 256-byte alphabet (one piece per UTF-8 byte, plus the
+    * end-of-word mark). Total and exactly replayable by any engine:
+    * piece count is LUT(word) for the closed vocabulary, UTF-8 byte
+    * count + 1 for everything else — no UNK token, no value that
+    * depends on replaying the merge loop over an unbounded token
+    * space.
+    */
+  def encodeWithByteFallback(
+      word: String,
+      vocab: Set[String],
+      ranks: Map[(String, String), Int]): Seq[String] =
+    if (vocab.contains(word)) encode(word, ranks)
+    else word.getBytes("UTF-8").toSeq.map(bytePiece) :+ Eow
 }

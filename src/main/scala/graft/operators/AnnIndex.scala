@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DoubleType}
@@ -14,26 +14,42 @@ import graft.functions.VectorKit
   *
   *  - [[build]] trains the coarse quantizer ONCE and emits the two
   *    index tables a serving fleet reads forever after: `centroids`
-  *    (k rows — broadcastable at any corpus size by construction) and
+  *    (k rows — broadcastable at any corpus size by construction,
+  *    carrying the build-time cell populations for [[drift]]) and
   *    `corpus` (one row per vector: cell id + the int8-quantized
   *    vector stored as array<tinyint> — ACTUALLY 8x smaller than
   *    float64 at rest, not just in principle);
+  *  - [[writeIndex]] persists them with the corpus HIVE-PARTITIONED BY
+  *    CELL — the write-side layout that makes serve-side partition
+  *    pruning real (the reference's own partitionBy-write /
+  *    pruned-read pattern, IoHelpers.scala:106-109);
   *  - [[search]] answers a query batch against those tables with NO
   *    training and NO full-precision corpus access: probe assignment
-  *    via the broadcast centroid cross-join (the q_similarity_ivf
-  *    pattern), exact-integer quantized scoring inside the probed
-  *    cells only, top-k per query. Only ids and the integer score
-  *    cross the exchange.
+  *    via the broadcast centroid cross-join, a LITERAL cell IN-list
+  *    pushed into the corpus scan (the probed-cell set is <= k —
+  *    metadata-sized — so collecting it to the driver is free and
+  *    turns the partitioned layout into file skipping), exact-integer
+  *    quantized scoring inside the probed cells only, top-k per
+  *    query. Only ids and the integer score cross the exchange.
+  *  - [[upsert]] ingests new vectors WITHOUT retraining: assign to the
+  *    existing centroids (the same probe math, nprobe = 1), quantize,
+  *    and APPEND — with the partitioned layout, only the touched cell
+  *    directories receive new files; untouched cells are never
+  *    rewritten. [[drift]] reports per-cell growth vs build time so a
+  *    pipeline knows when assignment quality has decayed enough to
+  *    retrain.
   *
-  * Scale shape: `corpus` shards by cell (a production table is
-  * partitioned on it, so probes prune partitions); the per-query cost
-  * is nprobe/k of the corpus at int8 bandwidth. Degenerate vectors
-  * (zero norm, NaN/Inf, NULL, null element, wrong dimension) are
-  * dropped at build per the VectorKit.normalizable policy — an index
-  * stores directions, and they have none.
+  * Scale shape: serving cost is nprobe/k of the corpus at int8
+  * bandwidth AND nprobe/k of the corpus FILES (partition pruning);
+  * ingest cost is proportional to the batch. Degenerate vectors (zero
+  * norm, NaN/Inf, NULL, null element, wrong dimension) are dropped at
+  * build, upsert, and query time per the VectorKit.normalizable
+  * policy — an index stores directions, and they have none.
   *
-  * AnnIndexSpec drives the full persisted cycle (build -> parquet ->
-  * fresh read -> search) and pins the tinyint storage schema.
+  * AnnIndexSpec drives the full persisted cycle (build -> partitioned
+  * parquet -> fresh-read serve with an asserted pruned scan -> upsert
+  * -> post-build vectors found -> drift), pinning the tinyint storage
+  * schema; tools/IvfSqScale measures the 1M-vector lifecycle.
   */
 object AnnIndex {
 
@@ -72,13 +88,53 @@ object AnnIndex {
         // lossless.
         transform(VectorKit.quantize8(col("e"), col("nrm")), x => x.cast(ByteType))
           .as("q8"))
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "centroid")
     // materialize corpus before unpersisting the lineage it reads
     val out = corpus.localCheckpoint()
     base.unpersist()
+    // build-time cell populations ride in the k-row centroid table —
+    // the baseline [[drift]] compares against (left join: a cell the
+    // k-means left empty still has a defined baseline of 0)
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .join(out.groupBy(col("cell")).agg(count(lit(1)).as("n_build")), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_build"))
     (centroids, out)
+  }
+
+  /** Persist the index: centroids plain, corpus partitioned by cell —
+    * the layout [[search]]'s IN-list prunes and [[upsert]]'s append
+    * extends without rewriting untouched cells.
+    */
+  def writeIndex(centroids: DataFrame, corpus: DataFrame, root: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
+  }
+
+  /** Open a persisted index for serving: (centroids, corpus). */
+  def openIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/centroids"), spark.read.parquet(s"$root/corpus"))
+
+  /** Nearest-`nprobe` cell assignment of `vecs` ((id, e) with e
+    * already validated/normalized-length) against the broadcast k-row
+    * centroid table: (id, cell). The one math shared by query probing
+    * and [[upsert]] ingest (nprobe = 1) — so a vector ingested today
+    * is probed tomorrow by the same rule.
+    */
+  private def assignCells(centroids: DataFrame, vecs: DataFrame, nprobe: Int): DataFrame = {
+    val Seq(idC, vecC) = vecs.columns.toSeq
+    val w = Window.partitionBy(col("__aid")).orderBy(col("d2").asc, col("cell").asc)
+    vecs
+      .select(col(idC).as("__aid"), col(vecC).as("__ae"))
+      .crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .withColumn(
+        "d2",
+        aggregate(
+          zip_with(col("__ae"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("__aid"), col("cell"))
   }
 
   /** Serve a query batch against the persisted tables. `queries` is
@@ -86,6 +142,16 @@ object AnnIndex {
     * dropped (they have no direction to search for). Returns
     * (qid, rk, nid, iscore) — iscore is the exact-integer quantized
     * dot, deterministic on any partitioning.
+    *
+    * Serving is EAGER about probe assignment: the probe table is
+    * materialized once (localCheckpoint — reused by the cell collect
+    * and the routing join), and the distinct probed-cell set (<= k by
+    * construction, metadata-sized at any query-batch size) is
+    * collected to the driver and pushed into the corpus scan as a
+    * literal IN-list — on a [[writeIndex]] layout that is partition
+    * pruning (only the probed cell directories are read; AnnIndexSpec
+    * asserts it on the physical scan), on any other corpus it is still
+    * a pushed data filter.
     */
   def search(
       centroids: DataFrame,
@@ -103,20 +169,13 @@ object AnnIndex {
       .filter(VectorKit.normalizable(col("qn")))
       .withColumn("qq", VectorKit.quantize8(col("qe"), col("qn")))
       .select(col("qid"), col("qe"), col("qq"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
-    val probes = q
-      .select(col("qid"), col("qe"))
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "d2",
-        aggregate(
-          zip_with(col("qe"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("cell"))
+    val probes = assignCells(centroids, q.select(col("qid"), col("qe")), nprobe)
+      .select(col("__aid").as("qid"), col("cell"))
+      .localCheckpoint()
+    val cells: Array[Any] = probes.select(col("cell")).distinct().collect().map(_.get(0))
     val w = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid").asc)
     corpus
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(q.select(col("qid"), col("qq"))), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -127,5 +186,66 @@ object AnnIndex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("qid"), col("rk"), col("nid"), col("iscore"))
+  }
+
+  /** Ingest new vectors into a persisted index WITHOUT retraining:
+    * validate/drop degenerates (the build policy), assign each to its
+    * nearest EXISTING centroid (the [[assignCells]] math the serve
+    * side probes with), quantize to the tinyint carrier, and append to
+    * the partitioned corpus — only the touched cell directories gain
+    * files; untouched cells keep their bytes. Caller contract: ids are
+    * new (the corpus is append-only vector storage; identity dedup is
+    * the dedup family's job upstream).
+    *
+    * Returns the number of vectors admitted. Assignment quality decays
+    * as the ingested distribution drifts from the trained one —
+    * [[drift]] is the alarm.
+    */
+  def upsert(
+      root: String,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "e",
+      dim: Int = VectorKit.EmbeddingDim
+  ): Long = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val base = newVectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), VectorKit.toDouble(col(vecCol), dim).as("e"))
+      .withColumn("nrm", VectorKit.norm(col("e")))
+      .filter(VectorKit.normalizable(col("nrm")))
+      .select(
+        col(idCol),
+        col("e"),
+        transform(VectorKit.quantize8(col("e"), col("nrm")), x => x.cast(ByteType))
+          .as("q8"))
+      .localCheckpoint()
+    val rows = base
+      .join(
+        assignCells(centroids, base.select(col(idCol), col("e")), nprobe = 1)
+          .select(col("__aid").as(idCol), col("cell")),
+        Seq(idCol))
+      .select(col(idCol), col("q8"), col("cell"))
+    rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
+    base.count()
+  }
+
+  /** Per-cell drift report for a persisted index: (cell, n_build,
+    * n_now, growth) where growth = (n_now - n_build) / max(n_build, 1).
+    * A cell whose population has grown far past its build-time share
+    * means the coarse quantizer no longer describes the corpus — the
+    * retrain signal. k rows out; the only corpus-sized work is a
+    * partial-agg'd count.
+    */
+  def drift(spark: SparkSession, root: String): DataFrame = {
+    val (centroids, corpus) = openIndex(spark, root)
+    centroids
+      .select(col("cell"), col("n_build"))
+      .join(corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_now")), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_now"))
+      .withColumn(
+        "growth",
+        (col("n_now") - col("n_build")).cast(DoubleType) / greatest(col("n_build"), lit(1L)))
   }
 }

@@ -674,6 +674,8 @@ object CompositeQueries {
         // The end-to-end training-corpus CURATION FUNNEL — the
         // pipeline a data team actually ships, composed from the
         // already-verified operator families in ONE Spark plan:
+        //   0. id canonicalization (latest-wins; reference
+        //                          literature/PreProcessing.scala:8-27)
         //   1. exact dedup        (md5 fingerprint, keep the min id)
         //   2. language gate      (marker-argmax prediction must match
         //                          the declared lang — metadata
@@ -693,7 +695,27 @@ object CompositeQueries {
         // (gopher) joined back on doc_id — no global pass, no
         // broadcast of anything data-sized, every stage keyed on
         // doc_id or a hash of content.
+        //
+        // Stage 0 resolves duplicate doc_ids BEFORE anything else: the
+        // funnel's stage joins and report are keyed on doc_id, so one
+        // id carrying two different texts would make every downstream
+        // join fan-out engine-ambiguous (the r11 chaos divergence).
+        // The reference runs exactly this shape on every literature
+        // ingest — latest-version-wins keyed dedup
+        // (literature/PreProcessing.scala:8-27). Documents carry no
+        // timestamp, so the "latest" proxy is the fullest row:
+        // greatest n_chars, then md5(text)/lang/source as total,
+        // engine-portable tie-breaks (NULLS LAST made explicit — the
+        // two engines default differently). One extra window on the
+        // same doc_id key the funnel already shuffles on.
+        val wId = Window.partitionBy(col("doc_id")).orderBy(
+          col("n_chars").desc_nulls_last,
+          md5(col("text").cast("binary")).desc_nulls_last,
+          col("lang").desc_nulls_last,
+          col("source").desc_nulls_last)
         val base = Tables(s, dir, "documents")
+          .withColumn("__rn", row_number().over(wId))
+          .filter(col("__rn") === 1)
           .select(col("doc_id"), col("source"), col("lang"), col("text"),
             TextKit.tokens(col("text")).as("w"))
         val wFp = Window.partitionBy(col("fp"))
@@ -722,18 +744,23 @@ object CompositeQueries {
               .as("stage"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, source, lang, text,
-                 ${TextQueries.wordsSql} AS w FROM documents),
+      Some(s"""WITH canon AS (SELECT doc_id, text, lang, source, n_chars FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
+                            lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
+                 FROM documents) WHERE rn = 1),
+        t AS (SELECT doc_id, source, lang, text,
+                 ${TextQueries.wordsSql} AS w FROM canon),
         dd AS (SELECT doc_id,
                  doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-               FROM documents),
+               FROM canon),
         ${TextQueries.langHitsCteSql},
         p AS (SELECT doc_id, ${TextQueries.langidPredSql} AS pred_lang FROM h),
         ${TextQueries.gopherSignalsCteSql},
         m AS (SELECT doc_id,
                 ${OracleSql.foldSql("CAST(doc_id AS VARCHAR) || '#mix7'", 31)} % 1000 AS hmod,
                 ${TextQueries.mixturePermilleSql} AS permille
-              FROM documents)
+              FROM canon)
         SELECT t.doc_id, t.source, t.lang,
           CASE WHEN is_dup THEN 'dup'
                WHEN pred_lang != t.lang THEN 'lang'

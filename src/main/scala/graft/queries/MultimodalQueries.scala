@@ -10,6 +10,41 @@ import graft.functions.Media
   */
 object MultimodalQueries {
 
+  /** The per-pixel fixture replay shared VERBATIM by the BMP and PNG
+    * pixel rungs: both containers carry the same fixture dims
+    * (Media.fixtureBmpWidth/Height) and pixel formula
+    * (Media.fixtureBmpPixel), so one oracle pins two codecs — any
+    * divergence between them is a decoder bug, not a fixture skew.
+    */
+  private val pixelStatsOracleSql: String =
+    """WITH f AS (
+          -- WHERE mirrors the builders' na.drop; dims and pixel
+          -- values replay Media.fixtureBmp* exactly
+          SELECT doc_id, source,
+                 CAST(n_chars % 16 + 1 AS INTEGER) AS w,
+                 CAST(n_chars % 12 + 1 AS INTEGER) AS h
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+        p AS (
+          SELECT doc_id, source, w, h,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256) AS rr,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id * 2 + 5 * (i % w) + 11 * (i // w)) % 256) AS gg,
+                 list_transform(range(0, w * h),
+                   i -> (doc_id * 3 + (i % w) + 13 * (i // w)) % 256) AS bb
+          FROM f)
+        SELECT doc_id, source, w AS width, h AS height,
+               w * h AS n_pixels,
+               CAST(list_sum(rr) AS BIGINT) AS sum_r,
+               CAST(list_sum(gg) AS BIGINT) AS sum_g,
+               CAST(list_sum(bb) AS BIGINT) AS sum_b,
+               CAST(list_min(list_transform(range(0, w * h),
+                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS min_lum,
+               CAST(list_max(list_transform(range(0, w * h),
+                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS max_lum
+        FROM p ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_multimodal_features",
@@ -113,33 +148,28 @@ object MultimodalQueries {
           .toDF()
           .orderBy("doc_id")
       },
-      Some("""WITH f AS (
-          -- WHERE mirrors fromDocumentsBmp's na.drop; dims and pixel
-          -- values replay Media.fixtureBmp* exactly
-          SELECT doc_id, source,
-                 CAST(n_chars % 16 + 1 AS INTEGER) AS w,
-                 CAST(n_chars % 12 + 1 AS INTEGER) AS h
-          FROM documents
-          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
-        p AS (
-          SELECT doc_id, source, w, h,
-                 list_transform(range(0, w * h),
-                   i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256) AS rr,
-                 list_transform(range(0, w * h),
-                   i -> (doc_id * 2 + 5 * (i % w) + 11 * (i // w)) % 256) AS gg,
-                 list_transform(range(0, w * h),
-                   i -> (doc_id * 3 + (i % w) + 13 * (i // w)) % 256) AS bb
-          FROM f)
-        SELECT doc_id, source, w AS width, h AS height,
-               w * h AS n_pixels,
-               CAST(list_sum(rr) AS BIGINT) AS sum_r,
-               CAST(list_sum(gg) AS BIGINT) AS sum_g,
-               CAST(list_sum(bb) AS BIGINT) AS sum_b,
-               CAST(list_min(list_transform(range(0, w * h),
-                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS min_lum,
-               CAST(list_max(list_transform(range(0, w * h),
-                 i -> rr[i + 1] + gg[i + 1] + bb[i + 1])) AS INTEGER) AS max_lum
-        FROM p ORDER BY doc_id""")
+      Some(pixelStatsOracleSql)
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_multimodal_png_pixels",
+      (s, dir) => {
+        // COMPRESSED-codec pixel decode — the rung past BMP: the same
+        // fixture pixels carried through a GENUINE PNG (real CRC32
+        // chunks, real zlib DEFLATE stream, filter type y % 5 so all
+        // five scanline predictors are exercised on every image of
+        // height >= 5), decoded back by a real JDK-Inflater pipeline
+        // (Media.pngDecodeStats: chunk walk, inflate, None/Sub/Up/
+        // Average/Paeth reconstruction per RFC 2083 §6). Because the
+        // pixel formula and dims are shared with the BMP rung, the
+        // ORACLE IS SHARED VERBATIM — two codecs, one ground truth,
+        // and a decoder bug in either cannot hide behind fixture skew.
+        val media = Media.fromDocumentsPng(s, Tables(s, dir, "documents"))
+        Media.pngPixelStats(media)
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some(pixelStatsOracleSql)
     ),
     // ------------------------------------------------------------------
     QueryDef(

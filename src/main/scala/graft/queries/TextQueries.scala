@@ -1906,12 +1906,21 @@ object TextQueries {
         // same reasoning as the Bloom confirm join below. Oracle: the
         // vocabulary is finite and fixed, so the merge table's OUTPUT
         // is replayed as a DuckDB LUT (the Stemmer trick);
-        // out-of-vocabulary tokens fall back to a value the real
-        // encoder would NOT produce under merges, so a stale
-        // vocabulary fails the gate loudly.
+        // out-of-vocabulary tokens take the BYTE FALLBACK
+        // (Bpe.encodeWithByteFallback — the sentencepiece
+        // byte_fallback / GPT-2 byte-alphabet convention): one piece
+        // per UTF-8 byte plus the end-of-word mark, so emoji/CJK/
+        // unseen-ASCII tokens encode deterministically through a
+        // finite 256-symbol alphabet and the oracle replays them in
+        // closed form as strlen(tok) + 1 (DuckDB strlen = UTF-8 byte
+        // length). Total coverage, no UNK, exact cross-engine
+        // agreement on ANY token — this converted the r11 chaos gate's
+        // documented OOV divergence into genuine agreement.
         val rk = graft.functions.Bpe.ranks(bpeMerges)
+        val vocabSet = bpeVocab.toSet
         val nPieces = udf((tok: String) =>
-          if (tok == null) 0 else graft.functions.Bpe.encode(tok, rk).length)
+          if (tok == null) 0
+          else graft.functions.Bpe.encodeWithByteFallback(tok, vocabSet, rk).length)
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(TextKit.tokens(col("text"))).as("tok"))
         val lut = toks.select(col("tok")).distinct()
@@ -1943,7 +1952,7 @@ object TextQueries {
         s"""WITH lut(tok, np) AS (VALUES $lut),
            |t AS (SELECT doc_id, $wordsSql AS w FROM documents),
            |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
-           |j AS (SELECT doc_id, COALESCE(l.np, length(tok) + 1) AS np
+           |j AS (SELECT doc_id, COALESCE(l.np, strlen(tok) + 1) AS np
            |      FROM u LEFT JOIN lut l USING (tok)),
            |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS p
            |      FROM j GROUP BY 1)

@@ -188,6 +188,112 @@ object Streaming {
     if (!fs.exists(targetPath) && fs.exists(old)) fs.rename(old, targetPath)
   }
 
+  /** PARTITION-SCOPED latest-wins upsert — the 100-TB cut of
+    * [[upsertBatch]], whose whole-table rewrite costs O(table) per
+    * merge (22 s at a 1M-doc MinHash index — tools/IncrementalScale
+    * measured it). Here the target is hive-partitioned by `shardCol`
+    * and a micro-batch rewrites ONLY the shard partitions it touches:
+    *
+    *  1. the touched-shard set is collected (bounded by the batch's
+    *     shard span — metadata-sized, the AnnIndex probed-cells move);
+    *  2. the existing rows of ONLY those shards are read back — a
+    *     partition-PRUNED scan, the read-side payoff of the
+    *     write-side partitionBy (reference IoHelpers.scala:106-109);
+    *  3. merge + latest-wins window exactly as [[upsertBatch]]
+    *     (ties: the incoming batch wins);
+    *  4. the merged shards are written to a staging dir OUTSIDE the
+    *     target and swapped in PER SHARD DIRECTORY with the same
+    *     two-rename discipline: at every instant each shard exists
+    *     whole at `target/<shard>` or `target.__oldparts/<shard>`,
+    *     and [[recoverPartitionSwap]] heals an interrupted swap on
+    *     the next call.
+    *
+    * Atomicity is per shard, not per batch: a crash mid-swap can leave
+    * some shards merged and some not — but latest-wins by version is
+    * idempotent, so replaying the batch (the foreachBatch redelivery
+    * contract) converges every shard. Contract: `shardCol` must be a
+    * pure function of `keyCol` (else one key could win in two shards)
+    * and non-null. Untouched shards keep their files byte-identical —
+    * merge cost is proportional to touched data, not table size.
+    */
+  def upsertPartitionedBatch(
+      target: String,
+      keyCol: String,
+      versionCol: String,
+      shardCol: String
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(conf)
+    recoverPartitionSwap(fs, target)
+    val shardVals = batch.select(col(shardCol)).distinct().collect().map(_.get(0))
+    if (shardVals.isEmpty) return
+    require(!shardVals.contains(null),
+      s"NULL $shardCol in upsert batch — shard must be a total function of $keyCol")
+    val existingTouched =
+      if (!fs.exists(targetPath)) None
+      else
+        try {
+          // partition-pruned: only the touched shards' files are read
+          Some(spark.read.parquet(target)
+            .filter(col(shardCol).isin(shardVals.toIndexedSeq: _*))
+            .select(batch.columns.map(col).toIndexedSeq: _*))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = existingTouched match {
+      case Some(cur) =>
+        cur.withColumn("__new", lit(0)).unionByName(batch.withColumn("__new", lit(1)))
+      case None => batch.withColumn("__new", lit(1))
+    }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__new").desc)
+    val winner = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__new")
+    val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
+    fs.delete(stage, true)
+    winner.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    val oldRoot = new org.apache.hadoop.fs.Path(target + ".__oldparts")
+    fs.delete(oldRoot, true)
+    fs.mkdirs(oldRoot)
+    if (!fs.exists(targetPath)) fs.mkdirs(targetPath)
+    shardVals.foreach { s =>
+      val dirName = s"$shardCol=$s"
+      val stageDir = new org.apache.hadoop.fs.Path(stage, dirName)
+      // only swap shards the merge actually produced — never rename a
+      // live shard out without a replacement in hand
+      if (fs.exists(stageDir)) {
+        val curDir = new org.apache.hadoop.fs.Path(targetPath, dirName)
+        if (fs.exists(curDir)) fs.rename(curDir, new org.apache.hadoop.fs.Path(oldRoot, dirName))
+        fs.rename(stageDir, curDir)
+      }
+    }
+    fs.delete(oldRoot, true)
+    fs.delete(stage, true)
+  }
+
+  /** Heal an interrupted [[upsertPartitionedBatch]] swap: any shard
+    * sitting in `target.__oldparts` without a live twin at `target`
+    * was renamed out but never replaced — rename it back; shards WITH
+    * a live twin completed their swap and the set-aside copy is
+    * obsolete. Leftover staging is always safe to drop (it was never
+    * part of the table).
+    */
+  def recoverPartitionSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val oldRoot = new org.apache.hadoop.fs.Path(target + ".__oldparts")
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(targetPath, st.getPath.getName)
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(target + ".__stage"), true)
+  }
+
   def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

@@ -33,18 +33,21 @@ import graft.operators.MinHashLsh
   *
   * Usage: runMain graft.tools.IncrementalScale [corpusN] [batchN]
   *
-  * MEASURED (1M-doc index, local[32], load1 ~6-9 co-tenant): index
-  * build+write 9.7 s; batch dedup vs the on-disk index after a 5k
-  * warmup batch: 25k in 4.0 s, 50k in 6.9 s (the ~1-3 s floor is the
-  * narrow index scan; the delta is the batch-proportional shingle/
-  * minhash/verify work), planted recall 2500/2500 and 5000/5000,
-  * zero false matches; upsert merge 22.4 s (the full-index window
-  * rewrite — partition-scoped overwrite is the production cut when
-  * the index is date/shard-partitioned). Re-deduping the whole
-  * corpus per batch (the alternative this exists to avoid) costs the
-  * full DedupScale pipeline ~28 s PER BATCH and grows with every
-  * ingest — the index path stays a few seconds at any corpus size
-  * the scan floor permits.
+  * MEASURED (1M-doc index, local[32], r12 — the index now
+  * hive-partitioned into 100k-doc id-range shards): index build+write
+  * 9.3 s; batch dedup vs the on-disk index after a 5k warmup batch:
+  * 25k in 4.5 s, 50k in 3.8 s (the ~1-3 s floor is the narrow index
+  * scan; the delta is the batch-proportional shingle/minhash/verify
+  * work), planted recall 2500/2500 and 5000/5000, zero false matches;
+  * SHARD-SCOPED upsert merge 2.1 s — down from 22.4 s when the merge
+  * rewrote the whole index (r11): the 50k batch's ids land in one
+  * shard, Streaming.upsertPartitionedBatch reads+rewrites that shard
+  * alone, and the tool REQUIRES shard 0's files byte-identical after
+  * the merge. Re-deduping the whole corpus per batch (the alternative
+  * this exists to avoid) costs the full DedupScale pipeline ~28 s PER
+  * BATCH and grows with every ingest — the index path stays a few
+  * seconds at any corpus size the scan floor permits, and the merge
+  * now stays a few seconds at any INDEX size too.
   */
 object IncrementalScale {
   def main(args: Array[String]): Unit = {
@@ -71,15 +74,21 @@ object IncrementalScale {
       })
 
     val target = Files.createTempDirectory("graft-inc-scale").toString + "/index"
+    // id-range shards of 100k docs: the index is hive-partitioned on
+    // them, so the upsert below rewrites only the shard(s) the batch's
+    // ids land in — at 1M that is 1 of 10+ partitions
+    val shardSize = 100000L
 
     time("index build+write (1M)") {
       val corpus = spark.range(corpusN).select(col("id").as("doc_id"))
         .select(col("doc_id"), tokensFor(col("doc_id"), lit(false)).as("w"))
       // batch_id is the upsert's version column — present from the
       // first write so later merges unionByName cleanly
-      MinHashLsh.index(MinHashLsh.prepare(corpus, "doc_id", "w"), "doc_id")
-        .withColumn("batch_id", lit(1L))
-        .write.mode("overwrite").parquet(target)
+      MinHashLsh.withShard(
+        MinHashLsh.index(MinHashLsh.prepare(corpus, "doc_id", "w"), "doc_id")
+          .withColumn("batch_id", lit(1L)),
+        "doc_id", shardSize)
+        .write.mode("overwrite").partitionBy("shard").parquet(target)
     }
 
     def runBatch(n: Long): Unit = {
@@ -113,18 +122,31 @@ object IncrementalScale {
     runBatch(batchN / 2)
     runBatch(batchN)
 
-    time("index upsert (admit survivors)") {
+    // shard-0 file listing: the proof the upsert below never touches
+    // the cold 90% of the index
+    def shard0Files(): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$target/shard=0"))
+      try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val coldBefore = shard0Files()
+
+    time("index upsert (shard-scoped)") {
       val isDup = col("doc_id") % 10 === 1
       val batch = spark.range(corpusN, corpusN + batchN).select(col("id").as("doc_id"))
         .filter(!isDup)
         .select(col("doc_id"), tokensFor(col("doc_id"), lit(false)).as("w"))
-      val rows = MinHashLsh.index(MinHashLsh.prepare(batch, "doc_id", "w"), "doc_id")
-        .withColumn("batch_id", lit(2L))
-      graft.streaming.Streaming.upsertBatch(target, "doc_id", "batch_id")(
-        rows, 2L)
+      val rows = MinHashLsh.withShard(
+        MinHashLsh.index(MinHashLsh.prepare(batch, "doc_id", "w"), "doc_id")
+          .withColumn("batch_id", lit(2L)),
+        "doc_id", shardSize)
+      graft.streaming.Streaming.upsertPartitionedBatch(
+        target, "doc_id", "batch_id", "shard")(rows, 2L)
       val total = spark.read.parquet(target).count()
       require(total == corpusN + batchN - batchN / 10,
         s"index row count after upsert: $total")
+      require(shard0Files() == coldBefore,
+        "shard 0 was rewritten — the upsert is no longer partition-scoped")
     }
     spark.stop()
   }

@@ -29,11 +29,19 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Usage: runMain graft.tools.IvfSqScale [nVecs]
   *
-  * MEASURED (1M vectors, k=32 cells, nprobe=2, local[32]): build+write
-  * 56.9 s — paid ONCE (k-means training dominates); the index parquet
-  * is 61 MB vs 512 MB for the same vectors as float64 (8.4x); SERVING
-  * the 50-query panel from a fresh read is 4.1 s end to end;
+  * MEASURED (1M vectors, k=32 cells, nprobe=2, local[32], r12 — the
+  * cell-PARTITIONED layout): build+write 54.7 s — paid ONCE (k-means
+  * training dominates); the index parquet is 61 MB vs 512 MB for the
+  * same vectors as float64 (8.4x); SERVING the 50-query panel from a
+  * fresh read is 6.1 s end to end (recall accounting included), and
+  * the serve-only sweep shows cost ∝ probed cells: 2.3 s at nprobe=2
+  * vs 4.4 s at nprobe=8 — partition pruning holding at 1M (a flat
+  * curve would mean the scan silently fell back to whole-index);
   * candidates/query ~63k = 6.3% of the corpus; top-1 recall 50/50.
+  * INGEST without retrain: 10k vectors assigned+appended in 8.5 s
+  * (batch-proportional — 6x less than the build), post-build
+  * vectors served on the next query, per-cell drift reported
+  * (uniform batch -> growth ~0.011 everywhere, no skew alarm).
   */
 object IvfSqScale {
   def main(args: Array[String]): Unit = {
@@ -65,8 +73,10 @@ object IvfSqScale {
     val root = Files.createTempDirectory("graft-ivfsq").toString
     time("build+write (shared op)") {
       val (centroids, corpus) = graft.operators.AnnIndex.build(corpusDf, k = k, dim = dim)
-      centroids.write.mode("overwrite").parquet(s"$root/centroids")
-      corpus.write.mode("overwrite").parquet(s"$root/corpus")
+      // cell-partitioned layout: serving prunes to the probed cells'
+      // directories (AnnIndexSpec asserts it on the physical scan;
+      // the nprobe sweep below measures it)
+      graft.operators.AnnIndex.writeIndex(centroids, corpus, root)
     }
     val idxBytes = Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
       .filter(p => p.toString.endsWith(".parquet"))
@@ -75,8 +85,7 @@ object IvfSqScale {
       f"float64 equivalent ~${nVecs * dim * 8 / 1e6}%.0f MB)")
 
     // serving: fresh reads only
-    val cIdx = spark.read.parquet(s"$root/centroids")
-    val vIdx = spark.read.parquet(s"$root/corpus")
+    val (cIdx, vIdx) = graft.operators.AnnIndex.openIndex(spark, root)
     val queries = corpusDf.filter(col("vec_id") % 20000 === 1)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .localCheckpoint()
@@ -107,6 +116,49 @@ object IvfSqScale {
       println(f"[ivfsq-scale] queries=$nQueries top1-recall=$hits/$nQueries " +
         f"(${recall * 100}%.1f%%)")
       require(recall >= 0.95, f"IVF-SQ8 top-1 recall $recall%.4f below the 0.95 floor")
+    }
+
+    // serve cost ∝ probed cells: with the cell-partitioned layout,
+    // quadrupling nprobe quadruples the candidate set AND the files
+    // read — a flat curve here would mean pruning quietly broke and
+    // the scan went back to whole-index
+    for (np <- Seq(nprobe, 4 * nprobe)) {
+      time(f"serve sweep nprobe=$np%-2d") {
+        graft.operators.AnnIndex
+          .search(cIdx, vIdx, queries, nprobe = np, topK = 1, dim = dim)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
+    // ingest WITHOUT retrain: a 10k batch assigned to the existing
+    // centroids and APPENDED — only touched cell dirs gain files; cost
+    // is batch-proportional (vs the 1M-row build above). The batch
+    // reuses the corpus recipe at fresh ids, so post-build vectors are
+    // genuine family members the next serve can find.
+    val newBase = nVecs + 1000000L
+    time("upsert 10k (no retrain)") {
+      val batch = spark.range(newBase, newBase + 10000L).select(col("id").as("vec_id"))
+        .select(col("vec_id"), vec.as("e"))
+      val admitted = graft.operators.AnnIndex.upsert(root, batch, dim = dim)
+      require(admitted == 10000L, s"upsert admitted $admitted of 10000")
+    }
+    time("post-upsert serve + drift") {
+      val (c2, v2) = graft.operators.AnnIndex.openIndex(spark, root)
+      require(v2.count() == nVecs + 10000L, "post-upsert corpus count")
+      val q2 = spark.range(newBase, newBase + 50L).select(col("id").as("vec_id"))
+        .select(col("vec_id").as("qid"), vec.as("qe"))
+      // the batch recipe plants id newBase+1 as a 0.999-cosine copy of
+      // newBase (both post-build): its top-1 must be a NEW id
+      val found = graft.operators.AnnIndex
+        .search(c2, v2, q2, nprobe = nprobe, topK = 5, dim = dim)
+        .filter(col("nid") >= newBase).count()
+      println(s"[ivfsq-scale] post-build neighbors served: $found rows reference new ids")
+      require(found >= 1, "no post-build vector was ever served")
+      val d = graft.operators.AnnIndex.drift(spark, root)
+        .orderBy(col("growth").desc).limit(3).collect()
+      d.foreach(r => println(f"[ivfsq-scale] drift cell=${r.getAs[Int]("cell")}%-3d " +
+        f"n_build=${r.getAs[Long]("n_build")}%d n_now=${r.getAs[Long]("n_now")}%d " +
+        f"growth=${r.getAs[Double]("growth")}%.4f"))
     }
     spark.stop()
   }

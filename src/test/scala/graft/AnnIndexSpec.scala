@@ -9,22 +9,25 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.operators.AnnIndex
 
-/** The persisted ANN-index lifecycle (train once / serve many), which
-  * the oracled q_similarity_ivf_sq8 — one plan, trains per run —
-  * cannot show: build the IVF-SQ8 index tables, write them to
-  * parquet, and answer queries from a FRESH READ with no training and
-  * no full-precision corpus anywhere in the serving plan.
+/** The persisted ANN-index lifecycle (train once / serve many / ingest
+  * without retrain), which the oracled q_similarity_ivf_sq8 — one
+  * plan, trains per run — cannot show: build the IVF-SQ8 index tables,
+  * write them cell-partitioned, answer queries from a FRESH READ with
+  * no training, no full-precision corpus, and a PRUNED corpus scan
+  * (asserted on the physical plan), then append new vectors to the
+  * live index and find them.
   */
 class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   private val dim = 16
 
-  /** Deterministic corpus: 400 vectors in 8 well-separated direction
+  /** Deterministic corpus: vectors in 8 well-separated direction
     * families (id % 8 picks a dominant axis pair), every id % 50 == 1
     * a near-copy of id-1 with one component nudged — the planted
-    * neighbor search() must return.
+    * neighbor search() must return. `ids` lets the upsert test mint
+    * post-build vectors from the same families.
     */
-  private def corpusDf(n: Int) = {
+  private def corpusDf(ids: org.apache.spark.sql.DataFrame) = {
     val cid = when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id"))
     val vec = transform(sequence(lit(0), lit(dim - 1)), j => {
       val h = pmod(xxhash64(cid * dim + j), lit(2001L))
@@ -32,25 +35,68 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       val axisBoost = when(pmod(cid, lit(8)) === pmod(j, lit(8)), lit(4.0)).otherwise(lit(0.0))
       base + axisBoost + when(col("id") % 50 === 1 && j === 3, lit(0.1)).otherwise(lit(0.0))
     })
-    spark.range(n).select(col("id").as("vec_id"), vec.as("e"))
+    ids.select(col("id").as("vec_id"), vec.as("e"))
   }
 
-  test("build -> parquet -> fresh read -> search finds planted neighbors; storage is tinyint") {
+  private def corpusN(n: Int) = corpusDf(spark.range(n).toDF("id"))
+
+  test("build -> partitioned parquet -> fresh read -> PRUNED search finds planted neighbors") {
     val root = Files.createTempDirectory("graft-ann-idx").toString
-    val (centroids, corpus) = AnnIndex.build(corpusDf(400), k = 8, vecCol = "e", dim = dim)
-    centroids.write.mode("overwrite").parquet(s"$root/centroids")
-    corpus.write.mode("overwrite").parquet(s"$root/corpus")
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
 
     // the serving side: ONLY the two persisted tables
-    val cIdx = spark.read.parquet(s"$root/centroids")
-    val vIdx = spark.read.parquet(s"$root/corpus")
+    val (cIdx, vIdx) = AnnIndex.openIndex(spark, root)
     // the 8x at-rest claim is a SCHEMA property, not a comment:
     vIdx.schema("q8").dataType shouldBe ArrayType(ByteType, containsNull = true)
     cIdx.count() shouldBe 8
+    // the drift baseline rides in the centroid table and covers the corpus
+    cIdx.agg(sum(col("n_build"))).head.getLong(0) shouldBe 400L
 
-    val queries = corpusDf(400).filter(col("vec_id") % 50 === 1)
+    val queries = corpusN(400).filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val top1 = AnnIndex.search(cIdx, vIdx, queries, nprobe = 2, topK = 1, dim = dim)
+
+    // PARTITION PRUNING is the point of the cell-partitioned write:
+    // the corpus scan must carry a partition filter on `cell` and read
+    // fewer files than the index holds (8 queries x nprobe 2 probes a
+    // strict subset of the 8 cells only if probes overlap — assert the
+    // filter's presence and that file count <= probed-cell dirs, both
+    // via the physical scan; AQE off so collect sees the nodes).
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val (scanFilters, scannedFiles) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = AnnIndex.search(cIdx, vIdx,
+        queries.limit(1), nprobe = 2, topK = 1, dim = dim)
+      val qe = probe.queryExecution
+      probe.collect() // populate scan metrics
+      val corpusScan = qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("corpus")) => s
+      }.head
+      (corpusScan.partitionFilters.map(_.sql).mkString(";"),
+        corpusScan.metrics("numFiles").value)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    withClue(s"corpus scan carries no cell partition filter: ") {
+      scanFilters.toLowerCase should include("cell")
+    }
+    // files per cell DIRECTORY (local[32] writes several part files
+    // per cell): 1 query x nprobe 2 may read at most the two largest
+    // cell dirs' files — and strictly less than the whole index
+    val filesPerCell = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
+      try it.filter(p => p.toString.endsWith(".parquet")).toArray.toSeq
+        .map(_.toString.split("/").takeWhile(!_.startsWith("part-")).last)
+        .groupBy(identity).map(_._2.size.toLong).toSeq.sorted.reverse
+      finally it.close()
+    }
+    val top2 = filesPerCell.take(2).sum
+    withClue(s"1 query x nprobe 2 should read <= 2 cell dirs ($top2 files) of $totalFiles: ") {
+      scannedFiles should be <= top2
+      scannedFiles should be < totalFiles
+    }
+
     val hits = top1.filter(col("nid") === col("qid") - 1).count()
     val nQ = queries.count()
     assert(hits == nQ, s"planted top-1 recall through the persisted index: $hits of $nQ")
@@ -61,9 +107,63 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     a.map(_.toString).sorted shouldBe b.map(_.toString).sorted
   }
 
-  test("degenerate vectors are excluded at build and at query time") {
+  test("upsert ingests without retrain: new vectors found, untouched cells not rewritten, drift reported") {
+    val root = Files.createTempDirectory("graft-ann-upsert").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+
+    def fileSet(): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
+      try it.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](_.toString).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val before = fileSet()
+
+    // post-build batch: ids 1000..1079 from ONE direction family
+    // (id pinned to family 3 via cid construction: use ids ≡ 3 mod 8)
+    val newIds = spark.range(125).select((col("id") * 8 + 1003).as("id"))
+    val batch = corpusDf(newIds)
+    val admitted = AnnIndex.upsert(root, batch, vecCol = "e", dim = dim)
+    admitted shouldBe 125L
+
+    // append-only partition layout: every pre-existing file survives
+    // byte-identically (same names — append never rewrites a cell)
+    val after = fileSet()
+    withClue("upsert rewrote pre-existing cell files: ") {
+      before.subsetOf(after) shouldBe true
+    }
+    (after -- before) should not be empty
+
+    // a post-build vector is served: query one of the new ids' own
+    // direction; its planted family sibling (another new id) must rank
+    val (cIdx, vIdx) = AnnIndex.openIndex(spark, root)
+    vIdx.count() shouldBe 525L
+    val q = corpusDf(newIds.limit(1)).select(col("vec_id").as("qid"), col("e").as("qe"))
+    val res = AnnIndex.search(cIdx, vIdx, q, nprobe = 2, topK = 5, dim = dim)
+    withClue("post-build neighbors should be served from the appended partitions: ") {
+      res.filter(col("nid") >= 1000).count() should be > 0L
+    }
+
+    // drift: the single ingested family's cell(s) grew; total growth
+    // accounts for every admitted vector and the skewed cell crosses
+    // an alerting threshold no un-ingested cell reaches
+    val d = AnnIndex.drift(spark, root).collect()
+    d.map(_.getAs[Long]("n_now")).sum shouldBe 525L
+    d.map(_.getAs[Long]("n_build")).sum shouldBe 400L
+    val maxGrowth = d.map(_.getAs[Double]("growth")).max
+    withClue(s"one-family ingest of 125 on a 400-vector index must spike a cell: ") {
+      maxGrowth should be >= 1.0
+    }
+    val grown = d.filter(_.getAs[Double]("growth") >= 1.0).map(_.getAs[Int]("cell")).toSet
+    withClue("growth must be concentrated, not smeared over all cells: ") {
+      grown.size should be <= 2
+    }
+  }
+
+  test("degenerate vectors are excluded at build, upsert, and query time") {
     import spark.implicits._
-    val good = corpusDf(100)
+    val good = corpusN(100)
     val bad = Seq(
       (1000L, Seq.fill(dim)(0.0)),                       // zero norm
       (1001L, (Double.NaN +: Seq.fill(dim - 1)(1.0)).toSeq), // NaN component
@@ -75,5 +175,10 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // a crash and not a NaN-topped ranking
     val q = Seq((2000L, Seq.fill(dim)(0.0))).toDF("qid", "qe")
     AnnIndex.search(c, v, q, nprobe = 2, topK = 3, dim = dim).count() shouldBe 0
+    // degenerate INGEST is dropped by the same policy
+    val root = Files.createTempDirectory("graft-ann-degen").toString
+    AnnIndex.writeIndex(c, v, root)
+    AnnIndex.upsert(root, bad, vecCol = "e", dim = dim) shouldBe 0L
+    AnnIndex.openIndex(spark, root)._2.filter(col("vec_id") >= 1000L).count() shouldBe 0
   }
 }

@@ -24,8 +24,11 @@ class BenchLineSpec extends AnyFunSuite {
       val results = names.map(_ -> worst)
       // cpu at 32 in-process cores can reach ~32x wall — 4-digit values
       val cpus = names.map(_ -> worst * 32)
+      // pw at its realistic worst: every whitelisted query warned, two
+      // digits each (retry passes double the count)
+      val pw = graft.plans.PlanContracts.globalWindowWhitelist.toSeq.sorted.map(_ -> 12)
       val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1",
-        compact = true, loads = Seq(123.9, 123.9), cpus = cpus)
+        compact = true, loads = Seq(123.9, 123.9), cpus = cpus, pw = pw)
       assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query " +
         s"x ${names.size} queries; driver tail keeps 2000 and sbt's trailer needs ~80")
     }

@@ -135,6 +135,76 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     assert(idx.filter(col("doc_id") === 11L).count() == 1)
   }
 
+  test("partition-scoped upsert rewrites ONLY touched shards, latest version wins") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-part-upsert").toString + "/index"
+    val up = Streaming.upsertPartitionedBatch(
+      target, keyCol = "doc_id", versionCol = "batch_id", shardCol = "shard") _
+    def sharded(rows: Seq[(Long, String, Long)]): DataFrame =
+      MinHashLsh.withShard(
+        rows.toDF("doc_id", "payload", "batch_id"), "doc_id", shardSize = 50L)
+
+    // seed: keys 0..99 -> shards 0 and 1
+    up(sharded((0L until 100L).map(i => (i, s"v1-$i", 1L))), 1L)
+    def fileSet(shard: Int): Set[String] = {
+      val it = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$target/shard=$shard"))
+      try it.filter(_.toString.endsWith(".parquet"))
+        .toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val shard0Before = fileSet(0)
+
+    // batch 2 touches keys 90..109 -> shards 1 (rewrite) and 2 (new);
+    // shard 0 must keep its exact files
+    up(sharded((90L until 110L).map(i => (i, s"v2-$i", 2L))), 2L)
+    assert(fileSet(0) == shard0Before,
+      "untouched shard 0 was rewritten — merge cost is no longer ∝ touched shards")
+    val t = spark.read.parquet(target)
+    assert(t.count() == 110)
+    // keys 90..99 merged latest-wins inside the touched shard
+    assert(t.filter(col("doc_id") === 95L).select(col("payload")).head().getString(0) == "v2-95")
+    assert(t.filter(col("doc_id") === 10L).select(col("payload")).head().getString(0) == "v1-10")
+    assert(t.filter(col("doc_id") === 105L).select(col("payload")).head().getString(0) == "v2-105")
+    assert(t.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0)
+
+    // version ties: the INCOMING batch wins (the upsertBatch contract)
+    up(sharded(Seq((105L, "v2b-105", 2L))), 3L)
+    assert(spark.read.parquet(target).filter(col("doc_id") === 105L)
+      .select(col("payload")).head().getString(0) == "v2b-105")
+  }
+
+  test("an interrupted shard swap is healed before the next merge") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-part-crash").toString + "/index"
+    val up = Streaming.upsertPartitionedBatch(
+      target, keyCol = "doc_id", versionCol = "batch_id", shardCol = "shard") _
+    def sharded(rows: Seq[(Long, String, Long)]): DataFrame =
+      MinHashLsh.withShard(
+        rows.toDF("doc_id", "payload", "batch_id"), "doc_id", shardSize = 50L)
+    up(sharded((0L until 100L).map(i => (i, s"v1-$i", 1L))), 1L)
+
+    // simulate a crash between the two renames: shard 1 sits in
+    // __oldparts with no live twin (exactly the window upsert's
+    // per-shard swap leaves open)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target + ".__oldparts"))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(target + "/shard=1"),
+      new org.apache.hadoop.fs.Path(target + ".__oldparts/shard=1"))
+    assert(spark.read.parquet(target).count() == 50) // half the table gone
+
+    // the next upsert call heals FIRST (recoverPartitionSwap), so the
+    // merge sees the whole table and nothing is lost
+    up(sharded(Seq((0L, "v2-0", 2L))), 2L)
+    val t = spark.read.parquet(target)
+    assert(t.count() == 100)
+    assert(t.filter(col("doc_id") === 0L).select(col("payload")).head().getString(0) == "v2-0")
+    assert(t.filter(col("doc_id") === 75L).select(col("payload")).head().getString(0) == "v1-75")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".__oldparts")))
+  }
+
   test("re-ingesting an id replaces its index row (latest version wins)") {
     val target = Files.createTempDirectory("graft-inc-idx2").toString + "/index"
     val upsert = Streaming.upsertBatch(target, keyCol = "doc_id", versionCol = "batch_id") _

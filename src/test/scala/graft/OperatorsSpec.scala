@@ -509,6 +509,97 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Bpe.encode("zzz", rk).length shouldBe 4
   }
 
+  test("PNG pixel codec round-trips through a real zlib stream and all five filters") {
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (((7 * x + 13 * y + 5) % 256), ((3 * x + 11 * y + 99) % 256), ((x + y * y) % 256))
+    // h = 8 >= 5: every filter type (None/Sub/Up/Average/Paeth) is hit
+    val w = 9; val h = 8
+    val png = Media.pngPixelContainer(w, h, px, "trailing doc text".getBytes("UTF-8"))
+    // header parser agrees (the PNG container is genuine)
+    Media.parseHeader(png).get shouldBe Media.MediaHeader("png", w, h)
+    val (dw, dh, sr, sg, sb, mn, mx) = Media.pngDecodeStats(png).get
+    (dw, dh) shouldBe ((w, h))
+    val pts = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    sr shouldBe pts.map(_._1.toLong).sum
+    sg shouldBe pts.map(_._2.toLong).sum
+    sb shouldBe pts.map(_._3.toLong).sum
+    mn shouldBe pts.map(p => p._1 + p._2 + p._3).min
+    mx shouldBe pts.map(p => p._1 + p._2 + p._3).max
+
+    // INDEPENDENT decoder agreement: the JDK's own ImageIO reads the
+    // container (real CRCs, real zlib) and sees the same pixels — our
+    // encoder/decoder pair cannot be wrong in a mutually-cancelling way
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img.getWidth shouldBe w
+    img.getHeight shouldBe h
+    for ((x, y) <- Seq((0, 0), (w - 1, h - 1), (4, 5), (2, 7))) {
+      val rgb = img.getRGB(x, y)
+      val got = (((rgb >> 16) & 0xff), ((rgb >> 8) & 0xff), (rgb & 0xff))
+      got shouldBe px(x, y)
+    }
+  }
+
+  test("pngDecodeStats rejects hostile blobs without throwing") {
+    // fuzz: arbitrary bytes (deterministic LCG), truncated real PNGs
+    val png = Media.pngPixelContainer(6, 6, (x, y) => (x * 40 % 256, y * 40 % 256, 7), Array.empty)
+    for (cut <- Seq(1, 8, 20, 33, png.length / 2, png.length - 5))
+      Media.pngDecodeStats(png.take(cut)) shouldBe None
+    var seed = 12345L
+    for (len <- Seq(0, 7, 64, 513)) {
+      val junk = Array.fill(len) { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >> 33).toByte }
+      Media.pngDecodeStats(junk) shouldBe None
+    }
+    // a corrupted DEFLATE byte inside IDAT: detected, None not garbage
+    val broken = png.clone()
+    broken(8 + 25 + 8 + 10) = (broken(8 + 25 + 8 + 10) ^ 0x55).toByte
+    Media.pngDecodeStats(broken) shouldBe None
+    // crafted IHDR declaring a billion-pixel image: rejected by the
+    // allocation cap BEFORE any buffer is sized
+    val bomb = png.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 1 << 29).putInt(20, 1 << 20)
+    Media.pngDecodeStats(bomb) shouldBe None
+    // undefined filter type: re-deflate a raw image with filter 7
+    val raw = new Array[Byte]((1 + 3 * 2) * 1)
+    raw(0) = 7
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256); val n = d.deflate(buf); d.end()
+    val idat = buf.take(n)
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+    out.put(png.take(8)) // signature
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(2).putInt(1).put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr.array()).putInt(0)
+    out.putInt(idat.length).put("IDAT".getBytes("US-ASCII")).put(idat).putInt(0)
+    out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    Media.pngDecodeStats(out.array()) shouldBe None
+  }
+
+  test("Bpe byte fallback: in-vocab words keep merges, OOV decomposes to UTF-8 bytes") {
+    import graft.functions.Bpe
+    val vocab = Set("low", "lower", "lowest")
+    val merges = Bpe.train(vocab.toSeq.sorted.map(_ -> 1L), 10)
+    val rk = Bpe.ranks(merges)
+    // closed-vocabulary path is the plain trained encode
+    for (w <- vocab)
+      Bpe.encodeWithByteFallback(w, vocab, rk) shouldBe Bpe.encode(w, rk)
+    // OOV — ASCII, emoji, CJK, combining marks — takes the byte path:
+    // one <0xHH> piece per UTF-8 byte plus EOW, so piece count is
+    // exactly utf8_bytes + 1 (the closed form the oracle replays)
+    for (w <- Seq("slower", "zzz", "café", "中文", "👍", "á")) {
+      val pieces = Bpe.encodeWithByteFallback(w, vocab, rk)
+      pieces.length shouldBe (w.getBytes("UTF-8").length + 1)
+      pieces.last shouldBe Bpe.Eow
+      // byte pieces can never collide with learned symbols, and the
+      // decomposition is lossless: parse the <0xHH> pieces back
+      val bytes = pieces.dropRight(1).map { p =>
+        p should fullyMatch regex "<0x[0-9A-F]{2}>"
+        Integer.parseInt(p.substring(3, 5), 16).toByte
+      }
+      new String(bytes.toArray, "UTF-8") shouldBe w
+    }
+  }
+
   test("Media.parseWav walks real RIFF chunks and rejects junk") {
     val pcm = Array.tabulate(5)(i => (i * 100 - 200).toShort)
     val wav = Media.wavContainer(16000, pcm, "trailing doc text".getBytes("UTF-8"))

@@ -54,17 +54,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
   )
 
   /** Partition-less windows funnel the whole input through ONE task —
-    * acceptable only on provably dimension-sized inputs, whitelisted
-    * with the justification the code comments carry.
+    * acceptable only on provably dimension-sized inputs. The whitelist
+    * (with per-query justifications) lives in main sources so Bench
+    * can emit the expected WindowExec warning count next to the
+    * numbers; the count-pinning test below keeps it honest.
     */
-  private val globalWindowWhitelist = Set(
-    "q_window_ntile",         // the documented single-partition rung; the
-                              // fact-scale cutover is q_window_ntile_approx
-    "q_search_index_cascade", // global relevance rank over one-row-per-part
-                              // aggregate (dimension-sized; Search.scala:600-605)
-    "q_embedding_synonyms"    // rank over the k-row (k=5) findSynonyms
-                              // output — model-sized, not data-sized
-  )
+  private val globalWindowWhitelist: Set[String] =
+    graft.plans.PlanContracts.globalWindowWhitelist
+
+  test("the global-window whitelist is not vacuous: every entry still has one") {
+    // Bench attributes WindowExec warnings to queries and flags any
+    // name outside PlanContracts.globalWindowWhitelist as a
+    // regression; an entry whose query no longer HAS a partition-less
+    // window would silently widen that net — prune it instead.
+    // q_search_index_cascade's global rank runs inside a
+    // localCheckpoint materialization, so the returned plan's lineage
+    // is truncated and cannot show it — its window is covered at
+    // runtime by Bench's pw attribution instead of this static check.
+    for (name <- globalWindowWhitelist - "q_search_index_cascade") {
+      val globals = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+      withClue(s"$name is whitelisted but has no partition-less window left: ") {
+        globals should not be empty
+      }
+    }
+  }
 
   test("the pruning guard is not vacuous: the AQE-off toggle exposes physical scans") {
     // Regression test for the round-6 review finding: forcing

@@ -40,13 +40,10 @@ EXPECTED_DIVERGENT = {
     # produces, so out-of-vocabulary tokens (the emoji/CJK doc) fail
     # the gate loudly instead of a stale LUT passing silently. The
     # Spark side IS the real encoding.
-    "q_text_bpe_tokenize": "OOV oracle tripwire (by design)",
-    # doc_id is the document IDENTITY: the funnel's stage joins and the
-    # cluster membership map are keyed on it, so one id carrying two
-    # different texts is upstream corruption, not an input class. The
-    # contract is id uniqueness (upstream id-dedup); the queries are
-    # deterministic whenever it holds.
-    "q_corpus_curation": "doc_id uniqueness precondition",
+    # (r12: formerly q_text_bpe_tokenize — closed by the byte-fallback
+    # encoder, whose OOV piece count strlen(tok)+1 the oracle replays
+    # exactly; and q_corpus_curation — closed by the stage-0 latest-wins
+    # id canonicalization mirrored in the oracle.)
 }
 
 
