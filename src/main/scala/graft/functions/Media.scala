@@ -764,23 +764,27 @@ object Media {
   private val PngMaxRawBytes = 64L << 20
 
   /** Real PNG pixel decode: walk chunks (IHDR must lead; IDAT chunks
-    * concatenate; IEND stops the walk), require the one layout the
-    * reconstruction below implements (8-bit truecolor, non-interlaced),
-    * zlib-INFLATE the stream, reverse the per-row filter
-    * (None/Sub/Up/Average/Paeth), and fold the pixels into the same
-    * exact-integer stats as the BMP rung. None — never a throw, never
-    * a partial lie — for: non-PNG magic, malformed chunk structure,
-    * unsupported layout, declared dims past the allocation cap, a
-    * corrupt/truncated DEFLATE stream, a short image, or an undefined
-    * filter type. (CRCs are deliberately not checked: the DEFLATE
-    * stream itself detects corruption in the data that matters, and a
-    * bit flip in ancillary bytes shouldn't void decodable pixels.)
+    * concatenate; IEND stops the walk), require a layout the
+    * reconstruction below implements (8-bit grayscale, truecolor, or
+    * truecolor+alpha; non-interlaced), zlib-INFLATE the stream,
+    * reverse the per-row filter (None/Sub/Up/Average/Paeth — the
+    * left/up-left predictors step by the layout's bytes-per-pixel),
+    * and fold the pixels into the same exact-integer stats as the BMP
+    * rung (grayscale reports v,v,v; alpha is parsed past, not
+    * aggregated). None — never a throw, never a partial lie — for:
+    * non-PNG magic, malformed chunk structure, unsupported layout
+    * (palette/16-bit/interlaced), declared dims past the allocation
+    * cap, a corrupt/truncated DEFLATE stream, a short image, or an
+    * undefined filter type. (CRCs are deliberately not checked: the
+    * DEFLATE stream itself detects corruption in the data that
+    * matters, and a bit flip in ancillary bytes shouldn't void
+    * decodable pixels.)
     */
   def pngDecodeStats(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Int, Int)] = {
     if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
     try {
       var i = 8
-      var w = -1; var h = -1
+      var w = -1; var h = -1; var bpp = -1
       var ok = true
       var sawEnd = false
       val idat = new java.io.ByteArrayOutputStream()
@@ -797,8 +801,14 @@ object Media {
                 val bitDepth = b(i + 16) & 0xff
                 val colorType = b(i + 17) & 0xff
                 val interlace = b(i + 20) & 0xff
-                if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0 ||
-                  (3L * w + 1) * h > PngMaxRawBytes) ok = false
+                bpp = colorType match {
+                  case 0 => 1 // grayscale
+                  case 2 => 3 // truecolor
+                  case 6 => 4 // truecolor + alpha
+                  case _ => -1 // palette (3) and gray+alpha (4): unsupported
+                }
+                if (w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 || interlace != 0 ||
+                  (bpp.toLong * w + 1) * h > PngMaxRawBytes) ok = false
               }
             case "IDAT" =>
               if (w < 0) ok = false // IDAT before IHDR is malformed
@@ -811,7 +821,7 @@ object Media {
       }
       if (!ok || !sawEnd || w < 0 || idat.size == 0) return None
 
-      val rowBytes = 3 * w
+      val rowBytes = bpp * w
       val raw = new Array[Byte]((1 + rowBytes) * h)
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
@@ -839,9 +849,9 @@ object Media {
         var k = 0
         while (k < rowBytes) {
           val x = raw(base + 1 + k) & 0xff
-          val a = if (k >= 3) cur(k - 3) else 0
+          val a = if (k >= bpp) cur(k - bpp) else 0
           val up = if (y > 0) prev(k) else 0
-          val c = if (k >= 3 && y > 0) prev(k - 3) else 0
+          val c = if (k >= bpp && y > 0) prev(k - bpp) else 0
           cur(k) = f match {
             case 0 => x
             case 1 => (x + a) & 0xff
@@ -853,7 +863,10 @@ object Media {
         }
         var px = 0
         while (px < w) {
-          val r = cur(3 * px); val g = cur(3 * px + 1); val bb = cur(3 * px + 2)
+          val o = bpp * px
+          val r = cur(o)
+          val g = if (bpp == 1) r else cur(o + 1)
+          val bb = if (bpp == 1) r else cur(o + 2)
           sumR += r; sumG += g; sumB += bb
           val lum = r + g + bb
           if (lum < minLum) minLum = lum

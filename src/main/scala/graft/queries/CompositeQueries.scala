@@ -713,11 +713,16 @@ object CompositeQueries {
           md5(col("text").cast("binary")).desc_nulls_last,
           col("lang").desc_nulls_last,
           col("source").desc_nulls_last)
+        // eager localCheckpoint: the canonicalized table feeds TWO
+        // branches (the dedup/langid spine and the gopher-signal
+        // aggregate); without materialization each branch re-runs the
+        // canon window — measured 2x on the whole query at sf0.1
         val base = Tables(s, dir, "documents")
           .withColumn("__rn", row_number().over(wId))
           .filter(col("__rn") === 1)
           .select(col("doc_id"), col("source"), col("lang"), col("text"),
             TextKit.tokens(col("text")).as("w"))
+          .localCheckpoint()
         val wFp = Window.partitionBy(col("fp"))
         val withDup = base
           .withColumn("fp", md5(col("text").cast("binary")))

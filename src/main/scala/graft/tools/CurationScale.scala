@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.CurationScale [nDocs]
   *
-  * Measured (local[32], 2026-08-13): docs=2,000,000 mismatches=0
-  * dup=20,000 kept=902,084 lang=116,471 mixture=818,096
-  * quality=143,349 in 46.4 s end to end (one-row-per-doc
-  * left-join variant; identical histogram to the pre-fix run).
+  * Measured (local[32], r12 — the funnel now leads with the
+  * latest-wins id-canonicalization stage): docs=2,000,000
+  * mismatches=0 dup=20,000 kept=902,084 lang=116,471 mixture=818,096
+  * quality=143,349 in 69.1 s end to end — histogram IDENTICAL to the
+  * pre-canonicalization run (ids here are unique, so stage 0 must be
+  * and is a semantic no-op; its cost is the extra doc_id window +
+  * the one-time materialization both funnel branches then share).
   */
 object CurationScale {
   def main(args: Array[String]): Unit = {

@@ -161,6 +161,51 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("a streaming vector ingest grows the live index across triggers") {
+    // The composition IncrementalDedupSpec proved for dedup, applied
+    // to the ANN index: vectors arrive on a Structured Stream;
+    // foreachBatch assigns each micro-batch to the existing centroids
+    // and appends (AnnIndex.upsert — no retrain, partition-scoped
+    // writes); a query after the second trigger finds a vector
+    // admitted in the FIRST trigger purely through the persisted
+    // index. Continuous ingest, cost per trigger ∝ the trigger's data.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-stream").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.upsert(root, corpusDf(batch), vecCol = "e", dim = dim)
+        ()
+      }
+      .start()
+    try {
+      // trigger 1 admits id 3000 (among others); the corpus recipe
+      // plants id 3001 (≡ 1 mod 50) as a 0.999-cosine copy of 3000
+      input.addData(2000L until 2010L: _*)
+      input.addData(3000L)
+      stream.processAllAvailable()
+      // trigger 2 admits the near-copy — its neighbor arrived one
+      // trigger EARLIER and is reachable only through the live index
+      input.addData(3001L)
+      stream.processAllAvailable()
+    } finally stream.stop()
+
+    val (cIdx, vIdx) = AnnIndex.openIndex(spark, root)
+    vIdx.count() shouldBe 412L
+    val q = corpusDf(spark.range(3001L, 3002L).toDF("id"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val top = AnnIndex.search(cIdx, vIdx, q, nprobe = 2, topK = 1, dim = dim)
+    withClue("the trigger-1 admission must be the near-copy's top-1: ") {
+      top.filter(col("nid") === 3000L).count() shouldBe 1L
+    }
+  }
+
   test("degenerate vectors are excluded at build, upsert, and query time") {
     import spark.implicits._
     val good = corpusN(100)

@@ -539,6 +539,45 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("pngDecodeStats reads grayscale and RGBA PNGs written by an INDEPENDENT encoder") {
+    // the reverse of the ImageIO round-trip above: the JDK encoder
+    // writes the container (color types 0 and 6 — layouts our own
+    // encoder never produces), our decoder must agree on every stat
+    def enc(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val w = 7; val h = 6
+    // grayscale: v(x,y) deterministic
+    val gray = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (17 * x + 31 * y) % 256)
+    val (gw, gh, gr, gg, gb, gmn, gmx) = Media.pngDecodeStats(enc(gray)).get
+    (gw, gh) shouldBe ((w, h))
+    val gv = for (y <- 0 until h; x <- 0 until w) yield (17 * x + 31 * y) % 256
+    gr shouldBe gv.map(_.toLong).sum
+    gg shouldBe gr; gb shouldBe gr
+    gmn shouldBe gv.min * 3; gmx shouldBe gv.max * 3
+
+    // RGBA: alpha varies per pixel and must NOT leak into the stats
+    val rgba = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    def px(x: Int, y: Int) = ((5 * x + y) % 256, (x + 9 * y) % 256, (3 * x + 7 * y) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val a = (13 * x + 29 * y) % 256
+      rgba.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    val (aw, ah, ar, ag, ab, amn, amx) = Media.pngDecodeStats(enc(rgba)).get
+    (aw, ah) shouldBe ((w, h))
+    val pts = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    ar shouldBe pts.map(_._1.toLong).sum
+    ag shouldBe pts.map(_._2.toLong).sum
+    ab shouldBe pts.map(_._3.toLong).sum
+    amn shouldBe pts.map(p => p._1 + p._2 + p._3).min
+    amx shouldBe pts.map(p => p._1 + p._2 + p._3).max
+  }
+
   test("pngDecodeStats rejects hostile blobs without throwing") {
     // fuzz: arbitrary bytes (deterministic LCG), truncated real PNGs
     val png = Media.pngPixelContainer(6, 6, (x, y) => (x * 40 % 256, y * 40 % 256, 7), Array.empty)
