@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{ConnectedComponents, IncrementalClusters, MinHashLsh}
+import graft.streaming.Streaming
+
+/** Incremental cluster maintenance: the persisted (doc_id, cluster)
+  * map stays equal to a from-scratch clustering of the whole corpus at
+  * every batch boundary, while each batch only does batch-sized work
+  * and only rewrites the shards it touches.
+  *
+  * The merge case is the hard one, built from real Jaccard geometry:
+  * one-token variants of a common base at positions 7 and 20 each
+  * clear tau against the base (35/41 ≈ 0.854) but sit BELOW tau of
+  * each other (32/44 ≈ 0.727) — so when the base itself arrives LAST,
+  * it bridges two existing clusters and both must relabel to the
+  * smaller id.
+  */
+class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def doc(id: Long, cid: Long, variantAt: Option[Int] = None): (Long, Seq[String]) =
+    id -> (0 until 40).map { j =>
+      if (variantAt.contains(j)) s"v$id-$j"
+      else s"t${math.abs((cid * 2654435761L + j * 40503L) % 10000)}"
+    }
+
+  private def prep(rows: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    MinHashLsh.prepare(rows.toDF("doc_id", "w"), "doc_id", "w")
+  }
+
+  test("maintain: assignment, isolated docs, and a two-cluster merge relabel") {
+    import spark.implicits._
+    val map = Seq((1L, 1L), (2L, 2L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster")
+    val newDocs = Seq(10L, 11L).toDF("doc_id")
+    // doc 10 bridges clusters 1 and 2; doc 11 is isolated
+    val cross = Seq((10L, 1L), (10L, 2L)).toDF("d_new", "d_old")
+    val inBatch = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq.empty[(Long, Long)]).toDF("d1", "d2")
+    val rows = IncrementalClusters.maintain(map, newDocs, cross, inBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 joins the merged component (min = 1); 11 is its own cluster;
+    // cluster 2's member relabels to 1. Cluster 5 is untouched: no row.
+    rows shouldBe Set((10L, 1L), (11L, 11L), (2L, 1L))
+  }
+
+  test("maintain: edge-free batch is all singletons") {
+    import spark.implicits._
+    val map = Seq((1L, 1L)).toDF("doc_id", "cluster")
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("a", "b")
+    val rows = IncrementalClusters
+      .maintain(map, Seq(7L, 8L).toDF("doc_id"), empty.toDF("d_new", "d_old"), empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows shouldBe Set((7L, 7L), (8L, 8L))
+  }
+
+  test("persisted cycle: batches maintain the map shard-scoped and equal the from-scratch clustering") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-clusters").toString
+    val idxPath = root + "/index"
+    val mapPath = root + "/clusters"
+    val shardSize = 10L
+
+    def upsertSharded(path: String)(rows: DataFrame, version: Long): Unit =
+      Streaming.upsertPartitionedBatch(path, "doc_id", "batch_id", "shard")(
+        MinHashLsh.withShard(rows.withColumn("batch_id", lit(version)), "doc_id", shardSize),
+        version)
+
+    var allDocs = Seq.empty[(Long, Seq[String])]
+    def ingest(batch: Seq[(Long, Seq[String])], version: Long): Unit = {
+      val prepared = prep(batch).localCheckpoint()
+      val (cross, inBatch) =
+        if (version == 1L) {
+          // first batch: no index yet
+          val e = spark.createDataFrame(Seq.empty[(Long, Long)])
+          (e.toDF("d_new", "d_old"),
+            MinHashLsh.verify(prepared, MinHashLsh.candidates(prepared, "doc_id"), "doc_id", 0.8)
+              .select(col("d1"), col("d2")))
+        } else {
+          val idx = spark.read.parquet(idxPath)
+          (MinHashLsh.verifyAgainst(prepared, idx,
+            MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", 0.8)
+            .select(col("d_new"), col("d_old")),
+            MinHashLsh.verify(prepared, MinHashLsh.candidates(prepared, "doc_id"), "doc_id", 0.8)
+              .select(col("d1"), col("d2")))
+        }
+      val map =
+        if (version == 1L)
+          spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("doc_id", "cluster")
+        else spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+      val rows = IncrementalClusters.maintain(
+        map, prepared.select(col("doc_id")), cross, inBatch)
+      upsertSharded(mapPath)(rows, version)
+      // the index holds EVERY doc (clustering state, not admission):
+      // future batches must link transitively through duplicates too
+      upsertSharded(idxPath)(MinHashLsh.index(prepared, "doc_id"), version)
+      allDocs ++= batch
+    }
+
+    // batch 1: six distinct docs -> six singletons
+    ingest((1L to 6L).map(i => doc(i, cid = i)), 1L)
+    // batch 2: 11 ~ indexed 1 (variant@7); 12 fresh; 14 = variant@7 of
+    // an UNSEEN base content (cid 99) -> isolated for now
+    ingest(Seq(doc(11L, 1L, Some(7)), doc(12L, 12L), doc(14L, 99L, Some(7))), 2L)
+    // batch 3: 23 = variant@20 of cid 99 — BELOW tau vs 14 (0.727), so
+    // it forms its own cluster; 21 ~ indexed 1 via variant@20 (0.854
+    // vs base 1; 21 vs 11 is 0.727 but both link through 1)
+    ingest(Seq(doc(21L, 1L, Some(20)), doc(23L, 99L, Some(20))), 3L)
+    locally {
+      val m = spark.read.parquet(mapPath)
+        .select(col("doc_id"), col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      m(11L) shouldBe 1L
+      m(21L) shouldBe 1L
+      m(14L) shouldBe 14L
+      m(23L) shouldBe 23L // NOT merged with 14 yet — the geometry says so
+    }
+    def shardFiles(path: String, shard: Int): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/shard=$shard"))
+      try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val mapShard0Before = shardFiles(mapPath, 0)
+    val mapShard1Before = shardFiles(mapPath, 1)
+
+    // batch 4: the BASE of cid 99 arrives (id 31) — it bridges the two
+    // variant clusters {14} and {23}: everything relabels to 14, and
+    // the rewrite touches only the shards holding 23 and 31
+    ingest(Seq(doc(31L, 99L)), 4L)
+    val finalMap = spark.read.parquet(mapPath)
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    finalMap(14L) shouldBe 14L
+    finalMap(23L) shouldBe 14L // the merge loser relabeled
+    finalMap(31L) shouldBe 14L
+    finalMap(12L) shouldBe 12L
+    withClue("merge rewrite must not touch shards without affected docs: ") {
+      shardFiles(mapPath, 0) shouldBe mapShard0Before
+      shardFiles(mapPath, 1) shouldBe mapShard1Before
+    }
+
+    // THE COMPOSITION THEOREM: the incrementally-maintained map equals
+    // the from-scratch clustering of the full corpus (same tau, same
+    // pipeline, cluster = min reachable id; singletons included)
+    val all = prep(allDocs).localCheckpoint()
+    val pairs = MinHashLsh.verify(all, MinHashLsh.candidates(all, "doc_id"), "doc_id", 0.8)
+    val lbl = ConnectedComponents.labels(pairs.select(col("d1"), col("d2")))
+    val scratch = all.select(col("doc_id"))
+      .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    finalMap shouldBe scratch
+  }
+}
