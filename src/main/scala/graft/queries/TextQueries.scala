@@ -739,6 +739,90 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters_incremental",
+      (s, dir) => {
+        // INCREMENTAL CLUSTER MAINTENANCE, oracled end to end: the
+        // fixture splits at the top-quarter id threshold (T = max*3
+        // DIV 4, folded in as a 1-row broadcast — ids above T are
+        // "the new ingest batch", satisfying the operator's monotone-
+        // id contract), the old side's cluster map is built once
+        // (components over old-old pairs, singletons self — the
+        // persisted state a production pipeline reads from parquet),
+        // and operators.IncrementalClusters.maintain updates it from
+        // the new batch's cross-index and in-batch verified pairs
+        // alone. The ORACLE is the whole-corpus clustering replay
+        // (q_dedup_clusters' recursive CTE, singletons included):
+        // valid precisely because of the operator's equality theorem —
+        // incremental maintenance must equal the from-scratch
+        // clustering at every batch boundary (IncrementalClustersSpec
+        // proves the merge case; tools/IncClusterScale proves it at
+        // 1M docs) — so this hash gate re-proves the theorem on every
+        // fixture including the hostile one. NULL doc_id rows are
+        // dropped on both engines: a cluster map is KEYED on identity,
+        // and a row with none cannot hold a slot in it. Scale shape:
+        // everything is the components/minhash machinery already
+        // proven (banded candidates, codegen'd sorted-merge verify,
+        // mini-graph closure); the only additions are one broadcast
+        // threshold row and the batch-sized maintain joins.
+        import graft.operators.{ConnectedComponents, IncrementalClusters, MinHashLsh}
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val thr = docs.agg(expr("MAX(doc_id) * 3 DIV 4").as("t"))
+        val tagged = docs.crossJoin(broadcast(thr))
+        val oldDocs = tagged.filter(col("doc_id") <= col("t")).drop("t")
+        val newDocs = tagged.filter(col("doc_id") > col("t")).drop("t")
+        val oldPrep = MinHashLsh.prepare(oldDocs, "doc_id", "w").localCheckpoint()
+        val newPrep = MinHashLsh.prepare(newDocs, "doc_id", "w").localCheckpoint()
+        val oldPairs = MinHashLsh
+          .verify(oldPrep, MinHashLsh.candidates(oldPrep, "doc_id"), "doc_id", 0.8)
+          .select(col("d1"), col("d2"))
+        val oldMap = oldDocs.select(col("doc_id")).distinct()
+          .join(
+            ConnectedComponents.labels(oldPairs).withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .localCheckpoint()
+        val idx = MinHashLsh.index(oldPrep, "doc_id")
+        val cross = MinHashLsh.verifyAgainst(newPrep, idx,
+          MinHashLsh.candidatesAgainst(newPrep, idx, "doc_id"), "doc_id", 0.8)
+          .select(col("d_new"), col("d_old"))
+        val inBatch = MinHashLsh
+          .verify(newPrep, MinHashLsh.candidates(newPrep, "doc_id"), "doc_id", 0.8)
+          .select(col("d1"), col("d2"))
+        val delta = IncrementalClusters.maintain(
+          oldMap, newDocs.select(col("doc_id")).distinct(), cross, inBatch)
+          .localCheckpoint()
+        oldMap
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .select(col("doc_id"), col("cluster").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                 WHERE doc_id IS NOT NULL),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM shared
+          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE shared / (n1.n + n2.n - shared) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+        ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+        SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id
+        FROM ids LEFT JOIN clus USING (doc_id) ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       (s, dir) => {
         // Near-dup CLUSTERING: pairs alone don't dedup — the canonical

@@ -32,9 +32,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // totals row (the same scalar fold-in)
     "q_similarity_ivf_sq8",     // IVF's centroid cross-join + SQ8's
                                 // non-equi broadcast passes, composed
-    "q_quality_classifier"      // docs x broadcast 1-row prior
+    "q_quality_classifier",     // docs x broadcast 1-row prior
                                 // (the llrCells scalar fold-in) +
                                 // LUT totals cross-join as in DSIR
+    "q_dedup_clusters_incremental" // docs x broadcast 1-row id-threshold
+                                // row (the llrCells scalar fold-in:
+                                // the old/new ingest split point)
   )
 
   /** Queries whose dominant exchange is gated by a row_number window +
