@@ -87,7 +87,12 @@ object AnnIndex {
         // proves int8-representability (PropertySpec), so the cast is
         // lossless.
         transform(VectorKit.quantize8(col("e"), col("nrm")), x => x.cast(ByteType))
-          .as("q8"))
+          .as("q8"),
+        // one float per row: q8 stores the DIRECTION (unit x 127); the
+        // norm makes the raw vector reconstructible (q8/127 x nrm, int8
+        // rounding the only loss) — what [[splitCell]]'s local retrain
+        // needs to stay in the same space as the probe centroids
+        col("nrm").cast("float").as("nrm"))
     // materialize corpus before unpersisting the lineage it reads
     val out = corpus.localCheckpoint()
     base.unpersist()
@@ -219,16 +224,107 @@ object AnnIndex {
         col(idCol),
         col("e"),
         transform(VectorKit.quantize8(col("e"), col("nrm")), x => x.cast(ByteType))
-          .as("q8"))
+          .as("q8"),
+        col("nrm").cast("float").as("nrm"))
       .localCheckpoint()
     val rows = base
       .join(
         assignCells(centroids, base.select(col(idCol), col("e")), nprobe = 1)
           .select(col("__aid").as(idCol), col("cell")),
         Seq(idCol))
-      .select(col(idCol), col("q8"), col("cell"))
+      .select(col(idCol), col("q8"), col("nrm"), col("cell"))
     rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
     base.count()
+  }
+
+  /** Split ONE oversized cell in place — the partition-scoped answer
+    * to a [[drift]] alarm, so absorbing skew never costs a whole-index
+    * retrain: a local 2-means runs on ONLY that cell's members (a
+    * partition-PRUNED read of one directory; the int8 vectors carry
+    * the directions, which is all a coarse quantizer needs), each
+    * member is reassigned to the nearer sub-centroid, the cell's
+    * partition directory is swapped for the two sub-cell directories
+    * (same two-rename crash discipline as the shard upsert —
+    * Streaming.recoverPartitionSwap heals an interruption on the next
+    * call), and the k-row centroid table is rewritten with the old
+    * row replaced and one row appended (new cell id = max + 1, so
+    * probes of other cells never move). Serving needs no change:
+    * [[search]] probes whatever centroid table it reads. Order is
+    * corpus-first, centroids-second: between the two, probes of the
+    * old centroid still route to the retained sub-cell (reduced
+    * recall on the moved half for that instant, nothing lost), and a
+    * crash there is healed by re-running the split's centroid step.
+    * Cells with fewer than 2 members are left alone (nothing to
+    * split). Returns the new cell id, or -1 for the no-op case.
+    */
+  def splitCell(
+      root: String,
+      cell: Int,
+      dim: Int = VectorKit.EmbeddingDim
+  ): Int = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = org.apache.spark.sql.SparkSession.active
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streaming.recoverPartitionSwap(fs, corpusPath)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    // partition-pruned: one directory read, however large the index.
+    // The 2-means runs in RAW space — q8/127 x nrm reconstructs each
+    // member up to int8 rounding — so the sub-centroids are
+    // commensurable with the existing probe centroids (a q8-space fit
+    // would put them on the unit-x-127 sphere and corrupt routing).
+    val members = spark.read.parquet(corpusPath)
+      .filter(col("cell") === cell)
+      .withColumn("fv", array_to_vector(
+        transform(col("q8"), x => x.cast(DoubleType) / lit(127.0) * col("nrm"))))
+      .persist()
+    try {
+      if (members.count() < 2) return -1
+      val model = new KMeans().setK(2).setSeed(42L).setFeaturesCol("fv").fit(members)
+      val newCell = centroids.agg(max(col("cell"))).head.getInt(0) + 1
+      val reassigned = model.transform(members)
+        .select(
+          col("vec_id"), col("q8"), col("nrm"),
+          when(col("prediction") === 0, lit(cell)).otherwise(lit(newCell)).as("cell"))
+      // stage both sub-cells, then swap the old directory out and the
+      // new ones in (per-directory two-rename; recover heals a crash)
+      val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
+      val oldRoot = new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts")
+      fs.delete(stage, true); fs.delete(oldRoot, true); fs.mkdirs(oldRoot)
+      reassigned.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      val curDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
+      val stageCur = new org.apache.hadoop.fs.Path(stage, s"cell=$cell")
+      val stageNew = new org.apache.hadoop.fs.Path(stage, s"cell=$newCell")
+      if (fs.exists(stageCur) || fs.exists(stageNew)) {
+        fs.rename(curDir, new org.apache.hadoop.fs.Path(oldRoot, s"cell=$cell"))
+        if (fs.exists(stageCur)) fs.rename(stageCur, curDir)
+        if (fs.exists(stageNew))
+          fs.rename(stageNew, new org.apache.hadoop.fs.Path(corpusPath, s"cell=$newCell"))
+      }
+      fs.delete(oldRoot, true); fs.delete(stage, true)
+      // centroid table: replace the split row, append the new one; the
+      // sub-cell populations become the new drift baselines
+      val counts = spark.read.parquet(corpusPath)
+        .filter(col("cell").isin(cell, newCell))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_build"))
+      val subCentroids = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(cell, model.clusterCenters(0).toArray.toSeq),
+          org.apache.spark.sql.Row(newCell, model.clusterCenters(1).toArray.toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(DoubleType)))))
+        .join(counts, Seq("cell"), "left").na.fill(0L, Seq("n_build"))
+      val updated = centroids.filter(col("cell") =!= cell)
+        .unionByName(subCentroids.select(centroids.columns.map(col).toIndexedSeq: _*))
+        .localCheckpoint()
+      updated.write.mode("overwrite").parquet(s"$root/centroids")
+      newCell
+    } finally members.unpersist()
   }
 
   /** Per-cell drift report for a persisted index: (cell, n_build,

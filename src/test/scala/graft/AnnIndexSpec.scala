@@ -161,6 +161,56 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("splitCell answers a drift alarm with a LOCAL retrain: one cell out, two in, rest untouched") {
+    val root = Files.createTempDirectory("graft-ann-split").toString
+    // k = 4 over the 8-family corpus: every cell holds ~2 direction
+    // families — guaranteed internal structure for a 2-means to find
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    val (c0, v0) = AnnIndex.openIndex(spark, root)
+    val total = v0.count()
+    val fat = AnnIndex.drift(spark, root).orderBy(col("n_now").desc)
+      .head.getAs[Int]("cell")
+    val fatMembers = v0.filter(col("cell") === fat)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    def cellFiles(c: Int): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/corpus/cell=$c"))
+      try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val others = (0 until 4).filter(_ != fat)
+    val otherFilesBefore = others.map(c => c -> cellFiles(c)).toMap
+
+    val newCell = AnnIndex.splitCell(root, fat, dim = dim)
+    newCell shouldBe 4 // max existing id + 1 — other cells' ids never move
+
+    val (c1, v1) = AnnIndex.openIndex(spark, root)
+    c1.count() shouldBe 5
+    v1.count() shouldBe total // membership conserved, only routing changed
+    // the split cell's members land exactly in {fat, newCell}, both non-empty
+    val after = v1.filter(col("cell").isin(fat, newCell))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    after shouldBe fatMembers
+    v1.filter(col("cell") === fat).count() should be > 0L
+    v1.filter(col("cell") === newCell).count() should be > 0L
+    // drift baselines reset for the two sub-cells; table sums to the corpus
+    c1.agg(sum(col("n_build"))).head.getLong(0) shouldBe total
+    withClue("cells not named in the split must keep their exact files: ") {
+      others.foreach(c => cellFiles(c) shouldBe otherFilesBefore(c))
+    }
+    // serving through the post-split table still finds every planted
+    // neighbor (sub-centroids live in RAW space — commensurable probes)
+    val queries = corpusN(400).filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val hits = AnnIndex.search(c1, v1, queries, nprobe = 3, topK = 1, dim = dim)
+      .filter(col("nid") === col("qid") - 1).count()
+    hits shouldBe queries.count()
+
+    // a cell with nothing to split is a no-op, not a crash
+    AnnIndex.splitCell(root, 999, dim = dim) shouldBe -1
+  }
+
   test("a streaming vector ingest grows the live index across triggers") {
     // The composition IncrementalDedupSpec proved for dedup, applied
     // to the ANN index: vectors arrive on a Structured Stream;
