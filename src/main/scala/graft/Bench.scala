@@ -249,13 +249,17 @@ object Bench {
         .mkString(""","load1":[""", ",", "]")
     // Partition-less-window warning ATTRIBUTION: `pw` maps each query
     // that logged WindowExec's "No Partition Defined" warning this run
-    // to its count (installWindowWarnCounter) — a key outside
-    // PlanContracts.globalWindowWhitelist is mechanically a regression
-    // (some query lost its partition spec) instead of a judgment call
-    // over an anonymous warning in the stderr tail. Omitted when
-    // empty; the whitelist itself rides in the full (file) form only —
-    // the compact line's tail budget carries the observed names, which
-    // are the signal.
+    // to its logger-event count (installWindowWarnCounter) — a key
+    // outside PlanContracts.globalWindowWhitelist is mechanically a
+    // regression (some query lost its partition spec) instead of a
+    // judgment call over an anonymous warning in the stderr tail. The
+    // counts are logger EVENTS, not executions: the warning fires in
+    // requiredChildDistribution, which the planner (and AQE re-plans)
+    // visit many times per query — so read `pw` as "which queries have
+    // one, how hot the planner ran", not "how many single-partition
+    // sorts happened". Omitted when empty; the whitelist itself rides
+    // in the full (file) form only — the compact line's tail budget
+    // carries the observed names, which are the signal.
     val pwJson =
       if (pw.isEmpty) ""
       else pw.sortBy(_._1)
