@@ -232,4 +232,72 @@ object TextKit {
       sequence(lit(0), lit(bands - 1)),
       j => hash(lit(1), j, slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))
     )
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (CDC — the rolling-hash boundary rule of
+  // storage dedup systems, Muthitacharoen et al. 2001 LBFS): a chunk
+  // boundary falls AFTER position i whenever the polynomial hash of
+  // the w-char window ending at i is ≡ 0 mod `divisor`. Because the
+  // rule looks only at local content, an insertion or deletion shifts
+  // the boundaries AFTER it by exactly the edit length and leaves
+  // their chunks byte-identical — fixed-size chunking loses ALL
+  // alignment at the first edit; CDC loses at most one chunk. The
+  // boundary test reuses [[charHash]] (the codegen'd fold both engines
+  // replay exactly), so a DuckDB oracle can recompute every boundary
+  // and chunk hash in closed form. Production CDC adds min/max chunk
+  // clamps; the pure rule here is the content-defined property itself
+  // and keeps both engines' replay stateless per position.
+  // ------------------------------------------------------------------
+
+  /** Boundary END positions (1-based, ascending) of `text` under the
+    * (w, divisor) CDC rule: i in [w, len] with
+    * charHash(text[i-w+1 .. i]) % divisor == 0. The window hashes come
+    * from the native O(len) rolling pass (plans.RollingHash — element
+    * k is the window ending at position w + k); the per-position
+    * substring re-fold it replaces lives on as the reference twin
+    * [[cdcBoundariesHof]], property-pinned equal.
+    */
+  def cdcBoundaries(text: Column, w: Int, divisor: Int): Column = {
+    val hs = graft.plans.GraftExtensions.rollingHash(text, w, 31, HashP)
+    // `hs` must be the HOF's INPUT, never a subtree inside its lambda:
+    // lambda bodies are re-evaluated per element with no common-
+    // subexpression sharing, so an element_at(hs, i) probe would
+    // recompute the whole rolling pass per position — measured O(len²)
+    // (59 s vs 2 s on the sf0.1 CDC query). transform/filter evaluate
+    // their input ONCE; the lambda sees elements and indices only.
+    // A short text yields an empty hs and therefore no boundaries.
+    filter(
+      transform(hs, (h, k) => when(h % divisor === 0, k + lit(w)).otherwise(lit(-1))),
+      x => x =!= -1)
+  }
+
+  /** The per-position formulation [[cdcBoundaries]] replaced
+    * (O(len * w) substring re-folds through the interpreted HOF path).
+    * Kept as the independent reference implementation PropertySpec
+    * pins the rolling recurrence against — the two must stay
+    * bit-identical on any input.
+    */
+  def cdcBoundariesHof(text: Column, w: Int, divisor: Int): Column =
+    filter(
+      when(length(text) >= w, sequence(lit(w), length(text)))
+        .otherwise(array().cast("array<int>")),
+      i => charHash(text.substr(i - lit(w - 1), lit(w))) % divisor === 0)
+
+  /** CDC chunks of `text` as array<struct<s, l, h>> — 1-based start,
+    * length, and the chunk content's [[charHash]]. Spans run between
+    * consecutive boundaries, first chunk from position 1, tail chunk
+    * to the end (dropped when a boundary IS the end — zero-length).
+    * Caller guards NULL/empty text (no content, no chunks).
+    */
+  def cdcChunks(text: Column, w: Int, divisor: Int): Column = {
+    val bs = cdcBoundaries(text, w, divisor)
+    val starts = concat(array(lit(1)), transform(bs, b => b + 1))
+    val ends = concat(bs, array(length(text)))
+    val spans = filter(
+      zip_with(starts, ends, (s0, e) => struct(s0.as("s"), (e - s0 + 1).as("l"))),
+      sp => sp("l") > 0)
+    transform(spans, sp =>
+      struct(sp("s").as("s"), sp("l").as("l"),
+        charHash(text.substr(sp("s"), sp("l"))).as("h")))
+  }
 }

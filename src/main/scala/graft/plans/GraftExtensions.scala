@@ -102,4 +102,10 @@ object GraftExtensions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       CharHash(org.apache.spark.sql.graft.ColumnBridge.expression(s), mult, p)
     )
+
+  /** Column-DSL handle, usable without registration. */
+  def rollingHash(s: Column, w: Int, mult: Int, p: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RollingHash(org.apache.spark.sql.graft.ColumnBridge.expression(s), w, mult, p)
+    )
 }

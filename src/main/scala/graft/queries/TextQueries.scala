@@ -739,6 +739,76 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_cdc_chunks",
+      (s, dir) => {
+        // CONTENT-DEFINED CHUNKING (the LBFS/storage-dedup rolling-
+        // boundary rule — Muthitacharoen et al. 2001): chunk
+        // boundaries fall where the 16-char window hash ≡ 0 mod 64,
+        // so an edit shifts only the chunks it touches — the property
+        // fixed-size chunking loses at the first insertion, and the
+        // missing granularity BETWEEN document-level dedup
+        // (q_dedup_exact) and substring-extent dedup
+        // (q_dedup_substring_*): cross-document REGION dedup at
+        // byte-range granularity without any pairwise comparison.
+        // Report per doc: chunk count, chars, and how much of the doc
+        // is dedupable (chunks whose content hash occurs >= 2 times
+        // corpus-wide — within-doc repeats count too, exactly like a
+        // chunk store). Hash collisions conflate chunks identically on
+        // both engines (same fold); a production store confirms with a
+        // 128-bit content hash (the q_dedup_exact rung) before
+        // deduplicating bytes. Scale shape: per-doc window hashing is
+        // map-side (O(len x w) compute, no shuffle); then ONE
+        // partial-agg'd shuffle on the chunk hash (occurrence counts)
+        // and one on doc_id — no all-pairs anywhere, the same
+        // hash-groupBy skeleton as exact dedup. Oracle: every
+        // boundary and chunk hash replays in closed form through the
+        // shared polynomial fold (the q_text_fingerprint machinery).
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+            length(col("text")) > 0)
+          .select(col("doc_id"), TextKit.cdcChunks(col("text"), 16, 64).as("cs"))
+        val occ = docs
+          .select(col("doc_id"), explode(col("cs")).as("c"))
+          .select(col("doc_id"), col("c.l").as("l"), col("c.h").as("h"))
+          .localCheckpoint() // feeds the corpus-wide counts AND the per-doc agg
+        val counts = occ.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+        occ.join(counts, "h")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("int").as("n_chunks"),
+            sum(col("l")).as("total_chars"),
+            sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("int").as("n_dedupable"),
+            sum(when(col("n_occ") >= 2, col("l")).otherwise(0)).as("chars_dedupable"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL AND len(text) > 0),
+        b AS (SELECT doc_id, text,
+                list_filter(range(16, len(text) + 1),
+                  i -> ${OracleSql.foldSql("substr(text, i - 15, 16)", 31)} % 64 = 0) AS bs
+              FROM t),
+        sp AS (SELECT doc_id, text,
+                list_prepend(1, list_transform(bs, x -> x + 1)) AS ss,
+                list_append(bs, len(text)) AS es
+               FROM b),
+        ch AS (SELECT doc_id, text,
+                unnest(list_filter(
+                  list_transform(range(1, len(ss) + 1),
+                    k -> {'s': ss[k], 'l': es[k] - ss[k] + 1}),
+                  p -> p.l > 0)) AS c
+               FROM sp),
+        occ AS (SELECT doc_id, c.l AS l,
+                 ${OracleSql.foldSql("substr(text, c.s, c.l)", 31)} AS h
+                FROM ch),
+        cnt AS (SELECT h, COUNT(*) AS n_occ FROM occ GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+          CAST(SUM(l) AS BIGINT) AS total_chars,
+          CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dedupable,
+          CAST(SUM(CASE WHEN n_occ >= 2 THEN l ELSE 0 END) AS BIGINT) AS chars_dedupable
+        FROM occ JOIN cnt USING (h) GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters_incremental",
       (s, dir) => {
         // INCREMENTAL CLUSTER MAINTENANCE, oracled end to end: the

@@ -234,13 +234,30 @@ object Streaming {
       s"NULL $shardCol in upsert batch — shard must be a total function of $keyCol")
     val existingTouched =
       if (!fs.exists(targetPath)) None
-      else
+      else {
+        // partition-pruned: only the touched shards' files are read.
+        // NO broad AnalysisException swallow here: a readable target
+        // whose schema lacks `shardCol` (e.g. a table written by the
+        // flat upsertBatch) would otherwise be treated as absent and
+        // its rows silently dropped from the merge — fail loudly and
+        // let the caller migrate instead. The ONE swallowed case is a
+        // schema-less EMPTY directory: a first-batch crash between
+        // mkdirs and the first shard swap leaves exactly that, and the
+        // retry must see "no table yet", not fail forever.
         try {
-          // partition-pruned: only the touched shards' files are read
-          Some(spark.read.parquet(target)
+          val cur = spark.read.parquet(target)
+          require(cur.columns.contains(shardCol),
+            s"upsertPartitionedBatch target $target has no '$shardCol' column — " +
+              "it was not written with this layout; migrate it (rewrite " +
+              s"partitionBy($shardCol)) before shard-scoped merging")
+          Some(cur
             .filter(col(shardCol).isin(shardVals.toIndexedSeq: _*))
             .select(batch.columns.map(col).toIndexedSeq: _*))
-        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      }
     val merged = existingTouched match {
       case Some(cur) =>
         cur.withColumn("__new", lit(0)).unionByName(batch.withColumn("__new", lit(1)))

@@ -174,6 +174,36 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
       .select(col("payload")).head().getString(0) == "v2b-105")
   }
 
+  test("partition-scoped upsert refuses a flat-layout target instead of dropping its rows") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-part-mismatch").toString + "/index"
+    // a table maintained by the FLAT upsert: no shard column
+    Streaming.upsertBatch(target, "doc_id", "batch_id")(
+      Seq((1L, "v1", 1L)).toDF("doc_id", "payload", "batch_id"), 1L)
+    val batch = MinHashLsh.withShard(
+      Seq((2L, "v2", 2L)).toDF("doc_id", "payload", "batch_id"), "doc_id", 50L)
+    val e = intercept[IllegalArgumentException] {
+      Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(batch, 2L)
+    }
+    assert(e.getMessage.contains("migrate"))
+    // and the refusal left the original table intact
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
+  test("a crash-left empty target directory reads as 'no table yet', not a permanent failure") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-part-empty").toString + "/index"
+    // simulate the first-batch crash window: mkdirs happened, no shard
+    // was ever swapped in
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target))
+    val batch = MinHashLsh.withShard(
+      Seq((1L, "v1", 1L)).toDF("doc_id", "payload", "batch_id"), "doc_id", 50L)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(batch, 1L)
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
   test("an interrupted shard swap is healed before the next merge") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft-part-crash").toString + "/index"

@@ -614,6 +614,57 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Media.pngDecodeStats(out.array()) shouldBe None
   }
 
+  test("CDC chunking: boundaries are content-defined — a prefix edit preserves all later chunks") {
+    import spark.implicits._
+    import graft.functions.TextKit
+    // deterministic 600-char base text with enough entropy for several
+    // boundaries under (w=16, divisor=64)
+    val base = (0 until 120).map { i =>
+      val h = math.abs(i * 2654435761L % 97)
+      s"w$h"
+    }.mkString(" ")
+    val prefix = "INSERTED-PREFIX-EDIT "
+    val df = Seq((1L, base), (2L, prefix + base)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextKit.cdcBoundaries(col("text"), 16, 64).as("bs"),
+        TextKit.cdcChunks(col("text"), 16, 64).as("cs"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (
+        r.getSeq[Int](1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(c => (c.getInt(0), c.getInt(1), c.getLong(2)))))
+      .toMap
+    val (bs1, cs1) = rows(1L)
+    val (bs2, cs2) = rows(2L)
+    withClue("the fixture text must actually produce boundaries for the property to bite: ") {
+      bs1.size should be >= 2
+    }
+    // every base boundary persists, shifted by exactly the edit length
+    // (its window is w chars of unchanged content)
+    val p = prefix.length
+    bs1.map(_ + p).toSet.subsetOf(bs2.toSet) shouldBe true
+    // chunks fully after the first base boundary are IDENTICAL in
+    // content hash — only the chunk containing the edit changed
+    val stable1 = cs1.drop(1).map(_._3)
+    val h2 = cs2.map(_._3).toSet
+    stable1.foreach(h => h2 should contain(h))
+    // spans reconstruct the text exactly: contiguous, full coverage
+    for ((_, cs) <- Seq(1L -> cs1, 2L -> cs2)) {
+      cs.head._1 shouldBe 1
+      cs.sliding(2).foreach {
+        case Seq((s1, l1, _), (s2, _, _)) => s2 shouldBe (s1 + l1)
+        case _ =>
+      }
+    }
+    cs1.map(_._2).sum shouldBe base.length
+    cs2.map(_._2).sum shouldBe (base.length + p)
+    // degenerate inputs: shorter than one window -> a single chunk
+    val tiny = Seq((3L, "short")).toDF("doc_id", "text")
+      .select(TextKit.cdcChunks(col("text"), 16, 64).as("cs"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    tiny.size shouldBe 1
+    tiny.head.getInt(1) shouldBe 5
+  }
+
   test("Bpe byte fallback: in-vocab words keep merges, OOV decomposes to UTF-8 bytes") {
     import graft.functions.Bpe
     val vocab = Set("low", "lower", "lowest")

@@ -70,6 +70,44 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("rolling window hash is bit-identical to the per-position substring fold") {
+    import spark.implicits._
+    // the CDC hot path: plans.RollingHash's O(len) recurrence vs the
+    // independent O(len*w) charHash(substr) formulation — equal per
+    // ELEMENT on every input, including surrogate pairs (codepoint
+    // contract), strings shorter than the window (empty array), and
+    // exact window-length strings
+    val texts = Gen.listOf(Gen.oneOf(
+      word, Gen.const(""), Gen.const("short"), Gen.const("exactly sixteen!"),
+      Gen.const("a𝄞b😀 mixed unicode content flowing past one window"),
+      Gen.const("the quick brown fox jumps over the lazy dog repeatedly")))
+      .map(_.mkString(" "))
+    forAll(texts) { s =>
+      for (w <- Seq(4, 16)) {
+        // qualify length(): ScalaTest Matchers shadows the sql function
+        val len = org.apache.spark.sql.functions.length(col("t"))
+        val row = Seq(s).toDF("t")
+          .select(
+            graft.plans.GraftExtensions.rollingHash(col("t"), w, 31, TextKit.HashP),
+            when(len >= w,
+              transform(sequence(lit(w), len),
+                i => TextKit.charHash(col("t").substr(i - lit(w - 1), lit(w)))))
+              .otherwise(array().cast("array<long>")))
+          .head()
+        row.getSeq[Long](0) shouldBe row.getSeq[Long](1)
+      }
+    }
+    // and the two boundary formulations agree end to end
+    val doc = (0 until 80).map(i => s"tk${i * 7919 % 101}").mkString(" ")
+    val b = Seq(doc).toDF("t")
+      .select(
+        TextKit.cdcBoundaries(col("t"), 16, 64),
+        TextKit.cdcBoundariesHof(col("t"), 16, 64))
+      .head()
+    b.getSeq[Int](0) shouldBe b.getSeq[Int](1)
+    b.getSeq[Int](0).nonEmpty shouldBe true // non-vacuous: boundaries exist
+  }
+
   test("minhash signature of a superset is elementwise <= the subset's") {
     import spark.implicits._
     forAll(Gen.nonEmptyListOf(Gen.posNum[Long]), Gen.nonEmptyListOf(Gen.posNum[Long])) {
