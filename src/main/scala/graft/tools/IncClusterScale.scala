@@ -26,17 +26,24 @@ import graft.streaming.Streaming
   *
   * Usage: runMain graft.tools.IncClusterScale [corpusN] [batchN]
   *
-  * MEASURED (900k corpus + 3x50k batches, local[32], r12): corpus
-  * index+map build 15.4 s; maintenance 46.7 / 49.5 / 31.9 s per 50k
-  * batch (dominated by the index-scan floor of the candidate join,
-  * same class as IncrementalScale; the closure itself is mini-graph
-  * sized) with batch-3's 5,000 planted merges relabeling exactly
-  * 5,000 old rows; map shard 0 byte-identical throughout; planted
-  * merge triples 5000/5000 unified; from-scratch recompute of the
-  * full 1.05M-doc clustering (68.1 s — the cost the incremental path
-  * avoids paying per batch, and which grows with the corpus while
-  * maintenance does not) matches the incremental map with ZERO
-  * mismatching rows.
+  * MEASURED (900k corpus + 3x50k batches, local[32], r12, idle host,
+  * per-stage instrumented): corpus index+map build 15.3 s;
+  * maintenance 23.8 / 14.4 / 16.6 s per 50k batch, decomposed as
+  * prepare 0.6-1.2 s, CROSS-INDEX VERIFY 7-14 s (the dominant term:
+  * the narrow columnar scan of the ~1M-row band index feeding the
+  * candidate join — the same scan floor IncrementalScale documents,
+  * paid by ANY probe of the index incl. the from-scratch path),
+  * in-batch verify ~1.7 s, mini-closure + relabel 0.8-4.4 s (the
+  * merge batch pays the extra relabel join), shard-scoped map+index
+  * upserts ~2.2 s. Batch-3's 5,000 planted merges relabel exactly
+  * 5,000 old rows; map shard 0 byte-identical throughout; merge
+  * triples 5000/5000 unified. From-scratch recompute of the full
+  * 1.05M-doc clustering: 22.1 s, matching the incremental map with
+  * ZERO mismatching rows — at this corpus size the two are close
+  * because both are dominated by the shared index-scan floor; the
+  * from-scratch path's candidate self-join and closure grow with the
+  * CORPUS while the batch path grows only with the batch, which is
+  * the asymptotic that matters at 100 TB.
   */
 object IncClusterScale {
   def main(args: Array[String]): Unit = {
@@ -111,26 +118,36 @@ object IncClusterScale {
 
     for (b <- 1 to 3) {
       time(f"maintain batch $b%d ($batchN%d docs)") {
-        val prepared = MinHashLsh.prepare(batchDf(b), "doc_id", "w").localCheckpoint()
+        val prepared = time(s"  b$b prepare+checkpoint") {
+          MinHashLsh.prepare(batchDf(b), "doc_id", "w").localCheckpoint()
+        }
         val idx = spark.read.parquet(idxPath)
         // stage the two shuffled-hash verify joins as separate actions:
         // folded into one plan with the map join and the closure, their
         // concurrent hash-relation builds exceed the 8g tool heap
         // (observed: Can't acquire memory at 950k-doc index scale)
-        val cross = MinHashLsh.verifyAgainst(prepared, idx,
-          MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", tau)
-          .select(col("d_new"), col("d_old")).localCheckpoint()
-        val inBatch = MinHashLsh.verify(prepared,
-          MinHashLsh.candidates(prepared, "doc_id"), "doc_id", tau)
-          .select(col("d1"), col("d2")).localCheckpoint()
+        val cross = time(s"  b$b cross-index verify") {
+          MinHashLsh.verifyAgainst(prepared, idx,
+            MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", tau)
+            .select(col("d_new"), col("d_old")).localCheckpoint()
+        }
+        val inBatch = time(s"  b$b in-batch verify") {
+          MinHashLsh.verify(prepared,
+            MinHashLsh.candidates(prepared, "doc_id"), "doc_id", tau)
+            .select(col("d1"), col("d2")).localCheckpoint()
+        }
         val map = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
-        val rows = IncrementalClusters.maintain(
-          map, prepared.select(col("doc_id")), cross, inBatch).localCheckpoint()
+        val rows = time(s"  b$b mini-closure + relabel") {
+          IncrementalClusters.maintain(
+            map, prepared.select(col("doc_id")), cross, inBatch).localCheckpoint()
+        }
         val relabeled = rows.filter(col("doc_id") < 1000000L + (b - 1) * 100000L).count()
         println(s"[incclu-scale]   batch $b upsert rows=${rows.count()} " +
           s"(old-doc relabels=$relabeled)")
-        upsertSharded(mapPath, b.toLong)(rows)
-        upsertSharded(idxPath, b.toLong)(MinHashLsh.index(prepared, "doc_id"))
+        time(s"  b$b map+index upserts") {
+          upsertSharded(mapPath, b.toLong)(rows)
+          upsertSharded(idxPath, b.toLong)(MinHashLsh.index(prepared, "doc_id"))
+        }
       }
     }
     require(shard0Files() == cold,
