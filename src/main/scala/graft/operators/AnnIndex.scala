@@ -116,9 +116,116 @@ object AnnIndex {
     corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
   }
 
-  /** Open a persisted index for serving: (centroids, corpus). */
-  def openIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+  /** Open a persisted index for serving: (centroids, corpus). By
+    * default the open HEALS a maintenance crash first (interrupted
+    * corpus swap, interrupted centroid swap, orphan cells) — but only
+    * if it can take the writer lease: against a LIVE maintainer the
+    * healing is skipped (that writer owns the layout and will heal),
+    * never raced.
+    */
+  def openIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try graft.streaming.Streaming.withWriterLease(fs, root) { heal(spark, root, fs) }
+    catch { case _: IllegalStateException => () } // live writer: it heals
     (spark.read.parquet(s"$root/centroids"), spark.read.parquet(s"$root/corpus"))
+  }
+
+  /** The shared entry-point healing every maintenance verb (and a
+    * lease-holding [[openIndex]]) runs before touching the layout:
+    * finish or roll back an interrupted corpus partition swap, restore
+    * an interrupted centroid-table swap, then give any corpus cell
+    * directory that has no centroid row (the crash window between a
+    * completed [[splitCell]] corpus swap and its centroid rewrite —
+    * r12 advice, medium) a repaired row, so no vector is ever silently
+    * unsearchable.
+    */
+  private def heal(spark: SparkSession, root: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    graft.streaming.Streaming.recoverPartitionSwap(fs, s"$root/corpus")
+    graft.streaming.Streaming.recoverSwap(fs, s"$root/centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/centroids.__tmp"), true)
+    repairOrphanCells(spark, root)
+  }
+
+  /** Give every corpus cell directory missing from the centroid table
+    * a centroid row recomputed from its members (element-wise mean of
+    * the reconstructed raw vectors, n_build = population): the repair
+    * that closes [[splitCell]]'s stranded-cell window and makes the
+    * operation idempotent. Partition-pruned — only orphan directories
+    * are read. Returns the repaired cell ids (normally empty).
+    */
+  def repairOrphanCells(spark: SparkSession, root: String): Seq[Int] = {
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath)) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids"))) return Nil
+    val dirCells = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt }
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val known = centroids.select(col("cell")).collect().map(_.getInt(0)).toSet
+    val orphans = dirCells.filterNot(known).toSeq.sorted
+    if (orphans.isEmpty) return Nil
+    val members = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(orphans: _*))
+      .select(col("cell"),
+        posexplode(transform(col("q8"),
+          x => x.cast(DoubleType) / lit(127.0) * col("nrm"))).as(Seq("pos", "v")))
+    // (orphans x dim) rows out of the agg — metadata-sized at any
+    // corpus size; the per-cell mean is the same raw-space centroid a
+    // 1-means over the members would produce
+    val stats = members.groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = stats.groupBy(_.getInt(0))
+    val rows: Seq[org.apache.spark.sql.Row] = orphans.flatMap { c =>
+      byCell.get(c).map { cs =>
+        val dim = cs.length
+        val arr = new Array[Double](dim)
+        cs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        org.apache.spark.sql.Row(c, arr.toSeq, cs.head.getLong(3))
+      }
+    }
+    if (rows.isEmpty) return Nil
+    val repaired = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(DoubleType)),
+        org.apache.spark.sql.types.StructField("n_build",
+          org.apache.spark.sql.types.LongType))))
+    writeCentroidsSwapped(
+      centroids.unionByName(repaired.select(centroids.columns.map(col).toIndexedSeq: _*)),
+      root, fs)
+    orphans
+  }
+
+  /** Replace the k-row centroid table under the flat two-rename swap
+    * discipline (write to `.__tmp`, set the live table aside, rename
+    * in, drop the set-aside copy): a crash at any instant leaves the
+    * complete table at `centroids` or `centroids.__old`, and
+    * Streaming.recoverSwap at every entry point restores the latter.
+    * The r12 in-place overwrite could lose the whole table to a crash
+    * mid-write. localCheckpoint severs the lineage from the table
+    * being replaced (the update usually READS the current table).
+    */
+  private def writeCentroidsSwapped(updated: DataFrame, root: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val cPath = new org.apache.hadoop.fs.Path(s"$root/centroids")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/centroids.__tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root/centroids.__old")
+    val snap = updated.localCheckpoint()
+    fs.delete(tmp, true)
+    snap.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(cPath)) { fs.delete(old, true); fs.rename(cPath, old) }
+    fs.rename(tmp, cPath)
+    fs.delete(old, true)
+    graft.streaming.Streaming.refreshListing(cPath.toString)
+  }
 
   /** Nearest-`nprobe` cell assignment of `vecs` ((id, e) with e
     * already validated/normalized-length) against the broadcast k-row
@@ -214,6 +321,15 @@ object AnnIndex {
       dim: Int = VectorKit.EmbeddingDim
   ): Long = {
     val spark = newVectors.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+    // entry healing (r12 advice, medium): an upsert that appends into
+    // a cell whose directory a crashed splitCell had set aside would
+    // otherwise recreate the directory with only the new rows — and
+    // the eventual recovery, seeing a live twin, would discard the
+    // originals. Heal FIRST, then append.
+    heal(spark, root, fs)
     val centroids = spark.read.parquet(s"$root/centroids")
     val base = newVectors
       .filter(col(vecCol).isNotNull)
@@ -235,6 +351,145 @@ object AnnIndex {
       .select(col(idCol), col("q8"), col("nrm"), col("cell"))
     rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
     base.count()
+    }
+  }
+
+  /** Delete vectors from a persisted index — the retraction verb of
+    * the lifecycle. The cells holding the ids are discovered with ONE
+    * column-pruned scan of (vec_id, cell) — the id->cell map is not
+    * materialized anywhere else, and two thin columns at int8-index
+    * scale are the cheap part of the table; a deployment deleting at
+    * high frequency would maintain that map as its own id-sharded
+    * table (the MinHashLsh.withShard pattern) and skip the scan. The
+    * rewrite itself is partition-scoped and crash-atomic: only the
+    * touched cell directories are read back and swapped
+    * (Streaming.deleteFromPartitioned's committed-stage protocol), a
+    * fully-emptied cell keeps an explicit empty directory (its
+    * centroid row stays — population 0 surfaces in [[drift]] as full
+    * shrink, the [[mergeCell]] signal). Returns the deleted count.
+    */
+  def delete(root: String, ids: DataFrame, idCol: String = "vec_id"): Long = {
+    val spark = ids.sparkSession
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+      heal(spark, root, fs)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) 0L
+      else {
+        val keyRows = spark.read.parquet(corpusPath)
+          .select(col("vec_id"), col("cell"))
+          .join(broadcast(ids.select(col(idCol).as("vec_id")).distinct()),
+            Seq("vec_id"), "left_semi")
+        graft.streaming.Streaming.deleteFromPartitioned(
+          corpusPath, "vec_id", "cell")(keyRows)
+      }
+    }
+  }
+
+  /** Fold the N append-files of a hot cell (every [[upsert]] batch
+    * adds one file per touched cell — unbounded small-file growth
+    * under continuous ingest) back into one: a partition-pruned read
+    * of the single directory, coalesced to one output file, swapped in
+    * under the committed-stage crash discipline. Rows, bytes-modulo-
+    * encoding, and search results are unchanged — only the file count
+    * (and thus the serve-side task/open overhead) drops.
+    * tools/IvfSqScale measures serve latency flat after
+    * upsert-storm + compact vs degrading without. Returns
+    * (files before, files after).
+    */
+  def compact(root: String, cell: Int): (Int, Int) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+      heal(spark, root, fs)
+      val dir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
+      def nFiles(): Int =
+        if (!fs.exists(dir)) 0
+        else fs.listStatus(dir).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      val before = nFiles()
+      if (before <= 1) (before, before)
+      else {
+        val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
+        fs.delete(stage, true)
+        spark.read.parquet(corpusPath)
+          .filter(col("cell") === cell) // partition-pruned single-dir read
+          .coalesce(1)
+          .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+        graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
+        (before, nFiles())
+      }
+    }
+  }
+
+  /** Fold a drifted-SMALL cell into its nearest surviving neighbour —
+    * the inverse of [[splitCell]], answering the shrink half of the
+    * [[drift]] report (a cell bled dry by [[delete]]s wastes a probe
+    * slot and skews nprobe coverage). The members' quantized
+    * directions are unchanged — cell membership is pure routing — so
+    * the fold is a FILE MOVE: each data file of `cell` is renamed into
+    * the nearest cell's directory (no rewrite, no requantization),
+    * then the centroid table drops the folded row and the absorber
+    * inherits the folded build-population (keeping [[drift]]'s
+    * baseline meaningful). Guard: refuses to shrink the index below
+    * `minK` cells — a k below the serving fleet's nprobe would turn
+    * approximate search into exact scan-everything. Crash-tolerant by
+    * construction: at every instant each file lives in exactly one of
+    * the two directories and BOTH cells stay searchable until the
+    * centroid rewrite (itself swap-protected); re-running the merge
+    * converges (a missing source directory just skips to the centroid
+    * fix). Returns the absorbing cell id.
+    */
+  def mergeCell(root: String, cell: Int, minK: Int = 2): Int = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+      heal(spark, root, fs)
+      val centroids = spark.read.parquet(s"$root/centroids")
+        .select(col("cell"), col("centroid"), col("n_build")).collect()
+      require(centroids.length > minK,
+        s"mergeCell($cell) would shrink the index to ${centroids.length - 1} < minK=$minK " +
+          "cells — a k below the serving nprobe degenerates to scan-everything; retrain instead")
+      val folded = centroids.find(_.getInt(0) == cell)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cell $cell has no centroid row in $root"))
+      val fc = folded.getSeq[Double](1)
+      val (absorber, _) = centroids.iterator
+        .filter(_.getInt(0) != cell)
+        .map { r =>
+          val c = r.getSeq[Double](1)
+          var d = 0.0; var i = 0
+          while (i < c.length) { val x = c(i) - fc(i); d += x * x; i += 1 }
+          (r, d)
+        }
+        .minBy(_._2)
+      val dst = absorber.getInt(0)
+      val srcDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
+      val dstDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$dst")
+      if (fs.exists(srcDir)) {
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("_")) // committer markers stay behind
+            // prefixed for uniqueness AND provenance: a re-run never
+            // collides, and the folded files remain identifiable
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstDir, s"merged-$cell-$name"))
+        }
+        fs.delete(srcDir, true)
+        graft.streaming.Streaming.refreshListing(corpusPath)
+      }
+      val updated = spark.read.parquet(s"$root/centroids")
+        .filter(col("cell") =!= cell)
+        .withColumn("n_build",
+          when(col("cell") === dst, col("n_build") + lit(folded.getLong(2)))
+            .otherwise(col("n_build")))
+      writeCentroidsSwapped(updated, root, fs)
+      dst
+    }
   }
 
   /** Split ONE oversized cell in place — the partition-scoped answer
@@ -244,16 +499,20 @@ object AnnIndex {
     * the directions, which is all a coarse quantizer needs), each
     * member is reassigned to the nearer sub-centroid, the cell's
     * partition directory is swapped for the two sub-cell directories
-    * (same two-rename crash discipline as the shard upsert —
-    * Streaming.recoverPartitionSwap heals an interruption on the next
-    * call), and the k-row centroid table is rewritten with the old
-    * row replaced and one row appended (new cell id = max + 1, so
-    * probes of other cells never move). Serving needs no change:
-    * [[search]] probes whatever centroid table it reads. Order is
-    * corpus-first, centroids-second: between the two, probes of the
-    * old centroid still route to the retained sub-cell (reduced
-    * recall on the moved half for that instant, nothing lost), and a
-    * crash there is healed by re-running the split's centroid step.
+    * under the COMMITTED-STAGE discipline (the commit marker lands
+    * only after both staged dirs are fully written, so
+    * Streaming.recoverPartitionSwap ROLLS an interrupted swap FORWARD
+    * — the r12 two-rename recovery could not heal a one-dir-to-two
+    * split and lost the moved half; r12 advice, high), and the k-row
+    * centroid table is rewritten with the old row replaced and one
+    * row appended (new cell id = max + 1, so probes of other cells
+    * never move) under its own flat swap ([[writeCentroidsSwapped]]).
+    * Serving needs no change: [[search]] probes whatever centroid
+    * table it reads. Order is corpus-first, centroids-second: a crash
+    * between the two strands the new cell without a centroid row —
+    * closed by [[heal]]'s orphan repair, which every entry point
+    * (including re-running this method) runs first, so the split is
+    * idempotent across every crash window (r12 advice, medium).
     * Cells with fewer than 2 members are left alone (nothing to
     * split). Returns the new cell id, or -1 for the no-op case.
     */
@@ -268,7 +527,8 @@ object AnnIndex {
     val corpusPath = s"$root/corpus"
     val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.streaming.Streaming.recoverPartitionSwap(fs, corpusPath)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+    heal(spark, root, fs)
     val centroids = spark.read.parquet(s"$root/centroids")
     // partition-pruned: one directory read, however large the index.
     // The 2-means runs in RAW space — q8/127 x nrm reconstructs each
@@ -288,22 +548,12 @@ object AnnIndex {
         .select(
           col("vec_id"), col("q8"), col("nrm"),
           when(col("prediction") === 0, lit(cell)).otherwise(lit(newCell)).as("cell"))
-      // stage both sub-cells, then swap the old directory out and the
-      // new ones in (per-directory two-rename; recover heals a crash)
+      // stage both sub-cells fully, then commit + swap: after the
+      // marker, every crash window rolls forward to the complete split
       val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
-      val oldRoot = new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts")
-      fs.delete(stage, true); fs.delete(oldRoot, true); fs.mkdirs(oldRoot)
+      fs.delete(stage, true)
       reassigned.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-      val curDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
-      val stageCur = new org.apache.hadoop.fs.Path(stage, s"cell=$cell")
-      val stageNew = new org.apache.hadoop.fs.Path(stage, s"cell=$newCell")
-      if (fs.exists(stageCur) || fs.exists(stageNew)) {
-        fs.rename(curDir, new org.apache.hadoop.fs.Path(oldRoot, s"cell=$cell"))
-        if (fs.exists(stageCur)) fs.rename(stageCur, curDir)
-        if (fs.exists(stageNew))
-          fs.rename(stageNew, new org.apache.hadoop.fs.Path(corpusPath, s"cell=$newCell"))
-      }
-      fs.delete(oldRoot, true); fs.delete(stage, true)
+      graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
       // centroid table: replace the split row, append the new one; the
       // sub-cell populations become the new drift baselines
       val counts = spark.read.parquet(corpusPath)
@@ -321,10 +571,10 @@ object AnnIndex {
         .join(counts, Seq("cell"), "left").na.fill(0L, Seq("n_build"))
       val updated = centroids.filter(col("cell") =!= cell)
         .unionByName(subCentroids.select(centroids.columns.map(col).toIndexedSeq: _*))
-        .localCheckpoint()
-      updated.write.mode("overwrite").parquet(s"$root/centroids")
+      writeCentroidsSwapped(updated, root, fs)
       newCell
     } finally members.unpersist()
+    }
   }
 
   /** Per-cell drift report for a persisted index: (cell, n_build,

@@ -140,6 +140,7 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val targetPath = new org.apache.hadoop.fs.Path(target)
     val fs = targetPath.getFileSystem(conf)
+    withWriterLease(fs, target) {
     // Crash recovery: a previous run may have died inside the swap
     // below, after the current table was set aside but before the new
     // one was renamed in. The data is intact at `__old`; restore it
@@ -175,6 +176,8 @@ object Streaming {
     }
     fs.rename(tmp, targetPath)
     fs.delete(old, true)
+    refreshListing(target)
+    }
   }
 
   /** Restore a table whose directory swap was interrupted: if `target`
@@ -227,6 +230,7 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val targetPath = new org.apache.hadoop.fs.Path(target)
     val fs = targetPath.getFileSystem(conf)
+    withWriterLease(fs, target) {
     recoverPartitionSwap(fs, target)
     val shardVals = batch.select(col(shardCol)).distinct().collect().map(_.get(0))
     if (shardVals.isEmpty) return
@@ -272,43 +276,236 @@ object Streaming {
     val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
     fs.delete(stage, true)
     winner.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    commitStageAndSwap(fs, target)
+    }
+  }
+
+  /** Name of the explicit commit marker a writer drops at the stage
+    * root AFTER its staged write job returns — the recovery pivot: a
+    * marked stage is complete per directory (every staged dir was
+    * fully written before any rename started), so an interrupted swap
+    * ROLLS FORWARD to the new state; an unmarked stage is a write that
+    * died mid-job and is garbage, so recovery ROLLS BACK to the old
+    * state. Deliberately our own sentinel rather than Spark's _SUCCESS:
+    * `spark.sql.sources.writeJobUUID`-era committers can be configured
+    * markerless, and the swap protocol must not depend on a committer
+    * detail.
+    */
+  val StageCommitMarker = "__graft_stage_committed"
+
+  /** Mark the staged write at `target.__stage` complete, then swap
+    * every staged partition directory into `target` with the per-dir
+    * two-rename discipline (live twin set aside to `target.__oldparts`
+    * first). Crash-atomic end to end: before the marker lands a crash
+    * rolls back (stage dropped, live untouched); after it, any crash
+    * inside the rename loop rolls FORWARD on the next
+    * [[recoverPartitionSwap]] — both halves of the protocol converge
+    * to exactly one of the two complete states, never a mix that loses
+    * rows. The loop is driven by `fs.listStatus(stage)` — the dir
+    * names SPARK wrote — never re-derived by interpolating shard
+    * values, so hive-escaped or non-int partition values swap
+    * correctly too.
+    */
+  def commitStageAndSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
     val oldRoot = new org.apache.hadoop.fs.Path(target + ".__oldparts")
     fs.delete(oldRoot, true)
     fs.mkdirs(oldRoot)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StageCommitMarker), true).close()
     if (!fs.exists(targetPath)) fs.mkdirs(targetPath)
-    shardVals.foreach { s =>
-      val dirName = s"$shardCol=$s"
-      val stageDir = new org.apache.hadoop.fs.Path(stage, dirName)
-      // only swap shards the merge actually produced — never rename a
-      // live shard out without a replacement in hand
-      if (fs.exists(stageDir)) {
-        val curDir = new org.apache.hadoop.fs.Path(targetPath, dirName)
-        if (fs.exists(curDir)) fs.rename(curDir, new org.apache.hadoop.fs.Path(oldRoot, dirName))
-        fs.rename(stageDir, curDir)
-      }
-    }
+    swapStagedDirs(fs, stage, targetPath, oldRoot)
     fs.delete(oldRoot, true)
     fs.delete(stage, true)
+    refreshListing(target)
   }
 
-  /** Heal an interrupted [[upsertPartitionedBatch]] swap: any shard
-    * sitting in `target.__oldparts` without a live twin at `target`
-    * was renamed out but never replaced — rename it back; shards WITH
-    * a live twin completed their swap and the set-aside copy is
-    * obsolete. Leftover staging is always safe to drop (it was never
-    * part of the table).
+  /** Direct-FS renames bypass Spark's session-wide file-status cache
+    * (DataFrameWriter invalidates it for paths IT writes; a rename
+    * swap does not), so a reader planning against the swapped layout
+    * could still list the renamed-away files and fail mid-scan. Every
+    * layout mutation ends with this invalidation.
+    */
+  def refreshListing(target: String): Unit =
+    try org.apache.spark.sql.SparkSession.active.catalog.refreshByPath(target)
+    catch { case _: Throwable => () } // no active session: nothing cached
+
+  /** The shared rename loop of [[commitStageAndSwap]] and the
+    * roll-forward half of [[recoverPartitionSwap]]: for every staged
+    * partition DIRECTORY (files like the commit marker or _SUCCESS are
+    * skipped), set the live twin aside, then rename the staged dir in.
+    * Idempotent: a dir already swapped (absent from stage) is skipped;
+    * a live twin already set aside is not set aside twice.
+    */
+  private def swapStagedDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      targetPath: org.apache.hadoop.fs.Path,
+      oldRoot: org.apache.hadoop.fs.Path
+  ): Unit =
+    fs.listStatus(stage).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      val curDir = new org.apache.hadoop.fs.Path(targetPath, name)
+      if (fs.exists(curDir)) {
+        val aside = new org.apache.hadoop.fs.Path(oldRoot, name)
+        // a pre-existing aside copy is at least as old as the live dir
+        // (the protocol never stages without recovering first) — the
+        // committed stage supersedes both, so the older copy goes
+        fs.delete(aside, true)
+        fs.rename(curDir, aside)
+      }
+      fs.rename(st.getPath, curDir)
+    }
+
+  /** Heal an interrupted partition-directory swap at `target`. Two
+    * cases, split by the [[StageCommitMarker]]:
+    *
+    *  - COMMITTED stage present: the writer died inside (or just
+    *    before) its rename loop. Every staged dir is complete, so the
+    *    swap is ROLLED FORWARD — finish renaming the staged dirs in
+    *    (setting live twins aside first) and drop the set-aside
+    *    copies. This is what makes multi-destination swaps such as
+    *    AnnIndex.splitCell safe: the old r12 recovery could only heal
+    *    one-staged-dir-replaces-one-live-dir swaps and silently
+    *    DELETED a committed stage, losing the half of a split that
+    *    had not been renamed in yet (r12 advice, high).
+    *  - no committed stage: any shard sitting in `target.__oldparts`
+    *    without a live twin was renamed out but never replaced —
+    *    rename it back; shards WITH a live twin completed their swap
+    *    and the set-aside copy is obsolete. Uncommitted staging is a
+    *    write that died mid-job — garbage, dropped.
     */
   def recoverPartitionSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
     val targetPath = new org.apache.hadoop.fs.Path(target)
+    val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
     val oldRoot = new org.apache.hadoop.fs.Path(target + ".__oldparts")
-    if (fs.exists(oldRoot)) {
-      fs.listStatus(oldRoot).foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(targetPath, st.getPath.getName)
-        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
-      }
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, StageCommitMarker))) {
+      if (!fs.exists(oldRoot)) fs.mkdirs(oldRoot)
+      if (!fs.exists(targetPath)) fs.mkdirs(targetPath)
+      swapStagedDirs(fs, stage, targetPath, oldRoot)
       fs.delete(oldRoot, true)
+      fs.delete(stage, true)
+      refreshListing(target)
+    } else {
+      if (fs.exists(oldRoot)) {
+        fs.listStatus(oldRoot).foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(targetPath, st.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+        }
+        fs.delete(oldRoot, true)
+        refreshListing(target)
+      }
+      fs.delete(stage, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(target + ".__stage"), true)
+  }
+
+  /** Delete keys from a hive-partitioned table maintained by
+    * [[upsertPartitionedBatch]] — the retraction half of the persisted
+    * state lifecycle. `keys` carries `keyCol` AND `shardCol` (shard a
+    * pure function of key, the upsert contract — so the touched-shard
+    * set is known WITHOUT scanning the table): only the touched shard
+    * directories are read (partition-pruned) and rewritten, through
+    * the same committed-stage crash-atomic swap as the upsert. A shard
+    * whose every row is deleted is replaced by an explicitly-staged
+    * EMPTY directory (partitionBy never emits one), so the swap stays
+    * uniform — no live dir is ever renamed out without a replacement
+    * in hand, which is what keeps recovery unambiguous. Returns the
+    * number of rows actually deleted. Idempotent: deleting absent keys
+    * is a no-op, so a crashed delete is safely replayed.
+    */
+  def deleteFromPartitioned(
+      target: String,
+      keyCol: String,
+      shardCol: String
+  )(keys: DataFrame): Long = {
+    val spark = keys.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(conf)
+    withWriterLease(fs, target) {
+    recoverPartitionSwap(fs, target)
+    if (!fs.exists(targetPath)) return 0L
+    val keyRows = keys.select(col(keyCol), col(shardCol)).localCheckpoint()
+    val shardVals = keyRows.select(col(shardCol)).distinct().collect().map(_.get(0))
+    if (shardVals.isEmpty) return 0L
+    require(!shardVals.contains(null),
+      s"NULL $shardCol in delete batch — shard must be a total function of $keyCol")
+    val cur = spark.read.parquet(target)
+    require(cur.columns.contains(shardCol),
+      s"deleteFromPartitioned target $target has no '$shardCol' column — " +
+        "it was not written with this layout; migrate it (rewrite " +
+        s"partitionBy($shardCol)) before shard-scoped deletion")
+    val touched = cur
+      .filter(col(shardCol).isin(shardVals.toIndexedSeq: _*))
+      .localCheckpoint()
+    val deleted = touched
+      .join(keyRows.select(col(keyCol)), Seq(keyCol), "left_semi").count()
+    if (deleted == 0L) return 0L
+    val keep = touched.join(keyRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
+    fs.delete(stage, true)
+    keep.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    // shards fully emptied by the delete produced no staged dir — stage
+    // an explicit empty one (schema-bearing: Spark writes one empty
+    // parquet file for an empty DataFrame) so the swap replaces the
+    // live dir instead of having to remove it, keeping the
+    // one-staged-dir-per-touched-shard invariant recovery relies on
+    val stagedNames = fs.listStatus(stage).filter(_.isDirectory).map(_.getPath.getName).toSet
+    shardVals.foreach { s =>
+      require(s.isInstanceOf[java.lang.Number],
+        s"deleteFromPartitioned requires an integral $shardCol (got ${s.getClass.getName}): " +
+          "empty-shard staging derives the partition dir name from the value")
+      val dirName = s"$shardCol=$s"
+      if (!stagedNames.contains(dirName) &&
+          fs.exists(new org.apache.hadoop.fs.Path(targetPath, dirName))) {
+        keep.filter(lit(false)).drop(shardCol)
+          .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(stage, dirName).toString)
+      }
+    }
+    commitStageAndSwap(fs, target)
+    deleted
+    }
+  }
+
+  /** Single-writer lease on a persisted state root: a sentinel file at
+    * `root.__lease` created atomically (create-no-overwrite — the FS
+    * primitive that is atomic on HDFS and local disk alike), holding
+    * the acquisition epoch-millis. A second concurrent writer REFUSES
+    * LOUDLY instead of interleaving renames with the first (two
+    * writers inside one swap protocol can each see the other's
+    * half-finished state as "interrupted" and roll it the wrong way).
+    * A lease older than `ttlMs` is presumed crashed and broken — the
+    * swap protocols are already crash-recoverable, so breaking a stale
+    * lease is safe; the TTL only needs to exceed the longest honest
+    * write. Returns the result of `body`; always releases on exit.
+    */
+  def withWriterLease[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      ttlMs: Long = 15 * 60 * 1000L
+  )(body: => T): T = {
+    val lease = new org.apache.hadoop.fs.Path(root + ".__lease")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        out.writeLong(System.currentTimeMillis()); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try {
+          val in = fs.open(lease)
+          val ts = try in.readLong() finally in.close()
+          System.currentTimeMillis() - ts > ttlMs
+        } catch { case _: java.io.IOException => true } // unreadable = half-written = crashed
+      if (stale) fs.delete(lease, false)
+      if (stale && tryAcquire()) ()
+      else throw new IllegalStateException(
+        s"another writer holds the lease on $root (${lease}); concurrent writers on one " +
+          "persisted index are refused — run them from a single maintenance process, or " +
+          s"if the holder crashed, the lease self-expires after ${ttlMs / 1000} s")
+    }
+    try body
+    finally fs.delete(lease, false)
   }
 
   def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[Session] = {

@@ -256,6 +256,188 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     }
   }
 
+  test("delete retracts vectors: gone from serving, untouched cells keep files, shrink visible in drift") {
+    val root = Files.createTempDirectory("graft-ann-del").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    val (c0, v0) = AnnIndex.openIndex(spark, root)
+    // the planted pair (100, 101): delete the neighbor, query the base
+    val victimCell = v0.filter(col("vec_id") === 100L).select("cell").head.getInt(0)
+    val untouched = (0 until 8).filterNot(_ == victimCell)
+    def cellFiles(c: Int): Set[String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/corpus/cell=$c"))
+      try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val beforeFiles = untouched.map(c => c -> cellFiles(c)).toMap
+
+    import spark.implicits._
+    AnnIndex.delete(root, Seq(100L).toDF("vec_id")) shouldBe 1L
+    val (c1, v1) = AnnIndex.openIndex(spark, root)
+    v1.count() shouldBe 399L
+    v1.filter(col("vec_id") === 100L).count() shouldBe 0L
+    withClue("a delete confined to one cell must not rewrite the others: ") {
+      untouched.foreach(c => cellFiles(c) shouldBe beforeFiles(c))
+    }
+    val q = corpusN(400).filter(col("vec_id") === 101L)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    AnnIndex.search(c1, v1, q, nprobe = 8, topK = 5, dim = dim)
+      .filter(col("nid") === 100L).count() shouldBe 0L
+    // deleting absent ids is a no-op (idempotent replay)
+    AnnIndex.delete(root, Seq(100L).toDF("vec_id")) shouldBe 0L
+    // drain one whole cell: the dir survives empty, the centroid row
+    // stays, and drift reports full shrink (growth = -1) — the
+    // mergeCell signal
+    val members = v1.filter(col("cell") === victimCell)
+      .select("vec_id").as[Long].collect().toSeq
+    AnnIndex.delete(root, members.toDF("vec_id")) shouldBe members.size.toLong
+    val d = AnnIndex.drift(spark, root)
+      .filter(col("cell") === victimCell).head
+    d.getAs[Long]("n_now") shouldBe 0L
+    d.getAs[Double]("growth") shouldBe -1.0
+  }
+
+  test("mergeCell folds a drained cell into its nearest neighbour: membership conserved, recall held") {
+    val root = Files.createTempDirectory("graft-ann-merge").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    val (c0, v0) = AnnIndex.openIndex(spark, root)
+    val total = v0.count()
+    val small = AnnIndex.drift(spark, root).orderBy(col("n_now").asc).head.getAs[Int]("cell")
+    val smallMembers = v0.filter(col("cell") === small)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def cellFiles(c: Int): Set[String] = {
+      val p = java.nio.file.Paths.get(s"$root/corpus/cell=$c")
+      if (!java.nio.file.Files.exists(p)) return Set.empty
+      val it = java.nio.file.Files.walk(p)
+      try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val allBefore = (0 until 8).map(c => c -> cellFiles(c)).toMap
+    val dst = AnnIndex.mergeCell(root, small)
+    val third = (0 until 8).filterNot(c => c == small || c == dst)
+
+    val (c1, v1) = AnnIndex.openIndex(spark, root)
+    c1.count() shouldBe 7
+    c1.filter(col("cell") === small).count() shouldBe 0L
+    v1.count() shouldBe total // membership conserved — a fold is pure routing
+    v1.filter(col("cell") === dst).select("vec_id")
+      .collect().map(_.getLong(0)).toSet should contain allElementsOf smallMembers
+    // n_build baseline transfers to the absorber (drift stays meaningful)
+    c1.agg(sum(col("n_build"))).head.getLong(0) shouldBe total
+    withClue("cells not part of the fold keep their exact files: ") {
+      third.foreach(c => cellFiles(c) shouldBe allBefore(c))
+    }
+    // every planted neighbor is still served (folded members reachable
+    // through the absorber's centroid)
+    val queries = corpusN(400).filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    AnnIndex.search(c1, v1, queries, nprobe = 4, topK = 1, dim = dim)
+      .filter(col("nid") === col("qid") - 1).count() shouldBe queries.count()
+    // the minK guard: refusing to shrink below the serving floor
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.mergeCell(root, dst, minK = 7)
+    }
+    e.getMessage should include("minK")
+  }
+
+  test("compact folds upsert append-files into one; serving results are unchanged") {
+    val root = Files.createTempDirectory("graft-ann-compact").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    // an upsert storm on one direction family: each batch appends files
+    // to the same hot cell
+    (0 until 5).foreach { b =>
+      val ids = spark.range(10).select((col("id") * 8 + 8003 + b * 80).as("id"))
+      AnnIndex.upsert(root, corpusDf(ids), vecCol = "e", dim = dim)
+    }
+    val (cA, vA) = AnnIndex.openIndex(spark, root)
+    val hot = vA.filter(col("vec_id") >= 8000L).groupBy(col("cell")).count()
+      .orderBy(col("count").desc).head.getInt(0)
+    val q = corpusDf(spark.range(1).select(lit(8003L).as("id")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val before = AnnIndex.search(cA, vA, q, nprobe = 3, topK = 10, dim = dim)
+      .collect().map(_.toString).sorted
+    val totalA = vA.count() // pin before the swap: vA's listing dies with it
+
+    val (nBefore, nAfter) = AnnIndex.compact(root, hot)
+    withClue(s"5 upsert batches must have fragmented cell $hot: ") { nBefore should be > 1 }
+    nAfter shouldBe 1
+    val (cB, vB) = AnnIndex.openIndex(spark, root)
+    vB.count() shouldBe totalA
+    val after = AnnIndex.search(cB, vB, q, nprobe = 3, topK = 10, dim = dim)
+      .collect().map(_.toString).sorted
+    withClue("compaction must be invisible to serving: ") { after shouldBe before }
+    // compacting a single-file cell is a no-op
+    AnnIndex.compact(root, hot) shouldBe ((1, 1))
+  }
+
+  test("splitCell crash windows heal: committed-stage roll-forward AND stranded-centroid repair") {
+    val root = Files.createTempDirectory("graft-ann-crash").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    val (c0, v0) = AnnIndex.openIndex(spark, root)
+    val total = v0.count()
+    val fat = AnnIndex.drift(spark, root).orderBy(col("n_now").desc).head.getAs[Int]("cell")
+    val fatMembers = v0.filter(col("cell") === fat)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusPath = s"$root/corpus"
+
+    // WINDOW 1 (r12 advice, high): the split staged both sub-cells and
+    // committed, then crashed after setting the live dir aside and
+    // before renaming either staged dir in. Fabricate it exactly:
+    // stage = {cell=fat: even members, cell=4: odd members} + marker;
+    // live cell=fat moved to __oldparts.
+    v0.filter(col("cell") === fat)
+      .withColumn("cell",
+        when(pmod(col("vec_id"), lit(2)) === 0, lit(fat)).otherwise(lit(4)))
+      .write.mode("overwrite").partitionBy("cell").parquet(corpusPath + ".__stage")
+    fs.create(new org.apache.hadoop.fs.Path(
+      corpusPath + ".__stage/" + graft.streaming.Streaming.StageCommitMarker), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts"))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(corpusPath, s"cell=$fat"),
+      new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts", s"cell=$fat"))
+
+    // the next index entry (an upsert here — the r12-advice scenario
+    // where an unhealed upsert DESTROYED the set-aside originals)
+    // heals first: swap rolled forward, orphan cell 4 given a centroid
+    import spark.implicits._
+    AnnIndex.upsert(root, corpusDf(Seq(5000L).toDF("id")), vecCol = "e", dim = dim)
+    val (c1, v1) = AnnIndex.openIndex(spark, root)
+    withClue("membership conserved through the crash (split halves + the upsert): ") {
+      v1.count() shouldBe total + 1
+    }
+    v1.filter(col("cell").isin(fat, 4)).filter(col("vec_id") < 5000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe fatMembers
+    withClue("the rolled-forward new cell must have a repaired centroid row: ") {
+      c1.filter(col("cell") === 4).count() shouldBe 1L
+      c1.count() shouldBe 5
+    }
+
+    // WINDOW 2 (r12 advice, medium): corpus swap complete, centroid
+    // rewrite never ran — an orphan directory. Fabricate by moving one
+    // member file into a fresh cell dir with no centroid row.
+    val donor = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath, s"cell=$fat"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(corpusPath, "cell=77"))
+    fs.rename(donor,
+      new org.apache.hadoop.fs.Path(corpusPath, s"cell=77/${donor.getName}"))
+    val repaired = AnnIndex.repairOrphanCells(spark, root)
+    repaired shouldBe Seq(77)
+    val (c2, v2) = AnnIndex.openIndex(spark, root)
+    v2.count() shouldBe total + 1 // nothing lost
+    withClue("the orphan's vectors are searchable again (its centroid row exists): ") {
+      c2.filter(col("cell") === 77).count() shouldBe 1L
+      val n77 = v2.filter(col("cell") === 77).count()
+      c2.filter(col("cell") === 77).head.getAs[Long]("n_build") shouldBe n77
+    }
+    // repair is idempotent
+    AnnIndex.repairOrphanCells(spark, root) shouldBe Seq.empty
+  }
+
   test("degenerate vectors are excluded at build, upsert, and query time") {
     import spark.implicits._
     val good = corpusN(100)

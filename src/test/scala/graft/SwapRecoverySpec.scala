@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.MinHashLsh
+import graft.streaming.Streaming
+
+/** The committed-stage swap protocol behind every persisted-state
+  * mutation (upsertPartitionedBatch, deleteFromPartitioned,
+  * AnnIndex.splitCell/compact): a stage carrying the commit marker is
+  * complete per directory, so an interrupted swap ROLLS FORWARD; an
+  * unmarked stage is a write that died mid-job, so recovery ROLLS
+  * BACK. Both halves converge to one of the two complete states —
+  * never a mix that loses rows — including the one-live-dir-to-two-
+  * staged-dirs shape (splitCell) the r12 recovery could not heal.
+  * Plus the retraction verb (deleteFromPartitioned) and the
+  * single-writer lease on the same layout.
+  */
+class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sharded(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    MinHashLsh.withShard(
+      rows.toDF("doc_id", "payload", "batch_id"), "doc_id", shardSize = 50L)
+  }
+
+  private def seed(target: String): Unit =
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded((0L until 100L).map(i => (i, s"v1-$i", 1L))), 1L)
+
+  private def fileSet(target: String, shard: Int): Set[String] = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$target/shard=$shard"))
+    try it.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).toSet
+    finally it.close()
+  }
+
+  test("a COMMITTED stage rolls FORWARD: crash inside the rename loop loses nothing") {
+    val target = Files.createTempDirectory("graft-rollfwd").toString + "/t"
+    seed(target)
+    // a complete staged merge for shard 1 (new payloads), committed
+    sharded((50L until 100L).map(i => (i, s"v2-$i", 2L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    fs.create(new Path(target + ".__stage/" + Streaming.StageCommitMarker), true).close()
+    // crash point: live shard=1 already set aside, staged shard=1 NOT
+    // yet renamed in — the exact window where the r12 recovery (no
+    // marker concept) deleted the stage and replayed the OLD shard
+    fs.mkdirs(new Path(target + ".__oldparts"))
+    fs.rename(new Path(target + "/shard=1"), new Path(target + ".__oldparts/shard=1"))
+
+    Streaming.recoverPartitionSwap(fs, target)
+    val t = spark.read.parquet(target)
+    t.count() shouldBe 100
+    t.filter(col("doc_id") === 75L).select("payload").head.getString(0) shouldBe "v2-75"
+    t.filter(col("doc_id") === 10L).select("payload").head.getString(0) shouldBe "v1-10"
+    fs.exists(new Path(target + ".__stage")) shouldBe false
+    fs.exists(new Path(target + ".__oldparts")) shouldBe false
+  }
+
+  test("the split shape: one staged dir replaces a live dir, a second is brand new — rolls forward whole") {
+    val target = Files.createTempDirectory("graft-splitshape").toString + "/t"
+    seed(target)
+    // stage: shard=1 halved into a rewritten shard=1 and a new shard=9
+    // (the AnnIndex.splitCell move), committed, no rename ever ran
+    val half1 = (50L until 75L).map(i => (i, s"s-$i", 2L))
+    val half2 = (75L until 100L).map(i => (i, s"s-$i", 2L))
+    import spark.implicits._
+    half1.toDF("doc_id", "payload", "batch_id").withColumn("shard", lit(1))
+      .unionByName(half2.toDF("doc_id", "payload", "batch_id").withColumn("shard", lit(9)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    fs.create(new Path(target + ".__stage/" + Streaming.StageCommitMarker), true).close()
+
+    Streaming.recoverPartitionSwap(fs, target)
+    val t = spark.read.parquet(target)
+    t.count() shouldBe 100 // membership conserved: 50 in shard 0, 25 + 25 in 1 and 9
+    t.filter(col("shard") === 1).count() shouldBe 25
+    t.filter(col("shard") === 9).count() shouldBe 25
+    t.filter(col("doc_id") === 80L).select("payload").head.getString(0) shouldBe "s-80"
+  }
+
+  test("an UNCOMMITTED stage rolls BACK: the half-written job is garbage, the old table intact") {
+    val target = Files.createTempDirectory("graft-rollback").toString + "/t"
+    seed(target)
+    // a stage with NO commit marker (writer died mid-job) plus a shard
+    // set aside by some earlier mayhem
+    sharded(Seq((50L, "garbage", 9L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    fs.mkdirs(new Path(target + ".__oldparts"))
+    fs.rename(new Path(target + "/shard=0"), new Path(target + ".__oldparts/shard=0"))
+
+    Streaming.recoverPartitionSwap(fs, target)
+    val t = spark.read.parquet(target)
+    t.count() shouldBe 100
+    t.filter(col("doc_id") === 50L).select("payload").head.getString(0) shouldBe "v1-50"
+    fs.exists(new Path(target + ".__stage")) shouldBe false
+  }
+
+  test("deleteFromPartitioned: shard-scoped, untouched shards byte-identical, idempotent") {
+    val target = Files.createTempDirectory("graft-del").toString + "/t"
+    seed(target)
+    val shard1Before = fileSet(target, 1)
+    val n = Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
+      sharded((10L until 20L).map(i => (i, "x", 0L))))
+    n shouldBe 10L
+    val t = spark.read.parquet(target)
+    t.count() shouldBe 90
+    t.filter(col("doc_id") === 15L).count() shouldBe 0
+    withClue("a delete confined to shard 0 must not rewrite shard 1: ") {
+      fileSet(target, 1) shouldBe shard1Before
+    }
+    // replaying the same delete is a no-op (crashed-delete redelivery)
+    Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
+      sharded((10L until 20L).map(i => (i, "x", 0L)))) shouldBe 0L
+    spark.read.parquet(target).count() shouldBe 90
+  }
+
+  test("deleting a shard's every row leaves an explicit EMPTY directory, not a dangling live dir") {
+    val target = Files.createTempDirectory("graft-delempty").toString + "/t"
+    seed(target)
+    val n = Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
+      sharded((0L until 50L).map(i => (i, "x", 0L))))
+    n shouldBe 50L
+    val t = spark.read.parquet(target)
+    t.count() shouldBe 50
+    t.filter(col("shard") === 0).count() shouldBe 0
+    withClue("the emptied shard dir must survive as an explicit empty partition: ") {
+      fs.exists(new Path(target + "/shard=0")) shouldBe true
+    }
+    // and the layout still upserts normally afterwards
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((3L, "back", 5L))), 5L)
+    spark.read.parquet(target).filter(col("shard") === 0).count() shouldBe 1
+  }
+
+  test("the writer lease: a live second writer is refused loudly; a stale lease is broken") {
+    val target = Files.createTempDirectory("graft-lease").toString + "/t"
+    seed(target)
+    // writer A holds the lease (live timestamp)
+    val lease = new Path(target + ".__lease")
+    val out = fs.create(lease, false)
+    out.writeLong(System.currentTimeMillis()); out.close()
+    val e = intercept[IllegalStateException] {
+      Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+        sharded(Seq((1L, "b", 2L))), 2L)
+    }
+    e.getMessage should include("another writer")
+    // nothing was written under the refused call
+    spark.read.parquet(target).filter(col("payload") === "b").count() shouldBe 0
+    fs.delete(lease, false)
+
+    // a lease older than the TTL is presumed crashed and broken: the
+    // swap protocol is crash-recoverable, so stealing it is safe
+    val out2 = fs.create(lease, false)
+    out2.writeLong(System.currentTimeMillis() - 24 * 3600 * 1000L); out2.close()
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((1L, "b", 2L))), 2L)
+    spark.read.parquet(target).filter(col("payload") === "b").count() shouldBe 1
+    withClue("the lease must be released after the write: ") {
+      fs.exists(lease) shouldBe false
+    }
+  }
+}
