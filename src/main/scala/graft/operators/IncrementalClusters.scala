@@ -108,4 +108,102 @@ object IncrementalClusters {
 
     newRows.unionByName(relabeled)
   }
+
+  /** Compute the cluster-map rows for a REMOVAL — the decremental half
+    * of the lifecycle ([[maintain]] handles ingest). Deleting a doc can
+    * break the map's invariant two ways: the doc was its component's
+    * MIN (the cluster id itself must change) or an articulation point
+    * (the component splits into several). Both reduce to the same
+    * repair: recluster ONLY the touched components over their SURVIVING
+    * members' edges. Exactness: components are closed under near-dup
+    * edges, so no edge leaves a component — survivors of untouched
+    * clusters keep their labels, and the touched components' survivors
+    * need only their own edges to land exactly where a whole-corpus
+    * reclustering would put them (the same equality theorem as
+    * [[maintain]], proven per-fixture by q_dedup_clusters_removal's
+    * oracle and at 1M docs by tools/IncClusterScale).
+    *
+    * @param clusterMap persisted (doc_id, cluster) map
+    * @param removedIds one column of doc ids to retract
+    * @param survivorEdges verified near-dup pairs among the SURVIVING
+    *   members of the touched clusters (the caller recomputes them from
+    *   the persisted MinHash index — survivors' stored shingle sets, a
+    *   component-sized subset; see q_dedup_clusters_removal)
+    * @return (doc_id, cluster) rows re-labeling EVERY surviving member
+    *   of a touched cluster (isolated survivors map to themselves; new
+    *   cluster id = min surviving member by the closure's min-label).
+    *   The caller upserts these and deletes the removed ids' rows —
+    *   both through the shard-scoped crash-atomic swap
+    *   (Streaming.upsertPartitionedBatch / deleteFromPartitioned).
+    *   Cost: component-sized closure + two map joins; ∝ touched
+    *   components, not corpus.
+    */
+  def remove(
+      clusterMap: DataFrame,
+      removedIds: DataFrame,
+      survivorEdges: DataFrame
+  ): DataFrame = {
+    val idCol = removedIds.columns.head
+    val removed = removedIds.select(col(idCol).as("doc_id")).distinct()
+    val touched = clusterMap
+      .join(removed, Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivors = clusterMap
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val Array(e1, e2) = survivorEdges.columns
+    val lbl = ConnectedComponents
+      .labels(survivorEdges.select(col(e1), col(e2)))
+      .withColumnRenamed("node", "doc_id")
+    survivors
+      .join(lbl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Compute the cluster-map rows for an EDIT — a re-ingested id whose
+    * content changed (an upstream re-crawl): remove-then-add.
+    * [[remove]] repairs the old neighborhood (the edited doc's former
+    * cluster must NOT retain it — a shrunk neighborhood splits or
+    * relabels exactly as a deletion would), then [[maintain]] inserts
+    * the id back with its NEW content's edges against the post-removal
+    * map. [[maintain]]'s monotone-id contract relaxes soundly here:
+    * the re-used id is absent from the post-removal map and — because
+    * [[remove]] relabels its former cluster to a surviving min — can
+    * no longer equal any live cluster id, which is all the loser
+    * detection needs; and if the edited id becomes its new component's
+    * min, the min-label closure relabels that component to it, which
+    * IS the invariant. Per-doc delta: maintain's row wins over
+    * remove's when both touch the same doc (the merge happened after
+    * the repair).
+    *
+    * @param survivorEdges verified pairs among the surviving members
+    *   of the edited ids' OLD clusters (old-content neighborhood)
+    * @param crossEdges verified (d_new, d_old) pairs between the
+    *   edited docs' NEW content and the index MINUS the edited ids
+    *   (the caller replaces the index rows latest-wins and must not
+    *   let an edited doc match its own stored row)
+    * @param inBatchEdges verified pairs among the edited docs
+    * @return (doc_id, cluster) rows to upsert; the edited ids keep a
+    *   row (re-added), no map delete is needed.
+    */
+  def edit(
+      clusterMap: DataFrame,
+      editedIds: DataFrame,
+      survivorEdges: DataFrame,
+      crossEdges: DataFrame,
+      inBatchEdges: DataFrame
+  ): DataFrame = {
+    val idCol = editedIds.columns.head
+    val edited = editedIds.select(col(idCol).as("doc_id")).distinct()
+    val repairs = remove(clusterMap, edited, survivorEdges).localCheckpoint()
+    val mapAfter = clusterMap
+      .join(edited, Seq("doc_id"), "left_anti")
+      .join(repairs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(repairs)
+    val added = maintain(mapAfter, edited, crossEdges, inBatchEdges).localCheckpoint()
+    repairs
+      .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(added)
+  }
 }

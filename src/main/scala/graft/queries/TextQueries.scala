@@ -893,6 +893,99 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters_removal",
+      (s, dir) => {
+        // DECREMENTAL CLUSTER MAINTENANCE — the retraction verb
+        // (operators.IncrementalClusters.remove), oracled by the same
+        // equality theorem as the ingest verb: after removing a doc
+        // set, the incrementally-repaired map must equal the
+        // from-scratch clustering of the corpus MINUS the removed
+        // docs. The fixture removes the HARDEST set: the min-id member
+        // of every multi-doc cluster (= the cluster id itself, by the
+        // map invariant), so every repaired cluster must mint a new id
+        // and any component held together by its min must split.
+        // remove() reclusters ONLY the touched components over their
+        // survivors' edges — exact because components are closed under
+        // edges — and the oracle replays the whole reduced corpus
+        // (second recursive closure over the removed-endpoint-filtered
+        // edge set). Production deletes the removed ids' index/map rows
+        // through the shard-scoped swap (deleteFromPartitioned) and
+        // upserts these relabels; IncrementalClustersSpec pins that
+        // flow plus the bridge-removal split, tools/IncClusterScale
+        // times removal ∝ touched component at 1M docs.
+        import graft.operators.{ConnectedComponents, IncrementalClusters, MinHashLsh}
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val prep = MinHashLsh.prepare(docs, "doc_id", "w").localCheckpoint()
+        val pairs = MinHashLsh
+          .verify(prep, MinHashLsh.candidates(prep, "doc_id"), "doc_id", 0.8)
+          .select(col("d1"), col("d2")).localCheckpoint()
+        val fullMap = docs.select(col("doc_id")).distinct()
+          .join(
+            ConnectedComponents.labels(pairs).withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .localCheckpoint()
+        val removed = fullMap.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("cluster").as("doc_id"))
+        // survivors' edges: the verified pair set minus any pair
+        // touching a removed endpoint. In production these come back
+        // from the persisted index's stored shingle sets (a component-
+        // sized semi-join); here the pair set is in hand and identical.
+        val survEdges = pairs
+          .join(removed.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+          .join(removed.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+          .select(col("d1"), col("d2"))
+        val delta = IncrementalClusters.remove(fullMap, removed, survEdges)
+          .localCheckpoint()
+        fullMap
+          .join(removed, Seq("doc_id"), "left_anti")
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .select(col("doc_id"), col("cluster").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                 WHERE doc_id IS NOT NULL),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM shared
+          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE shared / (n1.n + n2.n - shared) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+        ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        fullmap AS (SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id
+                    FROM ids LEFT JOIN clus USING (doc_id)),
+        removed AS (SELECT cluster_id AS doc_id FROM fullmap
+                    GROUP BY cluster_id HAVING COUNT(*) >= 2),
+        edges2 AS (SELECT a, b FROM edges
+                   WHERE a NOT IN (SELECT doc_id FROM removed)
+                     AND b NOT IN (SELECT doc_id FROM removed)),
+        reach2(a, b) AS (
+          SELECT a, b FROM edges2
+          UNION
+          SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a),
+        clus2 AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                  FROM reach2 GROUP BY a),
+        surv AS (SELECT doc_id FROM ids
+                 WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+        SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id
+        FROM surv LEFT JOIN clus2 USING (doc_id) ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       (s, dir) => {
         // Near-dup CLUSTERING: pairs alone don't dedup — the canonical

@@ -60,6 +60,28 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
     rows shouldBe Set((7L, 7L), (8L, 8L))
   }
 
+  test("remove: min-removal mints a new id, bridge-removal splits, untouched clusters emit no rows") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3} held together by bridge 2 (edges 1-2, 2-3);
+    // cluster 5 = {5,6}; cluster 8 = {8,9} untouched
+    val map = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "cluster")
+    // remove the bridge 2 AND the min 5: component {1,3} loses its
+    // connectivity (no surviving edge), component {6} loses its id
+    val removed = Seq(2L, 5L).toDF("doc_id")
+    val survEdges = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("d1", "d2")
+    val rows = IncrementalClusters.remove(map, removed, survEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows shouldBe Set((1L, 1L), (3L, 3L), (6L, 6L))
+
+    // surviving connectivity holds a component together: removing 3
+    // from {1,2,3} with edge 1-2 intact keeps cluster 1 whole
+    val rows2 = IncrementalClusters.remove(
+        map, Seq(3L).toDF("doc_id"), Seq((1L, 2L)).toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows2 shouldBe Set((1L, 1L), (2L, 1L))
+  }
+
   test("persisted cycle: batches maintain the map shard-scoped and equal the from-scratch clustering") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-inc-clusters").toString
@@ -156,5 +178,156 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     finalMap shouldBe scratch
+
+    // ------------------------------------------------------------------
+    // THE DECREMENTAL HALF, against the same persisted state: retract
+    // id 1 (the min AND sole bridge of {1,11,21} — 11~1 and 21~1 hold
+    // but 11~21 is 0.727 < tau) and id 31 (the bridge of {14,23,31},
+    // same geometry). Both clusters must SPLIT into singletons with
+    // fresh min ids, the index and map rows must disappear through the
+    // shard-scoped delete, and the repaired map must equal a
+    // from-scratch clustering of the corpus minus the removed docs —
+    // the equality theorem, decremental direction.
+    val removedIds = Seq(1L, 31L).toDF("doc_id")
+    def shardedKeys(ids: DataFrame): DataFrame =
+      MinHashLsh.withShard(ids, "doc_id", shardSize)
+    Streaming.deleteFromPartitioned(idxPath, "doc_id", "shard")(
+      shardedKeys(removedIds)) shouldBe 2L
+    val idxAfter = spark.read.parquet(idxPath)
+    idxAfter.filter(col("doc_id").isin(1L, 31L)).count() shouldBe 0L
+
+    val mapNow = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+    // survivors of the touched clusters, reclustered over their STORED
+    // index rows (component-sized: semi-join, then candidates+verify
+    // among the survivors only — the corpus text is never rescanned)
+    val touched = mapNow.join(removedIds, Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivorIds = mapNow.join(touched, Seq("cluster"), "left_semi")
+      .join(removedIds, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val survRows = idxAfter.join(survivorIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val survEdges = MinHashLsh
+      .verify(survRows, MinHashLsh.candidates(survRows, "doc_id"), "doc_id", 0.8)
+      .select(col("d1"), col("d2"))
+    val repairs = IncrementalClusters.remove(mapNow, removedIds, survEdges)
+      .localCheckpoint()
+    Streaming.deleteFromPartitioned(mapPath, "doc_id", "shard")(
+      shardedKeys(removedIds)) shouldBe 2L
+    upsertSharded(mapPath)(repairs, 5L)
+
+    val afterMap = spark.read.parquet(mapPath)
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    afterMap.contains(1L) shouldBe false
+    afterMap.contains(31L) shouldBe false
+    afterMap(11L) shouldBe 11L // lost its min 1: fresh id
+    afterMap(21L) shouldBe 21L // lost its bridge 1: split
+    afterMap(14L) shouldBe 14L
+    afterMap(23L) shouldBe 23L // lost its bridge 31: split
+
+    val remaining = allDocs.filterNot(d => d._1 == 1L || d._1 == 31L)
+    val all2 = prep(remaining).localCheckpoint()
+    val pairs2 = MinHashLsh.verify(all2, MinHashLsh.candidates(all2, "doc_id"), "doc_id", 0.8)
+    val scratch2 = all2.select(col("doc_id"))
+      .join(ConnectedComponents.labels(pairs2.select(col("d1"), col("d2")))
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    afterMap shouldBe scratch2
+  }
+
+  test("edit: a changed doc leaves its old cluster, joins its new neighborhood, and can become its min") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inc-edit").toString
+    val idxPath = root + "/index"
+    val mapPath = root + "/clusters"
+    val shardSize = 10L
+    def upsertSharded(path: String)(rows: DataFrame, version: Long): Unit =
+      Streaming.upsertPartitionedBatch(path, "doc_id", "batch_id", "shard")(
+        MinHashLsh.withShard(rows.withColumn("batch_id", lit(version)), "doc_id", shardSize),
+        version)
+
+    // corpus: 1(c1) 2(c2) 3(c3) 5(c2@7) -> map {2,5}=2, singletons 1,3
+    var corpus = Map(
+      1L -> doc(1L, 1L), 2L -> doc(2L, 2L), 3L -> doc(3L, 3L),
+      5L -> doc(5L, 2L, Some(7)))
+    locally {
+      val p = prep(corpus.values.toSeq).localCheckpoint()
+      upsertSharded(idxPath)(MinHashLsh.index(p, "doc_id"), 1L)
+      val pairs = MinHashLsh.verify(p, MinHashLsh.candidates(p, "doc_id"), "doc_id", 0.8)
+      val map = p.select(col("doc_id"))
+        .join(ConnectedComponents.labels(pairs.select(col("d1"), col("d2")))
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      upsertSharded(mapPath)(map, 1L)
+    }
+    spark.read.parquet(mapPath).filter(col("doc_id") === 5L)
+      .select("cluster").head.getLong(0) shouldBe 2L
+
+    /** Re-ingest `edited` (changed content) end to end: latest-wins
+      * index replace, old-neighborhood repair edges from the STORED
+      * survivor rows, new-content cross edges vs the index minus the
+      * edited ids, IncrementalClusters.edit, map upsert.
+      */
+    def reingest(edited: Seq[(Long, Seq[String])], version: Long): Unit = {
+      val editedIds = edited.map(_._1).toDF("doc_id")
+      val newPrep = prep(edited).localCheckpoint()
+      val map = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+      // old-cluster survivors' edges, from the index BEFORE replacement
+      val idx0 = spark.read.parquet(idxPath)
+      val touched = map.join(editedIds, Seq("doc_id"), "left_semi")
+        .select(col("cluster")).distinct()
+      val survivorIds = map.join(touched, Seq("cluster"), "left_semi")
+        .join(editedIds, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      val survRows = idx0.join(survivorIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      val survEdges = MinHashLsh
+        .verify(survRows, MinHashLsh.candidates(survRows, "doc_id"), "doc_id", 0.8)
+        .select(col("d1"), col("d2"))
+      // latest-wins index replacement, then cross edges vs the REST
+      upsertSharded(idxPath)(MinHashLsh.index(newPrep, "doc_id"), version)
+      val idxRest = spark.read.parquet(idxPath)
+        .join(editedIds, Seq("doc_id"), "left_anti")
+      val cross = MinHashLsh.verifyAgainst(newPrep, idxRest,
+        MinHashLsh.candidatesAgainst(newPrep, idxRest, "doc_id"), "doc_id", 0.8)
+        .select(col("d_new"), col("d_old"))
+      val inBatch = MinHashLsh
+        .verify(newPrep, MinHashLsh.candidates(newPrep, "doc_id"), "doc_id", 0.8)
+        .select(col("d1"), col("d2"))
+      val delta = IncrementalClusters.edit(map, editedIds, survEdges, cross, inBatch)
+      upsertSharded(mapPath)(delta, version)
+      corpus ++= edited.map(d => d._1 -> d)
+    }
+    def mapNow(): Map[Long, Long] = spark.read.parquet(mapPath)
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def scratchNow(): Map[Long, Long] = {
+      val p = prep(corpus.values.map(d => d).toSeq).localCheckpoint()
+      val pairs = MinHashLsh.verify(p, MinHashLsh.candidates(p, "doc_id"), "doc_id", 0.8)
+      p.select(col("doc_id"))
+        .join(ConnectedComponents.labels(pairs.select(col("d1"), col("d2")))
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+
+    // edit 1 — neighborhood SHRINK + SWITCH: doc 5 re-crawled as a
+    // near-copy of doc 3's content. Its old cluster {2,5} must NOT
+    // retain it; it must land in doc 3's cluster.
+    reingest(Seq(doc(5L, 3L, Some(7))), 2L)
+    val m1 = mapNow()
+    m1(2L) shouldBe 2L // old partner repaired to a singleton
+    m1(5L) shouldBe 3L // joined the new neighborhood
+    m1 shouldBe scratchNow()
+
+    // edit 2 — the re-used id becomes the NEW MIN of the component it
+    // joins: doc 1 re-crawled as a variant@20 of content 3 (links to 3;
+    // 1-vs-5 is the 0.727 two-variant geometry, below tau). The whole
+    // {3,5} cluster must relabel to 1 through maintain's loser path.
+    reingest(Seq(doc(1L, 3L, Some(20))), 3L)
+    val m2 = mapNow()
+    m2(1L) shouldBe 1L
+    m2(3L) shouldBe 1L
+    m2(5L) shouldBe 1L
+    m2(2L) shouldBe 2L
+    m2 shouldBe scratchNow()
   }
 }
