@@ -47,7 +47,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      def pass(): (Double, Double) = {
+      def pass(): (Double, Double, Int) = {
+        val pw0 = pwCounter.map(_._1.get()).getOrElse(0)
         val t0 = System.nanoTime()
         val c0 = processCpuNanos()
         val ok =
@@ -77,7 +78,11 @@ object Bench {
         // slower in-run than isolated). An explicit collect pins that
         // cost to the gap between queries where it belongs.
         System.gc()
-        (if (ok) dt else -dt, cpu)
+        // pw delta is snapshotted INSIDE the pass so a retried query
+        // attributes only the REPORTED pass's planner warnings — the
+        // cross-pass mixing the r12 advisor flagged doubled a retried
+        // query's count relative to a single run
+        (if (ok) dt else -dt, cpu, pwCounter.map(_._1.get()).getOrElse(0) - pw0)
       }
       // Contention robustness (round-7: a single pass on a shared
       // host reported a 3x phantom regression on two queries that
@@ -86,19 +91,20 @@ object Bench {
       // two cold-cache passes estimates the uncontended cost, and
       // only the handful of slow queries pay the retry, bounding the
       // added wall clock. A failed retry keeps the first measurement.
-      // cpu stays PAIRED with the reported pass, never mixed across
-      // passes.
-      val pw0 = pwCounter.map(_.get()).getOrElse(0)
+      // cpu and pw stay PAIRED with the reported pass, never mixed
+      // across passes.
       val first = pass()
       val best =
         if (first._1 > SlowRetrySec) {
           val second = pass()
           if (second._1 > 0 && second._1 < first._1) second else first
         } else first
-      val pwN = pwCounter.map(_.get()).getOrElse(0) - pw0
-      if (pwN > 0) pwByQuery ::= (name -> pwN)
+      if (best._3 > 0) pwByQuery ::= (name -> best._3)
       (name, best._1, best._2)
     }
+    // the appender's job ends with the loop: leaving it registered
+    // would double-count a subsequent in-JVM bench (and leak it)
+    pwCounter.foreach(_._2())
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
     // The driver keeps only the last 2000 bytes of stdout, and sbt
     // appends its own "[success] Total time: ..." line after ours — so
@@ -163,12 +169,15 @@ object Bench {
   /** Attach a counting appender to the WindowExec logger so the
     * "No Partition Defined for Window operation" warnings in the
     * driver-captured stderr tail can be ATTRIBUTED to queries: the
-    * main loop snapshots the counter around each query and emits the
-    * nonzero counts by name (`pw` in the JSON line). Returns None when
-    * the logging backend is not log4j2-core (emit nothing rather than
-    * fail the bench).
+    * main loop snapshots the counter inside each pass and emits the
+    * reported pass's nonzero counts by name (`pw` in the JSON line).
+    * Returns the counter plus a REMOVER the loop must call when done
+    * (detach + stop — a leaked appender double-counts any later
+    * in-JVM bench). None when the logging backend is not log4j2-core
+    * (emit nothing rather than fail the bench).
     */
-  def installWindowWarnCounter(): Option[java.util.concurrent.atomic.AtomicInteger] =
+  def installWindowWarnCounter()
+      : Option[(java.util.concurrent.atomic.AtomicInteger, () => Unit)] =
     try {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.LogEvent
@@ -181,11 +190,11 @@ object Bench {
             counter.incrementAndGet()
       }
       appender.start()
-      LogManager
+      val logger = LogManager
         .getLogger("org.apache.spark.sql.execution.window.WindowExec")
         .asInstanceOf[org.apache.logging.log4j.core.Logger]
-        .addAppender(appender)
-      Some(counter)
+      logger.addAppender(appender)
+      Some((counter, () => { logger.removeAppender(appender); appender.stop() }))
     } catch { case _: Throwable => None }
 
   /** 1-minute loadavg, or NaN where /proc/loadavg doesn't exist. */

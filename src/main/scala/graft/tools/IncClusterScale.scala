@@ -44,6 +44,18 @@ import graft.streaming.Streaming
   * from-scratch path's candidate self-join and closure grow with the
   * CORPUS while the batch path grows only with the batch, which is
   * the asymptotic that matters at 100 TB.
+  *
+  * DECREMENTAL (r13, same run shape): retracting 5,000 docs — the MIN
+  * of half the planted merge clusters, the BRIDGE of the other half —
+  * repairs the map in 12.2 s (touched-cluster lookup 1.7 s = the
+  * narrow map scan, survivor re-verify 4.7 s over 2-member candidate
+  * sets, mini-closure 2.1 s, shard-scoped index+map delete + repair
+  * upsert 3.5 s), planted expectations 2500/2500 both cases, and the
+  * repaired map equals the from-scratch clustering of the corpus
+  * MINUS the removed docs with zero mismatches — where that
+  * from-scratch recompute costs 77.5 s at this corpus size and grows
+  * with the corpus, the removal path grows only with the touched
+  * components.
   */
 object IncClusterScale {
   def main(args: Array[String]): Unit = {
@@ -171,21 +183,98 @@ object IncClusterScale {
     require(good == planted, s"merge unification broke: $good of $planted")
 
     // THE EQUALITY CHECK: from-scratch clustering of the full corpus
-    time("from-scratch recompute + equality") {
-      val everything = spark.range(corpusN).select(col("id").as("doc_id"))
-        .select(col("doc_id"), tokensFor(col("doc_id"), lit(-1)).as("w"))
-        .unionByName(batchDf(1)).unionByName(batchDf(2)).unionByName(batchDf(3))
-      val all = MinHashLsh.prepare(everything, "doc_id", "w").localCheckpoint()
+    def everythingDf: DataFrame = spark.range(corpusN).select(col("id").as("doc_id"))
+      .select(col("doc_id"), tokensFor(col("doc_id"), lit(-1)).as("w"))
+      .unionByName(batchDf(1)).unionByName(batchDf(2)).unionByName(batchDf(3))
+    def scratchMap(docs: DataFrame): DataFrame = {
+      val all = MinHashLsh.prepare(docs, "doc_id", "w").localCheckpoint()
       val pairs = MinHashLsh.verify(all, MinHashLsh.candidates(all, "doc_id"), "doc_id", tau)
       val lbl = ConnectedComponents.labels(pairs.select(col("d1"), col("d2")))
-      val scratch = all.select(col("doc_id"))
+      all.select(col("doc_id"))
         .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("sc"))
-      val diffs = finalMap.join(scratch, Seq("doc_id"), "full_outer")
+    }
+    def requireEqual(incMap: DataFrame, scratch: DataFrame, what: String): Unit = {
+      val diffs = incMap.join(scratch, Seq("doc_id"), "full_outer")
         .filter(col("cluster").isNull || col("sc").isNull || col("cluster") =!= col("sc"))
         .count()
-      println(s"[incclu-scale] incremental-vs-scratch mismatches=$diffs")
-      require(diffs == 0, s"incremental map diverged from scratch clustering: $diffs rows")
+      println(s"[incclu-scale] $what mismatches=$diffs")
+      require(diffs == 0, s"$what diverged from scratch clustering: $diffs rows")
+    }
+    time("from-scratch recompute + equality") {
+      requireEqual(finalMap, scratchMap(everythingDf), "incremental-vs-scratch")
+    }
+
+    // ------------------------------------------------------------------
+    // DECREMENTAL STAGE (IncrementalClusters.remove at scale): retract
+    // one doc from every planted merge cluster {b1,b2,b3} (edges
+    // b1-b3, b2-b3; b1 the MIN, b3 the BRIDGE), alternating which —
+    // half lose their min (cluster must re-mint as b2: the surviving
+    // edge b2-b3 holds), half lose their bridge (cluster must SPLIT
+    // into singletons b1, b2). Work is ∝ touched components (the
+    // per-stage prints prove it: survivor re-verify runs over
+    // 2-member candidate sets, not the corpus; the only corpus-order
+    // term is the narrow id->cluster map scan of the touched-cluster
+    // lookup, the same floor every index probe pays), writes go
+    // through the shard-scoped crash-atomic delete+upsert, untouched
+    // map shards stay byte-identical, and the repaired map must equal
+    // a from-scratch clustering of the corpus MINUS the removed docs —
+    // the decremental equality theorem at 1M rows.
+    val removedIds = mergeK
+      .select(when(col("k") % 20 === 1, col("k") + 1000000L)
+        .otherwise(col("k") + 1200000L).as("doc_id"))
+      .localCheckpoint()
+    val nRemoved = removedIds.count()
+    time(f"removal ($nRemoved%d docs)") {
+      val mapNow = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+      val touched = time("  rm touched-cluster lookup") {
+        mapNow.join(removedIds, Seq("doc_id"), "left_semi")
+          .select(col("cluster")).distinct().localCheckpoint()
+      }
+      val survEdges = time("  rm survivor re-verify") {
+        val survivorIds = mapNow.join(touched, Seq("cluster"), "left_semi")
+          .join(removedIds, Seq("doc_id"), "left_anti").select(col("doc_id"))
+        val survRows = spark.read.parquet(idxPath)
+          .join(survivorIds, Seq("doc_id"), "left_semi").localCheckpoint()
+        MinHashLsh.verify(survRows,
+          MinHashLsh.candidates(survRows, "doc_id"), "doc_id", tau)
+          .select(col("d1"), col("d2")).localCheckpoint()
+      }
+      val repairs = time("  rm mini-closure") {
+        IncrementalClusters.remove(mapNow, removedIds, survEdges).localCheckpoint()
+      }
+      time("  rm shard-scoped delete+upsert") {
+        def keys = MinHashLsh.withShard(removedIds, "doc_id", shardSize)
+        require(Streaming.deleteFromPartitioned(idxPath, "doc_id", "shard")(keys) == nRemoved)
+        require(Streaming.deleteFromPartitioned(mapPath, "doc_id", "shard")(keys) == nRemoved)
+        upsertSharded(mapPath, 4L)(repairs)
+      }
+    }
+    require(shard0Files() == cold,
+      "map shard 0 was rewritten by the removal — it is no longer shard-scoped")
+
+    val mapAfter = spark.read.parquet(mapPath)
+      .select(col("doc_id"), col("cluster")).localCheckpoint()
+    // planted spot-checks: min-removed triples re-mint as b2 (both
+    // survivors), bridge-removed triples split into singletons
+    val minCase = triples.filter((col("b1") - 1000000L) % 20 === 1)
+    val bridgeCase = triples.filter((col("b1") - 1000000L) % 20 =!= 1)
+    val minOk = minCase
+      .join(mapAfter.withColumnRenamed("doc_id", "b2").withColumnRenamed("cluster", "c2"), Seq("b2"))
+      .join(mapAfter.withColumnRenamed("doc_id", "b3").withColumnRenamed("cluster", "c3"), Seq("b3"))
+      .filter(col("c2") === col("b2") && col("c3") === col("b2")).count()
+    val bridgeOk = bridgeCase
+      .join(mapAfter.withColumnRenamed("doc_id", "b1").withColumnRenamed("cluster", "c1"), Seq("b1"))
+      .join(mapAfter.withColumnRenamed("doc_id", "b2").withColumnRenamed("cluster", "c2"), Seq("b2"))
+      .filter(col("c1") === col("b1") && col("c2") === col("b2")).count()
+    println(s"[incclu-scale] removal planted: min-case ok=$minOk/${minCase.count()} " +
+      s"bridge-case ok=$bridgeOk/${bridgeCase.count()}")
+    require(minOk == minCase.count() && bridgeOk == bridgeCase.count(),
+      "a planted removal repair came out wrong")
+    time("decremental from-scratch recompute + equality") {
+      requireEqual(mapAfter,
+        scratchMap(everythingDf.join(removedIds, Seq("doc_id"), "left_anti")),
+        "decremental-vs-scratch")
     }
     spark.stop()
   }

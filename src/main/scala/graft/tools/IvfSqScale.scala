@@ -49,6 +49,15 @@ import org.apache.spark.sql.types.DoubleType
   * stays 50/50 through the post-split table. (The corpus now carries
   * a float norm per row for raw-space reconstruction: 66 MB vs
   * 512 MB float64 — still 7.8x.)
+  * APPEND ECONOMICS (r13): serve 1.3 s at the build's 2,038 files; a
+  * 100-batch upsert storm fragments the corpus to 20,547 files and
+  * serve DEGRADES 6x to 8.0 s (the small-file tax is real and
+  * measured, not hypothetical); compact() folds every cell to one
+  * file (33 total, 44.8 s — maintenance-window work) and serve
+  * returns to 1.2 s. delete of the whole 20k storm: 2.5 s,
+  * cell-scoped. mergeCell of the smallest cell into its nearest
+  * neighbour: 3.3 s (file move + centroid swap, no rewrite), planted
+  * top-1 recall 50/50 through the post-merge table.
   */
 object IvfSqScale {
   def main(args: Array[String]): Unit = {
@@ -183,6 +192,93 @@ object IvfSqScale {
         .filter(col("nid") === col("qid") - 1).count()
       println(s"[ivfsq-scale] post-split top1-recall=$hits/${queries.count()}")
       require(hits >= (queries.count() * 0.95).toLong, "post-split recall floor")
+    }
+
+    // ------------------------------------------------------------------
+    // APPEND ECONOMICS (the small-file story): every upsert batch adds
+    // one file set per touched cell, so 100 small batches fragment the
+    // directories ~100x and the serve-side file-open/task overhead
+    // degrades with them; compact() folds each cell back to one file
+    // under the committed-stage swap and serve latency returns to the
+    // pre-storm line. Measured so the claim "flat after storm+compact
+    // vs degrading without" is a number, not a doc comment.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def corpusFiles(): Long = {
+      val it = Files.walk(java.nio.file.Paths.get(s"$root/corpus"))
+      try it.filter(_.toString.endsWith(".parquet")).count() finally it.close()
+    }
+    def serveSec(tag: String): Double = {
+      val (c, v) = graft.operators.AnnIndex.openIndex(spark, root)
+      val t0 = System.nanoTime()
+      graft.operators.AnnIndex.search(c, v, queries, nprobe = nprobe, topK = 1, dim = dim)
+        .write.mode("overwrite").format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[ivfsq-scale] serve[$tag%-12s] sec=$s%.1f files=${corpusFiles()}%d")
+      s
+    }
+    val preStorm = serveSec("pre-storm")
+    val stormBase = newBase + 1000000L
+    time("upsert storm (100 x 200)") {
+      for (i <- 0 until 100) {
+        val b0 = stormBase + i * 200L
+        val batch = spark.range(b0, b0 + 200L).select(col("id").as("vec_id"))
+          .select(col("vec_id"), vec.as("e"))
+        graft.operators.AnnIndex.upsert(root, batch, dim = dim)
+      }
+    }
+    val postStorm = serveSec("post-storm")
+    time("compact every fragmented cell") {
+      val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/corpus"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt }
+      cells.foreach { c =>
+        val (b, a) = graft.operators.AnnIndex.compact(root, c)
+        if (b > 1) require(a == 1, s"compact($c) left $a files")
+      }
+    }
+    val postCompact = serveSec("post-compact")
+    println(f"[ivfsq-scale] serve sec pre-storm=$preStorm%.1f " +
+      f"post-storm=$postStorm%.1f post-compact=$postCompact%.1f")
+    require(corpusFiles() <= k + 2L,
+      "compaction did not fold the storm's append files")
+    locally { // the storm's rows all survived the compaction
+      val (_, v) = graft.operators.AnnIndex.openIndex(spark, root)
+      require(v.count() == nVecs + 10000L + 20000L, "post-compact corpus count")
+    }
+
+    // DELETE at scale: retract the whole storm (20k ids) — discovery is
+    // one (vec_id, cell) column-pruned scan, the rewrite touches only
+    // the cells holding the ids (here: all, after the uniform storm),
+    // each through the committed-stage swap.
+    time("delete 20k (cell-scoped)") {
+      import spark.implicits._
+      val ids = spark.range(stormBase, stormBase + 20000L)
+        .select(col("id").as("vec_id"))
+      val n = graft.operators.AnnIndex.delete(root, ids)
+      require(n == 20000L, s"delete retracted $n of 20000")
+    }
+    locally {
+      val (c4, v4) = graft.operators.AnnIndex.openIndex(spark, root)
+      require(v4.count() == nVecs + 10000L, "post-delete corpus count")
+      require(v4.filter(col("vec_id") >= stormBase).count() == 0L, "storm ids still served")
+    }
+
+    // MERGE: fold the smallest cell into its nearest neighbour — a file
+    // MOVE plus a centroid-table swap, no rewrite — and require planted
+    // recall to hold through the post-merge table.
+    time("merge smallest cell") {
+      val small = graft.operators.AnnIndex.drift(spark, root)
+        .orderBy(col("n_now").asc).head.getAs[Int]("cell")
+      val dst = graft.operators.AnnIndex.mergeCell(root, small)
+      println(s"[ivfsq-scale] merged cell=$small into cell=$dst")
+      val (c5, v5) = graft.operators.AnnIndex.openIndex(spark, root)
+      require(c5.count() == k && v5.count() == nVecs + 10000L, "post-merge table shape")
+      val hits = graft.operators.AnnIndex
+        .search(c5, v5, queries, nprobe = nprobe, topK = 1, dim = dim)
+        .filter(col("nid") === col("qid") - 1).count()
+      println(s"[ivfsq-scale] post-merge top1-recall=$hits/${queries.count()}")
+      require(hits >= (queries.count() * 0.95).toLong, "post-merge recall floor")
     }
     spark.stop()
   }
