@@ -919,6 +919,79 @@ object Media {
     }
   }
 
+  /** Per-image outcome of the LOSSY-codec rung: dims and pixel count
+    * come from the DECODE (not the fixture), and the pixel values are
+    * summarized as a tolerance verdict — max |decoded - ground truth|
+    * over every sample of every channel against [[Jpeg.FixtureTolerance]]
+    * (bit equality is unavailable to a transform codec by design; the
+    * bounds-contract oracle is the same pattern as the Monte-Carlo
+    * rung). `within_tol` is FALSE — loudly hash-breaking — for any
+    * decoder drift beyond the band.
+    */
+  final case class JpegPixelCheck(
+      doc_id: Long,
+      source: String,
+      width: Int,
+      height: Int,
+      n_pixels: Int,
+      within_tol: Boolean
+  )
+
+  /** JPEG variant of [[fromDocumentsBmp]]: the SAME fixture dims and
+    * pixel formula, carried through a genuine LOSSY codec
+    * (functions.Jpeg — baseline sequential DCT, real Huffman entropy
+    * coding, near-unit quant tables), document text as trailing
+    * payload after EOI.
+    */
+  def fromDocumentsJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .na.drop(Seq("doc_id", "text", "n_chars"))
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("lang"),
+        col("n_chars")
+      )
+      .as[(Long, Array[Byte], String, String, Long)]
+      .map { case (id, payload, source, lang, nChars) =>
+        val w = fixtureBmpWidth(nChars)
+        val h = fixtureBmpHeight(nChars)
+        MediaRecord(id, Jpeg.encode(w, h, fixtureBmpPixel(id, _, _), payload),
+          source, lang, nChars)
+      }
+  }
+
+  /** Batch JPEG pixel decode + tolerance check over partitions
+    * (Huffman decode, dequant, IDCT, color conversion amortized per
+    * batch); undecodable payloads are dropped, not fatal.
+    */
+  def jpegPixelChecks(media: Dataset[MediaRecord]): Dataset[JpegPixelCheck] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        Jpeg.decodeRgb(rec.bytes).map { case (w, h, rgb) =>
+          var worst = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = rgb(y * w + x)
+              val (r, g, b) = fixtureBmpPixel(rec.doc_id, x, y)
+              worst = math.max(worst, math.max(math.abs(((p >> 16) & 0xff) - r),
+                math.max(math.abs(((p >> 8) & 0xff) - g), math.abs((p & 0xff) - b))))
+              x += 1
+            }
+            y += 1
+          }
+          JpegPixelCheck(rec.doc_id, rec.source, w, h, w * h,
+            worst <= Jpeg.FixtureTolerance)
+        }
+      }
+    }
+  }
+
   /** Build the media dataset from the documents table: each
     * document's UTF-8 bytes wrapped in a real container (PNG for even
     * doc_ids, JPEG for odd) with deterministic fixture dimensions.
