@@ -109,12 +109,98 @@ object AnnIndex {
 
   /** Persist the index: centroids plain, corpus partitioned by cell —
     * the layout [[search]]'s IN-list prunes and [[upsert]]'s append
-    * extends without rewriting untouched cells.
+    * extends without rewriting untouched cells — plus the id->cell
+    * SIDECAR ([[rebuildIdMap]]) that turns [[delete]]'s discovery into
+    * a shard-pruned lookup instead of a corpus scan.
     */
   def writeIndex(centroids: DataFrame, corpus: DataFrame, root: String): Unit = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dirty-first: a crash anywhere before the sidecar is complete
+    // leaves the sentinel, and the next heal rebuilds the sidecar from
+    // the corpus — the tables can never silently disagree
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    fs.create(idMapDirty(root, fs), true).close()
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
     corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
+    rebuildIdMap(spark, root, fs)
   }
+
+  /** Id-range width of one sidecar shard: a delete batch's ids map to
+    * a handful of shard directories, so discovery reads megabytes, not
+    * the corpus (the MinHashLsh.withShard sizing rationale).
+    */
+  val IdMapShardSize = 100000L
+
+  private def idMapDirty(root: String, fs: org.apache.hadoop.fs.FileSystem) =
+    new org.apache.hadoop.fs.Path(s"$root/idmap.__dirty")
+
+  /** Run a mutation that changes id->cell assignments under the dirty
+    * sentinel: set it, mutate corpus THEN sidecar, clear it. A crash
+    * at any point leaves the sentinel and [[heal]] rebuilds the
+    * sidecar wholesale from the corpus — worst case one corpus scan
+    * per crash, never a stale answer.
+    */
+  private def withIdMapDirty[T](fs: org.apache.hadoop.fs.FileSystem,
+      root: String)(body: => T): T = {
+    fs.create(idMapDirty(root, fs), true).close()
+    val r = body
+    fs.delete(idMapDirty(root, fs), false)
+    r
+  }
+
+  /** Rebuild the (vec_id, cell) sidecar from the corpus — one
+    * column-pruned scan, hive-partitioned by `shard = vec_id DIV
+    * IdMapShardSize` so [[delete]]'s lookup partition-prunes. Runs at
+    * build time, and from [[heal]] whenever the dirty sentinel (or a
+    * missing sidecar next to a live corpus — the pre-sidecar
+    * migration case) says the tables may disagree.
+    */
+  def rebuildIdMap(spark: SparkSession, root: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val corpusPath = s"$root/corpus"
+    val mapPath = new org.apache.hadoop.fs.Path(s"$root/idmap")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) {
+      fs.delete(mapPath, true)
+    } else {
+      spark.read.parquet(corpusPath)
+        .select(col("vec_id"), col("cell"),
+          expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
+          lit(0L).as("batch_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(mapPath.toString)
+      graft.streaming.Streaming.refreshListing(mapPath.toString)
+    }
+    fs.delete(idMapDirty(root, fs), false)
+  }
+
+  /** Sidecar upsert of re-ASSIGNED (vec_id, cell) rows (splitCell /
+    * mergeCell) — the shard-scoped latest-wins merge replaces the old
+    * assignment row.
+    */
+  private def upsertIdMap(rows: DataFrame, root: String): Unit =
+    graft.streaming.Streaming.upsertPartitionedBatch(
+      s"$root/idmap", "vec_id", "batch_id", "shard")(
+      rows.select(col("vec_id"), col("cell"),
+        expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
+        lit(0L).as("batch_id")),
+      0L)
+
+  /** Sidecar APPEND for fresh ingest: new ids mirror the corpus's own
+    * append (one small file per touched shard) rather than paying a
+    * whole-shard rewrite per batch — the storm measurement that
+    * motivated this: 100 x 200-row upserts cost 220 s with per-batch
+    * shard swaps vs ~the corpus-append floor with appends. Sidecar
+    * fragmentation is folded by [[rebuildIdMap]] (one partitioned
+    * overwrite) in the same maintenance window the corpus is
+    * compacted; [[delete]]/[[heal]] semantics are unchanged (appends
+    * only ever ADD ids that [[upsert]] just guaranteed absent).
+    */
+  private def appendIdMap(rows: DataFrame, root: String): Unit =
+    rows.select(col("vec_id"), col("cell"),
+      expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
+      lit(0L).as("batch_id"))
+      .write.mode("append").partitionBy("shard").parquet(s"$root/idmap")
 
   /** Open a persisted index for serving: (centroids, corpus). By
     * default the open HEALS a maintenance crash first (interrupted
@@ -146,6 +232,15 @@ object AnnIndex {
     graft.streaming.Streaming.recoverSwap(fs, s"$root/centroids")
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/centroids.__tmp"), true)
     repairOrphanCells(spark, root)
+    // sidecar consistency: a dirty sentinel (crash inside a mutation)
+    // or a live corpus with no sidecar (pre-sidecar index) triggers
+    // the wholesale rebuild — one corpus scan, after which [[delete]]
+    // discovery is shard-pruned again
+    graft.streaming.Streaming.recoverPartitionSwap(fs, s"$root/idmap")
+    if (fs.exists(idMapDirty(root, fs)) ||
+        (fs.exists(new org.apache.hadoop.fs.Path(s"$root/corpus")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap"))))
+      rebuildIdMap(spark, root, fs)
   }
 
   /** Give every corpus cell directory missing from the centroid table
@@ -300,14 +395,18 @@ object AnnIndex {
       .select(col("qid"), col("rk"), col("nid"), col("iscore"))
   }
 
-  /** Ingest new vectors into a persisted index WITHOUT retraining:
+  /** Ingest vectors into a persisted index WITHOUT retraining:
     * validate/drop degenerates (the build policy), assign each to its
     * nearest EXISTING centroid (the [[assignCells]] math the serve
     * side probes with), quantize to the tinyint carrier, and append to
     * the partitioned corpus — only the touched cell directories gain
-    * files; untouched cells keep their bytes. Caller contract: ids are
-    * new (the corpus is append-only vector storage; identity dedup is
-    * the dedup family's job upstream).
+    * files; untouched cells keep their bytes. Re-ingested ids are
+    * LATEST-WINS: the sidecar lookup (shard-pruned, O(batch)) finds
+    * any prior rows and retracts them from their cells before the
+    * append, so an upstream re-crawl of a changed document replaces
+    * rather than duplicates — the same policy the MinHash index and
+    * the cluster map follow (`Streaming.upsertPartitionedBatch`,
+    * `IncrementalClusters.edit`).
     *
     * Returns the number of vectors admitted. Assignment quality decays
     * as the ingested distribution drifts from the trained one —
@@ -349,19 +448,50 @@ object AnnIndex {
           .select(col("__aid").as(idCol), col("cell")),
         Seq(idCol))
       .select(col(idCol), col("q8"), col("nrm"), col("cell"))
-    rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
+      .localCheckpoint()
+    withIdMapDirty(fs, root) {
+      // latest-wins: a re-ingested id (an upstream re-crawl) REPLACES
+      // its rows — discovery through the sidecar is shard-pruned, so
+      // the uniqueness guarantee costs O(batch), and it is what keeps
+      // the sidecar's one-row-per-id shape exact
+      val idKeys = rows.select(col(idCol).cast("long").as("vec_id"))
+        .distinct().localCheckpoint()
+      val shards = idKeys
+        .select(expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (shards.nonEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap"))) {
+        val existing = org.apache.spark.sql.SparkSession.active.read
+          .parquet(s"$root/idmap")
+          .filter(col("shard").isin(shards: _*)) // partition-pruned
+          .select(col("vec_id"), col("cell"))
+          .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
+          .localCheckpoint()
+        if (existing.count() > 0) {
+          graft.streaming.Streaming.deleteFromPartitioned(
+            s"$root/corpus", "vec_id", "cell")(existing)
+          graft.streaming.Streaming.deleteFromPartitioned(
+            s"$root/idmap", "vec_id", "shard")(
+            existing.withColumn("shard",
+              expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)")))
+        }
+      }
+      rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
+      appendIdMap(rows.select(col(idCol).as("vec_id"), col("cell")), root)
+    }
     base.count()
     }
   }
 
   /** Delete vectors from a persisted index — the retraction verb of
-    * the lifecycle. The cells holding the ids are discovered with ONE
-    * column-pruned scan of (vec_id, cell) — the id->cell map is not
-    * materialized anywhere else, and two thin columns at int8-index
-    * scale are the cheap part of the table; a deployment deleting at
-    * high frequency would maintain that map as its own id-sharded
-    * table (the MinHashLsh.withShard pattern) and skip the scan. The
-    * rewrite itself is partition-scoped and crash-atomic: only the
+    * the lifecycle. The cells holding the ids are discovered through
+    * the id->cell SIDECAR (`root/idmap`, id-range sharded): the delete
+    * batch's ids map to a handful of shard values, so the lookup is a
+    * partition-pruned read of those directories only — O(batch), not a
+    * corpus scan, which is the difference that matters when the corpus
+    * is 100 TB and deletes are routine. [[heal]] guarantees the
+    * sidecar is fresh before the lookup (dirty sentinel -> rebuild).
+    * The rewrite itself is partition-scoped and crash-atomic: only the
     * touched cell directories are read back and swapped
     * (Streaming.deleteFromPartitioned's committed-stage protocol), a
     * fully-emptied cell keeps an explicit empty directory (its
@@ -377,12 +507,30 @@ object AnnIndex {
       heal(spark, root, fs)
       if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) 0L
       else {
-        val keyRows = spark.read.parquet(corpusPath)
-          .select(col("vec_id"), col("cell"))
-          .join(broadcast(ids.select(col(idCol).as("vec_id")).distinct()),
-            Seq("vec_id"), "left_semi")
-        graft.streaming.Streaming.deleteFromPartitioned(
-          corpusPath, "vec_id", "cell")(keyRows)
+        val idKeys = ids.select(col(idCol).cast("long").as("vec_id"))
+          .filter(col("vec_id").isNotNull).distinct().localCheckpoint()
+        // the batch's shard set — batch-sized by construction, so the
+        // driver collect is metadata, and it is exactly what turns the
+        // sharded sidecar layout into file skipping
+        val shards = idKeys
+          .select(expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (shards.isEmpty) 0L
+        else {
+          val keyRows = spark.read.parquet(s"$root/idmap")
+            .filter(col("shard").isin(shards: _*)) // partition-pruned
+            .select(col("vec_id"), col("cell"))
+            .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
+          withIdMapDirty(fs, root) {
+            val n = graft.streaming.Streaming.deleteFromPartitioned(
+              corpusPath, "vec_id", "cell")(keyRows)
+            graft.streaming.Streaming.deleteFromPartitioned(
+              s"$root/idmap", "vec_id", "shard")(
+              idKeys.withColumn("shard",
+                expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)")))
+            n
+          }
+        }
       }
     }
   }
@@ -471,16 +619,23 @@ object AnnIndex {
       val srcDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
       val dstDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$dst")
       if (fs.exists(srcDir)) {
-        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-        fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
-          val name = st.getPath.getName
-          if (!name.startsWith("_")) // committer markers stay behind
-            // prefixed for uniqueness AND provenance: a re-run never
-            // collides, and the folded files remain identifiable
-            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstDir, s"merged-$cell-$name"))
+        // moved ids captured BEFORE the file move (partition-pruned
+        // single-directory read) — they relabel in the id->cell sidecar
+        val movedIds = spark.read.parquet(corpusPath)
+          .filter(col("cell") === cell).select(col("vec_id")).localCheckpoint()
+        withIdMapDirty(fs, root) {
+          if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+          fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
+            val name = st.getPath.getName
+            if (!name.startsWith("_")) // committer markers stay behind
+              // prefixed for uniqueness AND provenance: a re-run never
+              // collides, and the folded files remain identifiable
+              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstDir, s"merged-$cell-$name"))
+          }
+          fs.delete(srcDir, true)
+          graft.streaming.Streaming.refreshListing(corpusPath)
+          upsertIdMap(movedIds.withColumn("cell", lit(dst)), root)
         }
-        fs.delete(srcDir, true)
-        graft.streaming.Streaming.refreshListing(corpusPath)
       }
       val updated = spark.read.parquet(s"$root/centroids")
         .filter(col("cell") =!= cell)
@@ -553,7 +708,15 @@ object AnnIndex {
       val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
       fs.delete(stage, true)
       reassigned.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-      graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
+      withIdMapDirty(fs, root) {
+        graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
+        // sidecar relabel for the moved half (the retained half keeps
+        // its cell id — only newCell rows change assignment)
+        upsertIdMap(
+          spark.read.parquet(corpusPath).filter(col("cell") === newCell)
+            .select(col("vec_id"), col("cell")),
+          root)
+      }
       // centroid table: replace the split row, append the new one; the
       // sub-cell populations become the new drift baselines
       val counts = spark.read.parquet(corpusPath)
@@ -593,5 +756,88 @@ object AnnIndex {
       .withColumn(
         "growth",
         (col("n_now") - col("n_build")).cast(DoubleType) / greatest(col("n_build"), lit(1L)))
+  }
+
+  /** The maintenance AUTOPILOT: read the health signals ([[drift]]
+    * populations + per-cell file counts) once, derive a plan from the
+    * thresholds, and execute it with the existing verbs — the policy
+    * loop a production deployment would run in its maintenance window
+    * instead of paging a human to interpret the drift report. Policy,
+    * in dependency order:
+    *
+    *  1. [[splitCell]] every cell whose population exceeds
+    *     `splitSkew` x the mean (the growth alarm turned into its
+    *     response; fattest first so one pass absorbs the worst skew);
+    *  2. [[mergeCell]] every cell bled below `mergeFraction` x the
+    *     mean (smallest first), stopping at `minK` — and never merging
+    *     a cell this same pass just created by a split;
+    *  3. [[compact]] LAST, over the live directory listing — splits
+    *     rewrite their two sub-cells with one file per shuffle task
+    *     and merges move files wholesale, so compacting first would
+    *     just be re-fragmented; running it after the layout settles
+    *     leaves every cell (including the freshly born) at one file.
+    *
+    * Concurrency: maintain holds NO lease of its own — each verb takes
+    * the index lease for exactly its own atomic window (the lease is
+    * deliberately not reentrant), so a crash mid-plan loses nothing:
+    * every completed action is durable, the interrupted one heals at
+    * the next entry point, and re-running maintain recomputes a plan
+    * from the NEW state (actions are idempotent at the policy level —
+    * a compacted cell no longer qualifies for compaction). The plan is
+    * k-row driver metadata, never data-sized. Returns the executed
+    * plan as (verb, cell, detail) rows, in execution order.
+    */
+  def maintain(
+      root: String,
+      maxFilesPerCell: Int = 16,
+      splitSkew: Double = 3.0,
+      mergeFraction: Double = 0.1,
+      minK: Int = 2,
+      dim: Int = VectorKit.EmbeddingDim
+  ): Seq[(String, Int, String)] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val corpusPath = s"$root/corpus"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+
+    // -- signals (one snapshot; ≤ k rows on the driver) ----------------
+    val health = drift(spark, root)
+      .select(col("cell"), col("n_now")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def files(cell: Int): Int = {
+      val dir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+    val mean = if (health.isEmpty) 0.0 else health.values.sum.toDouble / health.size
+
+    // -- 1. splits (fattest first, against the snapshot mean) ------------
+    val born = scala.collection.mutable.Set.empty[Int]
+    for ((cell, n) <- health.toSeq.sortBy(-_._2) if mean > 0 && n > splitSkew * mean) {
+      val nc = splitCell(root, cell, dim = dim)
+      if (nc >= 0) { born += nc; actions += (("split", cell, s"n=$n -> new cell $nc")) }
+    }
+
+    // -- 2. merges (smallest first; k tracked as we fold) ----------------
+    var k = health.size + born.size
+    for ((cell, n) <- health.toSeq.sortBy(_._2)
+         if mean > 0 && n < mergeFraction * mean && !born.contains(cell) && k > minK) {
+      val dst = mergeCell(root, cell, minK = minK)
+      k -= 1
+      actions += (("merge", cell, s"n=$n -> absorbed by cell $dst"))
+    }
+
+    // -- 3. compaction, over the LIVE listing (splits/merges above
+    //       changed the layout; a cell born this pass compacts too) ------
+    val liveCells = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case d if d.startsWith("cell=") => d.stripPrefix("cell=").toInt }
+      .sorted
+    for (cell <- liveCells if files(cell) > maxFilesPerCell) {
+      val (b, a) = compact(root, cell)
+      actions += (("compact", cell, s"files $b -> $a"))
+    }
+    actions.toSeq
   }
 }

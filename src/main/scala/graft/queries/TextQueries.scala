@@ -986,6 +986,123 @@ object TextQueries {
     ),
     // ------------------------------------------------------------------
     QueryDef(
+      "q_dedup_clusters_edit",
+      (s, dir) => {
+        // EDIT (changed-document re-ingest) through the cluster map —
+        // the remove-then-add verb (operators.IncrementalClusters
+        // .edit), oracled by the equality theorem on an EDITED corpus:
+        // every multi-doc cluster's min-id doc is re-crawled with the
+        // NEXT doc id's original text (a deterministic content swap
+        // both engines replay; the max id, having no successor, keeps
+        // its own text — a no-op edit, also a case worth gating). The
+        // incremental path repairs each edited doc's OLD neighborhood
+        // and re-admits the NEW content against the unedited index;
+        // the oracle re-runs the whole shingle/jaccard/closure chain
+        // on the swapped corpus. Both engines canonicalize to one row
+        // per doc_id first (latest-wins MAX(text) — the curation
+        // stage-0 policy), because an edit is keyed on identity.
+        import graft.operators.{ConnectedComponents, IncrementalClusters, MinHashLsh}
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
+          .localCheckpoint()
+        val toks = docs.select(col("doc_id"), TextKit.tokens(col("text")).as("w"))
+        val prep = MinHashLsh.prepare(toks, "doc_id", "w").localCheckpoint()
+        val pairs = MinHashLsh
+          .verify(prep, MinHashLsh.candidates(prep, "doc_id"), "doc_id", 0.8)
+          .select(col("d1"), col("d2")).localCheckpoint()
+        val fullMap = docs.select(col("doc_id"))
+          .join(
+            ConnectedComponents.labels(pairs).withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .localCheckpoint()
+        val edited = fullMap.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("cluster").as("doc_id"))
+        // new content: the next id's ORIGINAL text, own text fallback
+        val newDocs = edited
+          .join(docs.select(col("doc_id"), col("text").as("own")), Seq("doc_id"))
+          .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("nxt")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            TextKit.tokens(coalesce(col("nxt"), col("own"))).as("w"))
+        val newPrep = MinHashLsh.prepare(newDocs, "doc_id", "w").localCheckpoint()
+        // old-neighborhood survivor edges: the verified pairs minus any
+        // touching an edited endpoint (remove()'s repair input)
+        val survEdges = pairs
+          .join(edited.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+          .join(edited.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+          .select(col("d1"), col("d2"))
+        // new-content edges vs the UNEDITED rest of the index, and
+        // among the edited docs themselves
+        val restIdx = MinHashLsh.index(
+          prep.join(edited, Seq("doc_id"), "left_anti"), "doc_id")
+        val cross = MinHashLsh.verifyAgainst(newPrep, restIdx,
+          MinHashLsh.candidatesAgainst(newPrep, restIdx, "doc_id"), "doc_id", 0.8)
+          .select(col("d_new"), col("d_old"))
+        val inBatch = MinHashLsh
+          .verify(newPrep, MinHashLsh.candidates(newPrep, "doc_id"), "doc_id", 0.8)
+          .select(col("d1"), col("d2"))
+        val delta = IncrementalClusters
+          .edit(fullMap, edited, survEdges, cross, inBatch)
+          .localCheckpoint()
+        fullMap
+          .join(edited, Seq("doc_id"), "left_anti")
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .select(col("doc_id"), col("cluster").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t0 AS (SELECT doc_id, MAX(text) AS text FROM documents
+                 WHERE doc_id IS NOT NULL GROUP BY doc_id),
+        t AS (SELECT doc_id, $wordsSql AS w FROM t0),
+        d AS (SELECT doc_id, $shinglesSql AS ss FROM t WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM d),
+        n AS (SELECT doc_id, len(ss) AS n FROM d),
+        shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM shared
+          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE shared / (n1.n + n2.n - shared) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+        fullmap AS (SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id
+                    FROM t0 LEFT JOIN clus USING (doc_id)),
+        edited AS (SELECT cluster_id AS doc_id FROM fullmap
+                   GROUP BY cluster_id HAVING COUNT(*) >= 2),
+        t2 AS (SELECT a.doc_id,
+                 CASE WHEN a.doc_id IN (SELECT doc_id FROM edited)
+                      THEN COALESCE(b.text, a.text) ELSE a.text END AS text
+               FROM t0 a LEFT JOIN t0 b ON b.doc_id = a.doc_id + 1),
+        tt2 AS (SELECT doc_id, $wordsSql AS w FROM t2),
+        dd2 AS (SELECT doc_id, $shinglesSql AS ss FROM tt2 WHERE len(w) >= 3),
+        ex2 AS (SELECT doc_id, unnest(ss) AS s FROM dd2),
+        n2 AS (SELECT doc_id, len(ss) AS n FROM dd2),
+        shared2 AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS shared
+          FROM ex2 x JOIN ex2 y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        pairs2 AS (SELECT d1, d2 FROM shared2
+          JOIN n2 a2 ON d1 = a2.doc_id JOIN n2 b2 ON d2 = b2.doc_id
+          WHERE shared / (a2.n + b2.n - shared) >= 0.8),
+        edges2 AS (SELECT d1 AS a, d2 AS b FROM pairs2
+                   UNION SELECT d2, d1 FROM pairs2),
+        reach2(a, b) AS (
+          SELECT a, b FROM edges2
+          UNION
+          SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a),
+        clus2 AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                  FROM reach2 GROUP BY a)
+        SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id
+        FROM t0 LEFT JOIN clus2 USING (doc_id) ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
       "q_dedup_clusters",
       (s, dir) => {
         // Near-dup CLUSTERING: pairs alone don't dedup — the canonical

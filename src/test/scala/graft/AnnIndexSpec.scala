@@ -40,6 +40,18 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
   private def corpusN(n: Int) = corpusDf(spark.range(n).toDF("id"))
 
+  /** The sidecar invariant every lifecycle verb must preserve: the
+    * id->cell map holds exactly the corpus's (vec_id, cell) pairs.
+    */
+  private def assertIdMapConsistent(root: String): Unit = {
+    val corpus = spark.read.parquet(s"$root/corpus").select(col("vec_id"), col("cell"))
+    val idmap = spark.read.parquet(s"$root/idmap").select(col("vec_id"), col("cell"))
+    withClue("id->cell sidecar diverged from the corpus: ") {
+      idmap.count() shouldBe corpus.count()
+      idmap.join(corpus, Seq("vec_id", "cell"), "left_anti").count() shouldBe 0L
+    }
+  }
+
   test("build -> partitioned parquet -> fresh read -> PRUNED search finds planted neighbors") {
     val root = Files.createTempDirectory("graft-ann-idx").toString
     val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
@@ -254,6 +266,135 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     withClue("the trigger-1 admission must be the near-copy's top-1: ") {
       top.filter(col("nid") === 3000L).count() shouldBe 1L
     }
+  }
+
+  test("id->cell sidecar: consistent through every lifecycle verb, heals from dirty and from missing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-idmap").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(300), k = 6, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    assertIdMapConsistent(root)
+
+    AnnIndex.upsert(root, corpusDf(spark.range(300, 340).toDF("id")), dim = dim)
+    assertIdMapConsistent(root)
+
+    // latest-wins re-ingest: the same ids with DIFFERENT content
+    // (vectors minted from another direction family) must REPLACE, not
+    // duplicate — one row per id, new bytes, sidecar still exact
+    val before310 = spark.read.parquet(s"$root/corpus")
+      .filter(col("vec_id") === 310L).select("q8").head.getSeq[Byte](0)
+    AnnIndex.upsert(root,
+      corpusDf(spark.range(700, 706).toDF("id"))
+        .withColumn("vec_id", col("vec_id") - 390L),
+      dim = dim)
+    val corpusNow = spark.read.parquet(s"$root/corpus")
+    corpusNow.count() shouldBe 340L
+    corpusNow.filter(col("vec_id").between(310L, 315L))
+      .groupBy("vec_id").count().filter(col("count") =!= 1).count() shouldBe 0L
+    corpusNow.filter(col("vec_id") === 310L)
+      .select("q8").head.getSeq[Byte](0) should not equal before310
+    assertIdMapConsistent(root)
+
+    AnnIndex.delete(root, Seq(5L, 305L, 9999L).toDF("vec_id")) shouldBe 2L
+    assertIdMapConsistent(root)
+    val fat = AnnIndex.drift(spark, root).orderBy(col("n_now").desc).head.getAs[Int]("cell")
+    AnnIndex.splitCell(root, fat, dim = dim)
+    assertIdMapConsistent(root)
+    val small = AnnIndex.drift(spark, root).orderBy(col("n_now").asc).head.getAs[Int]("cell")
+    AnnIndex.mergeCell(root, small)
+    assertIdMapConsistent(root)
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash inside a mutation: the dirty sentinel survives and the
+    // sidecar may be arbitrarily wrong — heal must rebuild it from the
+    // corpus (simulated by corrupting the map, then leaving the flag)
+    spark.read.parquet(s"$root/corpus").select(col("vec_id"), col("cell"))
+      .limit(3).withColumn("cell", lit(999))
+      .withColumn("shard", expr(s"CAST(vec_id DIV ${AnnIndex.IdMapShardSize} AS INT)"))
+      .withColumn("batch_id", lit(0L))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/idmap")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/idmap.__dirty"), true).close()
+    AnnIndex.openIndex(spark, root) // heal runs under the lease
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap.__dirty")) shouldBe false
+    assertIdMapConsistent(root)
+
+    // pre-sidecar index (migration): no idmap at all -> rebuilt on the
+    // first entry, and delete works immediately after
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/idmap"), true)
+    AnnIndex.delete(root, Seq(7L).toDF("vec_id")) shouldBe 1L
+    assertIdMapConsistent(root)
+  }
+
+  test("maintain autopilot: one policy pass splits the fat cell, merges the bled cell, compacts everything") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-maint").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(300), k = 6, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+
+    // skew + fragmentation in one move: 8 small batches, all minted
+    // from direction family 0 (ids ≡ 0 mod 8), so ONE cell absorbs
+    // ~200 new members AND piles up 8 append files
+    for (i <- 0 until 8)
+      AnnIndex.upsert(root,
+        corpusDf(spark.range(0, 25).select((col("id") * 8 + 1000 + i * 200).as("id"))),
+        dim = dim)
+    // bleed the smallest cell to near-empty (the merge signal)
+    val pops = spark.read.parquet(s"$root/corpus")
+      .groupBy("cell").count().orderBy(col("count").asc).collect()
+    val bled = pops.head.getInt(0)
+    val victims = spark.read.parquet(s"$root/corpus")
+      .filter(col("cell") === bled).select("vec_id")
+      .orderBy("vec_id").collect().map(_.getLong(0)).drop(1)
+    AnnIndex.delete(root, victims.toSeq.toDF("vec_id")) shouldBe victims.length.toLong
+    val totalRows = 300L + 200L - victims.length
+
+    val plan = AnnIndex.maintain(root,
+      maxFilesPerCell = 3, splitSkew = 1.8, mergeFraction = 0.15, minK = 4, dim = dim)
+    val verbs = plan.map(_._1).toSet
+    withClue(s"plan was: $plan ") {
+      verbs should contain("split")
+      verbs should contain("merge")
+      verbs should contain("compact")
+    }
+
+    // every action durable, nothing lost, layout settled
+    val (c2, v2) = AnnIndex.openIndex(spark, root)
+    v2.count() shouldBe totalRows
+    assertIdMapConsistent(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/corpus"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    cellDirs.foreach { d =>
+      val n = fs.listStatus(d.getPath)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      withClue(s"cell dir ${d.getPath.getName} still fragmented: ") {
+        n should be <= 3
+      }
+    }
+    // the bled cell is gone (merged away), the fat cell's skew absorbed
+    c2.filter(col("cell") === bled).count() shouldBe 0L
+
+    // a second pass over the now-healthy index is a NO-OP — the policy
+    // is idempotent at the plan level (thresholds relaxed past the
+    // settled state: no cell is 3x the mean, <2% of it, or fragmented)
+    AnnIndex.maintain(root,
+      maxFilesPerCell = 3, splitSkew = 3.0, mergeFraction = 0.02, minK = 4,
+      dim = dim) shouldBe empty
+
+    // planted recall survives maintenance: query the families that
+    // kept their members
+    val deleted = victims.toSet
+    val queries = corpusN(300)
+      .filter(col("vec_id") % 50 === 1)
+      .filter(!col("vec_id").isInCollection(deleted.toSeq) &&
+        !(col("vec_id") - 1).isInCollection(deleted.toSeq))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val hits = AnnIndex.search(c2, v2, queries, nprobe = 2, topK = 1, dim = dim)
+      .filter(col("nid") === col("qid") - 1).count()
+    hits.toDouble / queries.count() should be >= 0.8
   }
 
   test("delete retracts vectors: gone from serving, untouched cells keep files, shrink visible in drift") {
