@@ -467,6 +467,163 @@ object Media {
   }
 
   // ----------------------------------------------------------------
+  // Spectral audio — the frequency-domain rung past audioFeatures'
+  // time-domain RMS: per-window FFT (graft.functions.Dsp), dominant
+  // bin, band routing, and two closed-form verdicts. The fixture
+  // plants a PURE TONE at an integer bin k of the 512-sample window,
+  // so the spectrum is known in closed form: all signal energy sits
+  // in bin k (plus its conjugate, folded by the one-sided weights),
+  // the int16 rounding noise floor is ~8 orders of magnitude below
+  // the peak, and Parseval ties the spectral energy to the exact
+  // integer time-domain energy — three properties the DuckDB oracle
+  // replays without computing a single transform.
+  // ----------------------------------------------------------------
+
+  /** Planted-tone fixture parameters (floorMod everywhere so hostile
+    * negative ids/n_chars replay identically in Spark and DuckDB).
+    * The bin stays in [3, 202] — strictly inside (0, 256), so the
+    * peak is never DC or Nyquist and the conjugate weight is always 2.
+    */
+  def fixtureToneBin(docId: Long): Int = 3 + java.lang.Math.floorMod(docId, 200L).toInt
+  def fixtureToneAmp(docId: Long): Int = 6000 + java.lang.Math.floorMod(docId, 50L).toInt * 40
+  def fixtureToneNumSamples(nChars: Long): Int =
+    512 * (1 + java.lang.Math.floorMod(nChars, 3L).toInt)
+
+  /** One int16 sample of the planted tone. An integer-bin sine has
+    * period dividing the window, so every 512-window of the signal is
+    * identical; `i % 512` keeps the float argument small and the
+    * replay exact at any sample index.
+    */
+  def fixtureToneSample(docId: Long, i: Int): Short = {
+    val k = fixtureToneBin(docId)
+    val a = fixtureToneAmp(docId)
+    math.round(a * math.sin(2.0 * math.Pi * k * (i % 512) / 512.0)).toShort
+  }
+
+  /** Tone variant of [[fromDocumentsAudio]]: same genuine WAV
+    * container, waveform = the planted pure tone.
+    */
+  def fromDocumentsAudioTone(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .na.drop(Seq("doc_id", "text", "n_chars"))
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("lang"),
+        col("n_chars")
+      )
+      .as[(Long, Array[Byte], String, String, Long)]
+      .map { case (id, payload, source, lang, nChars) =>
+        val pcm = Array.tabulate(fixtureToneNumSamples(nChars))(i => fixtureToneSample(id, i))
+        MediaRecord(id, wavContainer(fixtureSampleRate(nChars), pcm, payload), source, lang, nChars)
+      }
+  }
+
+  /** Per-document spectral features: real parse + per-window FFT +
+    * closed-form verdicts (see [[audioSpectral]]).
+    */
+  final case class SpectralFeatures(
+      doc_id: Long,
+      source: String,
+      n_samples: Int,
+      n_frames: Int,
+      peak_bin: Int,
+      peak_band: Int,
+      tone_purity_ok: Boolean,
+      parseval_ok: Boolean
+  )
+
+  /** Frequency-domain feature extraction over partitions: parse the
+    * RIFF layout (same mono/16-bit/PCM gate as [[audioFeatures]]),
+    * window the PCM into non-overlapping FULL `frameLen`-sample frames
+    * (a partial tail is excluded from BOTH the transform and the
+    * time-energy side, keeping Parseval an equality), run
+    * [[Dsp.magnitudeSpectrum]] per frame, and reduce to:
+    *
+    *  - `peak_bin`: argmax of the frame-summed one-sided power
+    *    spectrum (ties -> lowest bin; deterministic on any
+    *    partitioning because the reduction is per document);
+    *  - `peak_band`: `peak_bin / (frameLen/16)` — which of the 16
+    *    equal bands of the positive spectrum carries the peak (the
+    *    band-energy routing a real pipeline bucketizes on);
+    *  - `tone_purity_ok`: >= 99.9% of the spectral energy in the peak
+    *    bin (conjugate-weighted) — TRUE for a planted pure tone whose
+    *    int16 rounding noise is orders of magnitude down, FALSE the
+    *    moment the transform desyncs (wrong twiddle, off-by-one
+    *    bit-reversal, transposed butterflies);
+    *  - `parseval_ok`: the one-sided weighted spectral energy equals
+    *    frameLen x the exact integer time-domain energy to 1e-6
+    *    relative — the conservation law any correct DFT satisfies.
+    *
+    * Documents shorter than one full window are dropped (no spectrum
+    * to report), mirroring the unparseable-payload policy.
+    */
+  def audioSpectral(media: Dataset[MediaRecord], frameLen: Int = 512): Dataset[SpectralFeatures] = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen $frameLen must be a power of two (radix-2 FFT)")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        parseWav(r.bytes)
+          .filter(w => w.audioFormat == 1 && w.channels == 1 && w.bitsPerSample == 16)
+          .filter(w => w.dataLen / 2 >= frameLen)
+          .map { w =>
+            val n = w.dataLen / 2
+            val nFrames = n / frameLen
+            def sample(j: Int): Int = {
+              val o = w.dataOffset + 2 * j
+              (r.bytes(o) & 0xff) | (r.bytes(o + 1).toInt << 8)
+            }
+            val nBins = frameLen / 2 + 1
+            val power = new Array[Double](nBins) // frame-summed |X[k]|^2
+            var timeE = 0L // exact integer sum x^2 over transformed samples
+            val buf = new Array[Double](frameLen)
+            var f = 0
+            while (f < nFrames) {
+              var j = 0
+              while (j < frameLen) {
+                val v = sample(f * frameLen + j)
+                buf(j) = v
+                timeE += v.toLong * v
+                j += 1
+              }
+              val mag = Dsp.magnitudeSpectrum(buf)
+              var k = 0
+              while (k < nBins) { power(k) += mag(k) * mag(k); k += 1 }
+              f += 1
+            }
+            // one-sided Parseval weights: DC and Nyquist appear once in
+            // the full spectrum, every interior bin twice (conjugate)
+            var eSpec = 0.0
+            var peak = 0
+            var k = 0
+            while (k < nBins) {
+              val wgt = if (k == 0 || k == frameLen / 2) 1.0 else 2.0
+              eSpec += wgt * power(k)
+              if (power(k) > power(peak)) peak = k
+              k += 1
+            }
+            val eTime = frameLen.toDouble * timeE.toDouble
+            val wPeak = if (peak == 0 || peak == frameLen / 2) 1.0 else 2.0
+            val purity = if (eSpec > 0) wPeak * power(peak) / eSpec else 0.0
+            SpectralFeatures(
+              doc_id = r.doc_id,
+              source = r.source,
+              n_samples = n,
+              n_frames = nFrames,
+              peak_bin = peak,
+              peak_band = peak / (frameLen / 16),
+              tone_purity_ok = purity >= 0.999,
+              parseval_ok = math.abs(eSpec - eTime) <= 1e-6 * math.max(eTime, 1.0)
+            )
+          }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
   // BMP — the PIXEL-LEVEL image rung (judge r10 item 5): the other
   // image paths stop at container headers because their codecs
   // (DEFLATE, DCT, LZW) need libraries this build doesn't ship; BMP's

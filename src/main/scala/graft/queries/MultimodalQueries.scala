@@ -257,6 +257,45 @@ object MultimodalQueries {
                ROUND(MAX(CASE WHEN fi = 0 THEN rms END), 6) AS first_rms,
                ROUND(MAX(rms), 6) AS max_rms
         FROM r GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_multimodal_audio_spectral",
+      (s, dir) => {
+        // FREQUENCY-domain audio rung (past q_multimodal_audio's
+        // time-domain RMS): every document carries a genuine WAV whose
+        // PCM is a PURE TONE planted at integer bin k = 3 + doc_id %
+        // 200 of the 512-sample analysis window; Media.audioSpectral
+        // parses the container, windows the PCM, runs a real radix-2
+        // FFT per window (graft.functions.Dsp — DspSpec pins it
+        // against the O(N^2) DFT, Parseval, and planted tones), and
+        // reduces to the dominant bin, its band, and two closed-form
+        // verdicts. An integer-bin tone concentrates ALL its energy in
+        // bin k (one-sided conjugate weight folded in) with the int16
+        // rounding noise ~8 orders of magnitude down, so the oracle
+        // replays peak_bin/peak_band from the fixture formula and pins
+        // both verdicts TRUE without computing a transform — any FFT
+        // desync (twiddle sign, bit-reversal off-by-one, transposed
+        // butterfly) moves the peak or breaks Parseval and flips the
+        // hash loudly.
+        val media = Media.fromDocumentsAudioTone(s, Tables(s, dir, "documents"))
+        Media.audioSpectral(media, frameLen = 512)
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, source,
+                 CAST(512 * (1 + ((n_chars % 3 + 3) % 3)) AS INTEGER) AS n_samples,
+                 CAST(3 + ((doc_id % 200 + 200) % 200) AS INTEGER) AS peak_bin
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)
+        SELECT doc_id, source, n_samples,
+               CAST(n_samples // 512 AS INTEGER) AS n_frames,
+               peak_bin,
+               CAST(peak_bin // 32 AS INTEGER) AS peak_band,
+               TRUE AS tone_purity_ok,
+               TRUE AS parseval_ok
+        FROM f ORDER BY doc_id""")
     )
   )
 }
