@@ -70,18 +70,28 @@ object AnnIndex {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
+    // the PERSISTED layout's id column is always `vec_id` long —
+    // `idCol` names the INPUT column and is normalized at this
+    // boundary, so every later lifecycle verb (delete/splitCell/
+    // rebuildIdMap key on "vec_id") works on an index ingested under
+    // any id name (r13 advice, low: the configurable-name/hardcoded-
+    // key split was an API trap). One row per id (dropDuplicates
+    // AFTER the degenerate filter, so a valid duplicate beats a
+    // degenerate one) keeps the idmap sidecar's one-row-per-id shape.
     val base = emb
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol), VectorKit.toDouble(col(vecCol), dim).as("e"))
+      .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        VectorKit.toDouble(col(vecCol), dim).as("e"))
       .withColumn("nrm", VectorKit.norm(col("e")))
       .filter(VectorKit.normalizable(col("nrm")))
+      .dropDuplicates("vec_id")
       .withColumn("fv", array_to_vector(col("e")))
       .persist()
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").fit(base)
     val corpus = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .select(
-        col(idCol),
+        col("vec_id"),
         col("cell"),
         // tinyint carrier: the actual 8x at-rest footprint. quantize8
         // proves int8-representability (PropertySpec), so the cast is
@@ -117,14 +127,26 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // dirty-first: a crash anywhere before the sidecar is complete
-    // leaves the sentinel, and the next heal rebuilds the sidecar from
-    // the corpus — the tables can never silently disagree
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    fs.create(idMapDirty(root, fs), true).close()
-    centroids.write.mode("overwrite").parquet(s"$root/centroids")
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
-    rebuildIdMap(spark, root, fs)
+    graft.streaming.Streaming.withWriterLease(fs, root) {
+      // A rebuild over an existing root is a NEW GENERATION: purge
+      // every swap-protocol leftover of the old one first. A committed
+      // `corpus.__stage` left by a crashed maintenance verb would
+      // otherwise be rolled FORWARD by the next heal INTO the freshly
+      // rebuilt corpus — resurrecting stale cell directories and
+      // silently desyncing the new idmap (r13 advice, medium); the
+      // idmap stage and the centroid swap files carry the same hazard.
+      for (leftover <- Seq("corpus.__stage", "corpus.__oldparts",
+          "idmap.__stage", "idmap.__oldparts", "centroids.__old", "centroids.__tmp"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$leftover"), true)
+      // dirty-first: a crash anywhere before the sidecar is complete
+      // leaves the sentinel, and the next heal rebuilds the sidecar from
+      // the corpus — the tables can never silently disagree
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      fs.create(idMapDirty(root, fs), true).close()
+      centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
+      rebuildIdMap(spark, root, fs)
+    }
   }
 
   /** Id-range width of one sidecar shard: a delete batch's ids map to
@@ -197,7 +219,10 @@ object AnnIndex {
     * only ever ADD ids that [[upsert]] just guaranteed absent).
     */
   private def appendIdMap(rows: DataFrame, root: String): Unit =
-    rows.select(col("vec_id"), col("cell"),
+    // vec_id re-cast defensively: every appended file must carry the
+    // same long type as rebuildIdMap's corpus-derived sidecar, or a
+    // later parquet read fails on schema conflict (r13 advice, low)
+    rows.select(col("vec_id").cast("long").as("vec_id"), col("cell"),
       expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
       lit(0L).as("batch_id"))
       .write.mode("append").partitionBy("shard").parquet(s"$root/idmap")
@@ -212,8 +237,12 @@ object AnnIndex {
   def openIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONLY the contended-lease case skips healing (that writer owns
+    // the layout and will heal); any other failure inside the leased
+    // heal is real and must surface, not read as "live writer" (r13
+    // advice, low)
     try graft.streaming.Streaming.withWriterLease(fs, root) { heal(spark, root, fs) }
-    catch { case _: IllegalStateException => () } // live writer: it heals
+    catch { case _: graft.streaming.Streaming.LeaseHeldException => () } // live writer: it heals
     (spark.read.parquet(s"$root/centroids"), spark.read.parquet(s"$root/corpus"))
   }
 
@@ -430,13 +459,21 @@ object AnnIndex {
     // originals. Heal FIRST, then append.
     heal(spark, root, fs)
     val centroids = spark.read.parquet(s"$root/centroids")
+    // id normalized to `vec_id` long at the boundary (the [[build]]
+    // contract), and IN-BATCH duplicate ids collapsed to one row
+    // (dropDuplicates AFTER the degenerate filter so a valid duplicate
+    // beats a degenerate one): a batch carrying the same id twice
+    // would otherwise append two corpus rows and two sidecar rows,
+    // breaking the documented one-row-per-id shape (r13 advice, low)
     val base = newVectors
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol), VectorKit.toDouble(col(vecCol), dim).as("e"))
+      .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        VectorKit.toDouble(col(vecCol), dim).as("e"))
       .withColumn("nrm", VectorKit.norm(col("e")))
       .filter(VectorKit.normalizable(col("nrm")))
+      .dropDuplicates("vec_id")
       .select(
-        col(idCol),
+        col("vec_id"),
         col("e"),
         transform(VectorKit.quantize8(col("e"), col("nrm")), x => x.cast(ByteType))
           .as("q8"),
@@ -444,18 +481,17 @@ object AnnIndex {
       .localCheckpoint()
     val rows = base
       .join(
-        assignCells(centroids, base.select(col(idCol), col("e")), nprobe = 1)
-          .select(col("__aid").as(idCol), col("cell")),
-        Seq(idCol))
-      .select(col(idCol), col("q8"), col("nrm"), col("cell"))
+        assignCells(centroids, base.select(col("vec_id"), col("e")), nprobe = 1)
+          .select(col("__aid").as("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("q8"), col("nrm"), col("cell"))
       .localCheckpoint()
     withIdMapDirty(fs, root) {
       // latest-wins: a re-ingested id (an upstream re-crawl) REPLACES
       // its rows — discovery through the sidecar is shard-pruned, so
       // the uniqueness guarantee costs O(batch), and it is what keeps
       // the sidecar's one-row-per-id shape exact
-      val idKeys = rows.select(col(idCol).cast("long").as("vec_id"))
-        .distinct().localCheckpoint()
+      val idKeys = rows.select(col("vec_id")).distinct().localCheckpoint()
       val shards = idKeys
         .select(expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -477,7 +513,7 @@ object AnnIndex {
         }
       }
       rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
-      appendIdMap(rows.select(col(idCol).as("vec_id"), col("cell")), root)
+      appendIdMap(rows.select(col("vec_id"), col("cell")), root)
     }
     base.count()
     }

@@ -599,4 +599,66 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     AnnIndex.upsert(root, bad, vecCol = "e", dim = dim) shouldBe 0L
     AnnIndex.openIndex(spark, root)._2.filter(col("vec_id") >= 1000L).count() shouldBe 0
   }
+
+  test("writeIndex over an existing root purges stale swap leftovers: a prior generation's committed stage is never rolled forward into the rebuild") {
+    val root = Files.createTempDirectory("graft-ann-rebuild").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (c0, v0) = AnnIndex.build(corpusN(200), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(c0, v0, root)
+
+    // simulate a maintenance verb that crashed AFTER committing its
+    // stage: a stage dir with the commit marker holding a poison cell
+    // that exists nowhere in the next generation
+    val stage = new org.apache.hadoop.fs.Path(s"$root/corpus.__stage")
+    spark.read.parquet(s"$root/corpus").filter(col("cell") === 0)
+      .withColumn("cell", lit(999))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage,
+      graft.streaming.Streaming.StageCommitMarker), true).close()
+
+    // retrain into the SAME root (the r13 advisor's medium scenario)
+    val (c1, v1) = AnnIndex.build(corpusN(300), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(c1, v1, root)
+
+    // the next heal (openIndex takes the lease) must see a CLEAN
+    // layout: no stage to roll forward, no resurrected poison cell,
+    // idmap in lockstep with the rebuilt corpus
+    val (_, corpus) = AnnIndex.openIndex(spark, root)
+    fs.exists(stage) shouldBe false
+    corpus.filter(col("cell") === 999).count() shouldBe 0L
+    corpus.count() shouldBe 300L
+    assertIdMapConsistent(root)
+  }
+
+  test("upsert collapses in-batch duplicate ids: one corpus row, one sidecar row per id") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-dup").toString
+    val (c, v) = AnnIndex.build(corpusN(100), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(c, v, root)
+    // the same id three times in ONE batch (an upstream replay), one
+    // of them degenerate — the degenerate copy must not win the dedup
+    val batch = corpusDf(Seq(500L, 500L).toDF("id"))
+      .unionByName(Seq((500L, Seq.fill(dim)(0.0))).toDF("vec_id", "e"))
+    AnnIndex.upsert(root, batch, vecCol = "e", dim = dim) shouldBe 1L
+    val (_, corpus) = AnnIndex.openIndex(spark, root)
+    corpus.filter(col("vec_id") === 500L).count() shouldBe 1L
+    assertIdMapConsistent(root)
+  }
+
+  test("a non-default input id column is normalized to vec_id at the boundary; later verbs work") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-idcol").toString
+    val named = corpusN(120).withColumnRenamed("vec_id", "doc_id")
+    val (c, v) = AnnIndex.build(named, k = 4, idCol = "doc_id", vecCol = "e", dim = dim)
+    v.columns should contain("vec_id") // normalized on the persisted layout
+    AnnIndex.writeIndex(c, v, root)
+    AnnIndex.upsert(root,
+      corpusDf(Seq(300L).toDF("id")).withColumnRenamed("vec_id", "doc_id"),
+      idCol = "doc_id", vecCol = "e", dim = dim) shouldBe 1L
+    // lifecycle verbs key on the normalized column regardless of the
+    // ingest-time name (the r13 advisor's API trap)
+    AnnIndex.delete(root, Seq(3L, 300L).toDF("vec_id")) shouldBe 2L
+    assertIdMapConsistent(root)
+  }
 }
