@@ -566,6 +566,9 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     fs.mkdirs(new org.apache.hadoop.fs.Path(corpusPath, "cell=77"))
     fs.rename(donor,
       new org.apache.hadoop.fs.Path(corpusPath, s"cell=77/${donor.getName}"))
+    // in the real window-2 crash the corpus swap COMPLETED, so its
+    // manifest bump happened too — mirror that for the fabricated move
+    graft.streaming.Streaming.writeManifest(fs, corpusPath, None)
     val repaired = AnnIndex.repairOrphanCells(spark, root)
     repaired shouldBe Seq(77)
     val (c2, v2) = AnnIndex.openIndex(spark, root)

@@ -225,7 +225,9 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     table.map(_._1) shouldBe Array(1L, 2L, 3L)
     table(0)._2 shouldBe ts(30)
     table(1)._2 shouldBe ts(20) // survived the simulated crash
-    fs.exists(new org.apache.hadoop.fs.Path(target + ".__old")) shouldBe false
+    withClue("the replaced generation is RETAINED for pinned readers until the next swap: ") {
+      fs.exists(new org.apache.hadoop.fs.Path(target + ".__old")) shouldBe true
+    }
   }
 
   test("built-in session_window works under a watermark in streaming mode") {

@@ -62,7 +62,9 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     t.filter(col("doc_id") === 75L).select("payload").head.getString(0) shouldBe "v2-75"
     t.filter(col("doc_id") === 10L).select("payload").head.getString(0) shouldBe "v1-10"
     fs.exists(new Path(target + ".__stage")) shouldBe false
-    fs.exists(new Path(target + ".__oldparts")) shouldBe false
+    withClue("the pre-crash generation's aside copy is RETAINED for pinned readers: ") {
+      fs.exists(new Path(target + ".__oldparts/shard=1")) shouldBe true
+    }
   }
 
   test("the split shape: one staged dir replaces a live dir, a second is brand new — rolls forward whole") {
