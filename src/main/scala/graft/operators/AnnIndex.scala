@@ -86,6 +86,17 @@ object AnnIndex {
       .filter(VectorKit.normalizable(col("nrm")))
       .dropDuplicates("vec_id")
       .withColumn("fv", array_to_vector(col("e")))
+      // pin the training layout: k-means|| init and the per-iteration
+      // float aggregations are deterministic only GIVEN the input's
+      // partitioning and order, which otherwise float with the
+      // session's parallelism — a hash repartition on the id into a
+      // FIXED partition count plus a within-partition sort makes the
+      // trained quantizer a pure function of the corpus, so an index
+      // built on a 4-core driver and one built on a 1000-executor
+      // cluster route identically (and the serve rung's recall
+      // contract is evaluable once, not per environment)
+      .repartition(32, col("vec_id"))
+      .sortWithinPartitions("vec_id")
       .persist()
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").fit(base)
     val corpus = model.transform(base)
