@@ -467,6 +467,287 @@ object Media {
   }
 
   // ----------------------------------------------------------------
+  // Video (AVI + MJPEG) — the container x codec COMPOSITION rung: a
+  // real RIFF-AVI walker (the parseWav chunk discipline, two levels
+  // deep) over frames carried as genuine baseline JPEGs
+  // (functions.Jpeg), closing the brief's remaining multimodal shape:
+  // real container, real lossy codec, per-frame decode + stride
+  // sampling. MJPEG is the honest choice here for the same reason BMP
+  // was for pixels: it is a REAL, historically common video-in-AVI
+  // encoding whose frame codec this build already implements end to
+  // end — no stubbed inter-frame prediction pretending to be H.264.
+  // ----------------------------------------------------------------
+
+  /** Parsed AVI layout: header fields from `avih`, and the offset/len
+    * of every video-frame (`..dc`/`..db`) payload inside `movi`.
+    */
+  final case class AviInfo(
+      width: Int,
+      height: Int,
+      usPerFrame: Int,
+      totalFrames: Int,
+      frames: Seq[(Int, Int)]
+  )
+
+  /** Build a genuine AVI-MJPEG container: RIFF/`AVI ` with a `hdrl`
+    * LIST (56-byte `avih`, `strl` LIST with a `vids`/`MJPG` 56-byte
+    * `strh` and a BITMAPINFOHEADER `strf`), a `movi` LIST carrying one
+    * word-aligned `00dc` chunk per encoded JPEG frame, a conventional
+    * `idx1` (keyframe-flagged, offsets relative to the `movi` fourcc),
+    * and the payload as a trailing `etxt` chunk — every chunk size
+    * real, so any RIFF walker (ours included) traverses it.
+    */
+  def aviMjpegContainer(
+      w: Int,
+      h: Int,
+      usPerFrame: Int,
+      frames: Seq[Array[Byte]],
+      payload: Array[Byte]
+  ): Array[Byte] = {
+    def even(n: Int) = n + (n & 1)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40))) // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + frames.map(f => 8 + even(f.length)).sum
+    val idx1Size = 16 * frames.length
+    val payloadPad = payload.length & 1
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size) +
+      (8 + payload.length + payloadPad)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+    // hdrl
+    fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); out.putInt(56)
+    out.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /* AVIF_HASINDEX */)
+    out.putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+    out.putInt(w).putInt(h)
+    (0 until 4).foreach(_ => out.putInt(0))
+    fourcc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); out.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    out.putInt(0).putShort(0.toShort).putShort(0.toShort).putInt(0)
+    out.putInt(usPerFrame).putInt(1000000) // scale/rate: rate/scale = fps exact
+    out.putInt(0).putInt(frames.length).putInt(maxFrame).putInt(10000).putInt(0)
+    out.putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); out.putInt(40)
+    out.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    fourcc("MJPG")
+    out.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi
+    val moviFourccPos = out.position() + 8 // offsets in idx1 are relative to here
+    fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+    val offsets = frames.map { f =>
+      val rel = out.position() - moviFourccPos
+      fourcc("00dc"); out.putInt(f.length); out.put(f)
+      if ((f.length & 1) == 1) out.put(0.toByte)
+      rel
+    }
+    // idx1
+    fourcc("idx1"); out.putInt(idx1Size)
+    frames.zip(offsets).foreach { case (f, off) =>
+      fourcc("00dc"); out.putInt(0x10 /* AVIIF_KEYFRAME */)
+      out.putInt(off).putInt(f.length)
+    }
+    fourcc("etxt"); out.putInt(payload.length); out.put(payload)
+    if (payloadPad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Real two-level RIFF walker for AVI-MJPEG: verifies `RIFF`/`AVI `,
+    * walks top-level chunks for the `hdrl` LIST (reads the 56-byte
+    * `avih` — frame timing, frame count, dims) and the `movi` LIST
+    * (collects every word-aligned `..dc`/`..db` video chunk's payload
+    * span — the frames come from the WALK, not the header, and not
+    * the optional idx1). Long-advancing and bounds-checked throughout
+    * (the parseWav discipline): corrupt sizes stop the walk, truncated
+    * payloads return None, a crafted size can't overflow into an OOB
+    * read.
+    */
+  def parseAviMjpeg(b: Array[Byte]): Option[AviInfo] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') None
+    else {
+      var width = -1
+      var height = -1
+      var usPerFrame = -1
+      var totalFrames = -1
+      val frames = Seq.newBuilder[(Int, Int)]
+      var sawMovi = false
+      def fourccAt(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val ii = i.toInt
+        val id = fourccAt(ii)
+        val size = le32(b, ii + 4)
+        if (size < 0 || i + 8 + size > b.length) { i = b.length.toLong } // corrupt: stop
+        else {
+          if (id == "LIST" && size >= 4) {
+            val listType = fourccAt(ii + 8)
+            if (listType == "hdrl") {
+              // walk inside hdrl for the avih chunk
+              var j = i + 12
+              val end = i + 8 + size
+              while (j + 8 <= end) {
+                val jj = j.toInt
+                val cid = fourccAt(jj)
+                val csz = le32(b, jj + 4)
+                if (csz < 0 || j + 8 + csz > end) { j = end }
+                else {
+                  if (cid == "avih" && csz >= 40) {
+                    usPerFrame = le32(b, jj + 8)
+                    totalFrames = le32(b, jj + 24)
+                    width = le32(b, jj + 40)
+                    height = le32(b, jj + 44)
+                  }
+                  j += 8L + csz + (csz & 1)
+                }
+              }
+            } else if (listType == "movi") {
+              sawMovi = true
+              var j = i + 12
+              val end = i + 8 + size
+              while (j + 8 <= end) {
+                val jj = j.toInt
+                val cid = fourccAt(jj)
+                val csz = le32(b, jj + 4)
+                if (csz < 0 || j + 8 + csz > end) { j = end }
+                else {
+                  // video chunks: '##dc' (compressed) / '##db' (uncompressed)
+                  if (cid.length == 4 && cid(2) == 'd' && (cid(3) == 'c' || cid(3) == 'b'))
+                    frames += ((jj + 8, csz))
+                  j += 8L + csz + (csz & 1)
+                }
+              }
+            }
+          }
+          i += 8L + size + (size & 1)
+        }
+      }
+      if (width > 0 && height > 0 && usPerFrame > 0 && sawMovi)
+        Some(AviInfo(width, height, usPerFrame, totalFrames, frames.result()))
+      else None
+    }
+  }
+
+  /** Deterministic video fixture parameters (oracle-replayable from
+    * doc_id / n_chars, floorMod against hostile negatives). Frame
+    * dims reuse the JPEG rung's fixture (<= 16x12); frame `f`'s pixel
+    * formula is the BMP/PNG/JPEG fixture formula seeded by
+    * `doc_id + 31(f+1)` so every frame is a DISTINCT image.
+    */
+  def fixtureVideoFrames(nChars: Long): Int = 1 + java.lang.Math.floorMod(nChars, 4L).toInt
+  def fixtureVideoUsPerFrame(nChars: Long): Int =
+    33333 + java.lang.Math.floorMod(nChars, 5L).toInt * 1000
+  def fixtureVideoPixel(docId: Long, f: Int)(x: Int, y: Int): (Int, Int, Int) =
+    fixtureBmpPixel(docId + 31L * (f + 1), x, y)
+
+  /** Video variant of [[fromDocuments]]: each document becomes a
+    * genuine AVI whose `movi` chunks carry real baseline JPEGs of the
+    * fixture frames.
+    */
+  def fromDocumentsVideo(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .na.drop(Seq("doc_id", "text", "n_chars"))
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"),
+        col("lang"),
+        col("n_chars")
+      )
+      .as[(Long, Array[Byte], String, String, Long)]
+      .map { case (id, payload, source, lang, nChars) =>
+        val w = fixtureBmpWidth(nChars)
+        val h = fixtureBmpHeight(nChars)
+        val n = fixtureVideoFrames(nChars)
+        val frames = (0 until n).map(f =>
+          Jpeg.encode(w, h, fixtureVideoPixel(id, f), Array.emptyByteArray))
+        MediaRecord(id,
+          aviMjpegContainer(w, h, fixtureVideoUsPerFrame(nChars), frames, payload),
+          source, lang, nChars)
+      }
+  }
+
+  /** Per-document video frame decode + stride sampling (see
+    * q_multimodal_video_frames).
+    */
+  final case class VideoFrameStats(
+      doc_id: Long,
+      source: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_sampled: Int,
+      last_sampled: Int,
+      duration_ms: Int,
+      dims_ok: Boolean,
+      within_tol: Boolean
+  )
+
+  /** Batch AVI-MJPEG decode over partitions: walk the container, take
+    * every `stride`-th `movi` frame, decode each sampled frame's JPEG
+    * (full pipeline: Huffman, dequant, IDCT, YCbCr->RGB), and reduce
+    * to geometry (header dims vs every decoded frame's dims —
+    * `dims_ok`), stride arithmetic, duration from the PARSED timing,
+    * and the lossy-codec tolerance verdict (`within_tol`: every sample
+    * of every sampled frame within Jpeg.FixtureTolerance of that
+    * frame's formula). Unparseable containers and non-positive strides
+    * are dropped/refused, not fatal; a frame that fails to DECODE
+    * flips dims_ok rather than vanishing silently.
+    */
+  def videoFrameStats(media: Dataset[MediaRecord], stride: Int): Dataset[VideoFrameStats] = {
+    require(stride > 0, s"stride $stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        parseAviMjpeg(rec.bytes).filter(_.frames.nonEmpty).map { avi =>
+          val sampled = avi.frames.indices.by(stride)
+          var dimsOk = avi.totalFrames == avi.frames.length
+          var withinTol = true
+          sampled.foreach { fi =>
+            val (off, len) = avi.frames(fi)
+            Jpeg.decodeRgb(java.util.Arrays.copyOfRange(rec.bytes, off, off + len)) match {
+              case None => dimsOk = false
+              case Some((w, h, rgb)) =>
+                if (w != avi.width || h != avi.height) dimsOk = false
+                else {
+                  var y = 0
+                  while (y < h && withinTol) {
+                    var x = 0
+                    while (x < w && withinTol) {
+                      val p = rgb(y * w + x)
+                      val (r, g, bl) = fixtureVideoPixel(rec.doc_id, fi)(x, y)
+                      val worst = math.max(math.abs(((p >> 16) & 0xff) - r),
+                        math.max(math.abs(((p >> 8) & 0xff) - g), math.abs((p & 0xff) - bl)))
+                      if (worst > Jpeg.FixtureTolerance) withinTol = false
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+            }
+          }
+          VideoFrameStats(
+            doc_id = rec.doc_id,
+            source = rec.source,
+            width = avi.width,
+            height = avi.height,
+            n_frames = avi.frames.length,
+            n_sampled = sampled.length,
+            last_sampled = sampled.last,
+            duration_ms = (avi.frames.length.toLong * avi.usPerFrame / 1000L).toInt,
+            dims_ok = dimsOk,
+            within_tol = withinTol
+          )
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
   // Spectral audio — the frequency-domain rung past audioFeatures'
   // time-domain RMS: per-window FFT (graft.functions.Dsp), dominant
   // bin, band routing, and two closed-form verdicts. The fixture
