@@ -645,6 +645,11 @@ object SimilarityQueries {
           val queries = base.filter(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
             .localCheckpoint()
+          // the eager phase (k count, k-means fit, index write, query
+          // checkpoint) is done — release the cache before handing the
+          // lazy serve plan back (the re-rank/contract passes below
+          // re-read the store, which is exactly the serving shape)
+          base.unpersist()
           val cand = AnnIndex.search(cIdx, vIdx, queries, nprobe = nprobe, topK = candidateK)
             .select(col("qid"), col("nid"))
           // two-tier re-rank: candidates from the int8 index, final

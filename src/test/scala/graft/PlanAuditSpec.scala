@@ -32,6 +32,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // totals row (the same scalar fold-in)
     "q_similarity_ivf_sq8",     // IVF's centroid cross-join + SQ8's
                                 // non-equi broadcast passes, composed
+    "q_similarity_index_serve", // the same composition through the
+                                // PERSISTED index (probe cross-join +
+                                // the recall contract's non-equi
+                                // broadcast brute-force harness)
     "q_quality_classifier",     // docs x broadcast 1-row prior
                                 // (the llrCells scalar fold-in) +
                                 // LUT totals cross-join as in DSIR

@@ -134,6 +134,55 @@ class SnapshotIsolationSpec extends AnyFunSuite with Matchers with SparkSessionS
       .filter(col("payload") === "v2-7").count() shouldBe 1
   }
 
+  test("a LIVE reader racing a stream of swaps never sees a torn view: every successful read is a complete committed generation") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-race").toString + "/t"
+    seed(target) // generation 1: docs 0..99, sum(doc_id) = 4950
+    val nBatches = 12
+    // each writer batch admits ONE new doc, so the complete
+    // generations have KNOWN doc_id sums — a read that dropped a shard
+    // mid-swap could not land on any of them
+    val validSums: Set[Long] =
+      (0 to nBatches).map(i => 4950L + (1 to i).map(j => 100L + j).sum).toSet
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val okReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val residual = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val s = Streaming.readCommitted(spark, target)
+            .agg(sum(col("doc_id"))).head().getLong(0)
+          if (validSums.contains(s)) okReads.incrementAndGet()
+          else torn.incrementAndGet()
+        } catch {
+          // the two LOUD residual channels (documented): retention
+          // overrun (two verbs completed during one read) and a swap
+          // landing between the resolve probe and the scan — both
+          // refuse rather than return partial data, which is the
+          // contract; silent wrongness is what `torn` counts
+          case _: IllegalStateException | _: org.apache.spark.SparkException |
+              _: java.io.FileNotFoundException => residual.incrementAndGet()
+        }
+      }
+    }, "graft-race-reader")
+    reader.start()
+    try {
+      for (i <- 1 to nBatches)
+        Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+          sharded(Seq((100L + i, s"new-$i", 1L + i))), 1L + i)
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    withClue(s"ok=$okReads torn=$torn residual=$residual: ") {
+      torn.get() shouldBe 0
+      okReads.get() should be > 0
+    }
+    // quiesced: the final read is the final generation
+    Streaming.readCommitted(spark, target).count() shouldBe (100L + nBatches)
+  }
+
   test("a table with no manifest falls back to the directory read; retention overrun is refused loudly") {
     val dir = Files.createTempDirectory("graft-nomanifest").toString + "/plain"
     import spark.implicits._
