@@ -1,0 +1,140 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MinHashLsh
+import graft.streaming.Streaming
+
+/** Scale demonstration for the committed-manifest snapshot layer: what
+  * the reader-isolation machinery COSTS at a 1M-row persisted table,
+  * and that a live reader racing a swap storm never sees a torn view.
+  *
+  * The claims under measurement:
+  *  1. the manifest COMMIT is O(touched), not O(table): a
+  *     carry-forward bump (re-list touched shards, inherit the rest
+  *     from the previous generation) must cost a fixed few tens of ms
+  *     regardless of table size, vs the full re-listing which pays one
+  *     FS listing per shard dir;
+  *  2. the PINNED READ (readCommitted: latest-manifest resolve + one
+  *     existence probe per directory + explicit-file-list scan) must
+  *     cost within noise of the plain directory scan — snapshot
+  *     isolation as a near-free default, not a tax;
+  *  3. under a SWAP STORM (single-shard upserts back to back) a
+  *     concurrent reader thread sees ONLY complete committed
+  *     generations (per-generation row counts are all distinct here,
+  *     so a torn read cannot masquerade as a complete one) — loud
+  *     residual refusals allowed, silent wrongness not.
+  *
+  * Usage: runMain graft.tools.ManifestScale [rows] [batches]
+  *
+  * MEASURED (1M rows, 500 shard dirs, local[32], r14): build+write
+  * 5.8 s; manifest bump carry-forward (1 touched shard) 0.020 s vs
+  * full re-list 0.055 s — the ~3x separation at 500 dirs that was
+  * invisible at 10 (both ~20 ms), and it widens linearly with dir
+  * count, which is the 100-TB shape; pinned read 1.21 s vs plain
+  * directory read 1.17 s (min of 3 each — the isolation overhead is
+  * one manifest read + 500 existence probes, 3.5%); swap storm of 20
+  * single-shard upserts at 2.3 s/batch (the per-batch floor is
+  * Spark's table-wide file LISTING before partition pruning — a
+  * direct `target/shard=N` path read would remove it; the merge
+  * itself stays shard-scoped) with a live reader: 22 successful
+  * pinned reads, torn=0, residual=1 (loud), every successful read a
+  * complete committed generation.
+  */
+object ManifestScale {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Session.driverLocal(cpus, "graft-scale-tool")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val v = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[manifest-scale] $name%-38s sec=$s%.3f")
+      (v, s)
+    }
+
+    // 500 shard dirs: enough directories that the O(touched) vs
+    // O(table) listing difference is measurable (at 10 dirs both
+    // bumps cost ~20 ms and the comparison says nothing)
+    val shardSize = math.max(rows / 500, 1L)
+    val target = Files.createTempDirectory("graft-manifest-scale").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def mk(lo: Long, hi: Long, batchId: Long) =
+      MinHashLsh.withShard(
+        spark.range(lo, hi).select(
+          col("id").as("doc_id"),
+          concat(lit("payload-"), col("id")).as("payload"),
+          lit(batchId).as("batch_id")),
+        "doc_id", shardSize)
+
+    time(s"build+write ($rows rows, ${rows / shardSize} shards)") {
+      mk(0L, rows, 1L).write.mode("overwrite").partitionBy("shard").parquet(target)
+      Streaming.writeManifest(fs, target, None)
+    }
+
+    // -- claim 1: manifest bump is O(touched) --------------------------
+    time("manifest bump, carry-forward (1 shard)") {
+      Streaming.writeManifest(fs, target, Some(Set("shard=0")))
+    }
+    time("manifest bump, full re-list (all shards)") {
+      Streaming.writeManifest(fs, target, None)
+    }
+
+    // -- claim 2: pinned read ~ plain read -----------------------------
+    def bench(name: String)(read: => org.apache.spark.sql.DataFrame): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        read.agg(count(lit(1)), sum(col("doc_id"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = ts.min
+      println(f"[manifest-scale] $name%-38s sec=$best%.3f (min of 3)")
+      best
+    }
+    val plain = bench("plain directory read")(spark.read.parquet(target))
+    val pinned = bench("pinned read (readCommitted)")(Streaming.readCommitted(spark, target))
+    println(f"[manifest-scale] isolation overhead: ${pinned - plain}%.3f s " +
+      f"(${100.0 * (pinned - plain) / plain}%.1f%%)")
+
+    // -- claim 3: swap storm with a live reader ------------------------
+    // each batch rewrites ONE shard and adds one brand-new doc, so the
+    // complete generations have strictly increasing, distinct counts
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val residual = new java.util.concurrent.atomic.AtomicInteger(0)
+    val validCounts = (0 to batches).map(i => rows + i).toSet
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = Streaming.readCommitted(spark, target).count()
+          if (validCounts.contains(n)) ok.incrementAndGet() else torn.incrementAndGet()
+        } catch { case _: Throwable => residual.incrementAndGet() }
+      }
+    }, "manifest-scale-reader")
+    reader.start()
+    val (_, stormSec) = time(s"swap storm ($batches single-shard upserts)") {
+      for (i <- 1 to batches)
+        Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+          mk(rows + i - 1, rows + i, 1L + i), 1L + i)
+    }
+    stop = true
+    reader.join(30000)
+    println(f"[manifest-scale] per-batch=${stormSec / batches}%.2f s; " +
+      s"reader: ok=${ok.get()} torn=${torn.get()} residual=${residual.get()} (loud)")
+    require(torn.get() == 0, s"TORN READS: ${torn.get()} — snapshot isolation broke")
+    require(ok.get() > 0, "reader starved — no successful pinned reads during the storm")
+    val finalN = Streaming.readCommitted(spark, target).count()
+    require(finalN == rows + batches, s"final count $finalN != ${rows + batches}")
+    println(s"[manifest-scale] final pinned read: $finalN rows — PASS")
+    spark.stop()
+  }
+}
