@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.defs ++ WindowQueries.defs ++ SetOpQueries.defs ++
       ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ CompositeQueries.defs ++
-      TypedQueries.defs ++ ExtendedRelationalQueries.defs ++ SourceModelQueries.defs
+      TypedQueries.defs ++ ExtendedRelationalQueries.defs ++ SourceModelQueries.defs ++
+      ArchiveQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 
