@@ -99,6 +99,32 @@ object ArchiveQueries {
              FROM documents
              WHERE doc_id IS NOT NULL AND text IS NOT NULL
              ORDER BY doc_id, payload_md5""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_source_warc_gz",
+      (s, dir) => roundTrip(s, dir,
+        // the layout CommonCrawl actually ships: one gzip MEMBER per
+        // record, members concatenated (record-seekable); the parse
+        // side inflates the member chain (JDK Inflater — the PNG
+        // rung's codec, reused) and walks the same WARC framing
+        build = entries => Archive.warcArchiveGz(
+          entries.map { case (id, data) => (s"https://example.org/doc/$id", data) }),
+        explode = (_, bytes) => Archive.parseWarcGz(bytes).toSeq.flatMap {
+          case (inflated, recs) =>
+            recs.filter(_.warcType == "response").map { r =>
+              (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong, r.targetUri,
+                java.util.Arrays.copyOfRange(inflated, r.offset, r.offset + r.length))
+            }
+        }),
+      Some("""SELECT doc_id,
+               CAST(doc_id % 16 AS BIGINT) AS bucket,
+               'https://example.org/doc/' || doc_id AS entry_name,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               md5(text) AS payload_md5
+             FROM documents
+             WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             ORDER BY doc_id, payload_md5""")
     )
   )
 }

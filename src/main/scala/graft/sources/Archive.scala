@@ -155,6 +155,55 @@ object Archive {
     out.toByteArray
   }
 
+  /** Write the `.warc.gz` layout actually distributed at scale
+    * (CommonCrawl): each record is its OWN gzip member, members
+    * concatenated — the shape that lets an index seek to a record's
+    * byte offset and decompress just that member.
+    */
+  def warcArchiveGz(records: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (uri, payload) =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(warcArchive(Seq(uri -> payload)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a (possibly multi-member) gzip stream fully. The JDK's
+    * GZIPInputStream transparently continues into concatenated
+    * members. Returns None for a stream that is not gzip or is
+    * damaged beyond the first member boundary — with everything that
+    * inflated cleanly up to the damage preserved (the tolerant-parser
+    * contract: a truncated tail costs the tail, not the archive).
+    */
+  def gunzipAll(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) None
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } catch {
+        // mid-stream damage: keep the members that inflated whole
+        case _: java.io.IOException =>
+          if (out.size() > 0) Some(out.toByteArray) else None
+      }
+    }
+  }
+
+  /** Walk a `.warc.gz`: inflate the member chain, then the plain WARC
+    * walk. The returned spans index into the INFLATED buffer, which is
+    * also returned (offsets into the compressed input would be
+    * meaningless to a payload reader).
+    */
+  def parseWarcGz(b: Array[Byte]): Option[(Array[Byte], Seq[WarcRecord])] =
+    gunzipAll(b).map(inflated => (inflated, parseWarc(inflated)))
+
   /** Walk a WARC file: find each "WARC/1.0" version line, read the
     * CRLF header block up to the blank line, frame the payload by
     * Content-Length (mandatory — a record without it, or whose

@@ -545,6 +545,62 @@ object Streaming {
     * manifest (not maintained by this module) falls back to the plain
     * directory read.
     */
+  /** Run an ACTION over the pinned snapshot with automatic
+    * re-resolution: the residual race left open by [[readCommitted]]
+    * (a maintenance verb completing between the resolve probe and the
+    * scan, or two verbs overrunning the one-verb retention) surfaces
+    * as a loud task failure — this wrapper catches exactly those,
+    * re-resolves the NEW latest generation, and re-runs `f`, up to
+    * `attempts` times. Each retry reads a newer complete snapshot
+    * (the manifest only ever advances), so the result is always a
+    * consistent generation — the wrapper trades "which one" for
+    * "never torn, never refused", which is what a serving endpoint
+    * wants. Failures that are not the documented race (or exhausted
+    * attempts) propagate.
+    */
+  def withSnapshotRetry[T](
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      attempts: Int = 3
+  )(f: DataFrame => T): T = {
+    def raceSignature(e: Throwable): Boolean = e match {
+      case null => false
+      case ise: IllegalStateException => ise.getMessage != null &&
+        ise.getMessage.contains("retention window was exceeded")
+      case _: java.io.FileNotFoundException => true
+      // the local FS raises NIO's NoSuchFileException (NOT a
+      // FileNotFoundException subclass) for a vanished file's .crc
+      // sidecar, wrapped in FAILED_READ_FILE.NO_HINT
+      case _: java.nio.file.NoSuchFileException => true
+      // the race surfaces at ANALYSIS time too: a pinned file deleted
+      // between the resolve probe and DataFrame creation fails the
+      // reader's path check as PATH_NOT_FOUND before any task runs
+      case ae: org.apache.spark.sql.AnalysisException =>
+        ae.getErrorClass == "PATH_NOT_FOUND" ||
+          (ae.getMessage != null && ae.getMessage.contains("does not exist")) ||
+          raceSignature(ae.getCause)
+      case se: org.apache.spark.SparkException =>
+        (se.getMessage != null &&
+          (se.getMessage.contains("FILE_NOT_EXIST") ||
+            se.getMessage.contains("does not exist"))) ||
+          raceSignature(se.getCause)
+      case e => raceSignature(e.getCause)
+    }
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try {
+        refreshListing(target) // drop any cached listing of the raced layout
+        return f(readCommitted(spark, target))
+      } catch {
+        case e: Throwable if raceSignature(e) => last = e; i += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"snapshot read of $target lost the swap race $attempts times in a row — " +
+        "maintenance is outrunning this reader", last)
+  }
+
   def readCommitted(spark: org.apache.spark.sql.SparkSession, target: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

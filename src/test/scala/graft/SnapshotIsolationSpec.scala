@@ -166,7 +166,32 @@ class SnapshotIsolationSpec extends AnyFunSuite with Matchers with SparkSessionS
         }
       }
     }, "graft-race-reader")
+    // a second reader through the RETRYING endpoint wrapper: the
+    // residual refusals must be absorbed by re-resolution — every
+    // call returns a complete generation, none escape
+    val retryOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retryTorn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retryEscaped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val escapedDetail = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val retryReader = new Thread(() => {
+      while (!stop) {
+        try {
+          val s = Streaming.withSnapshotRetry(spark, target, attempts = 8) { df =>
+            df.agg(sum(col("doc_id"))).head().getLong(0)
+          }
+          if (validSums.contains(s)) retryOk.incrementAndGet() else retryTorn.incrementAndGet()
+        } catch {
+          case e: Throwable =>
+            retryEscaped.incrementAndGet()
+            val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .map(t => s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(200)}")
+              .mkString(" <- ")
+            escapedDetail.set(chain)
+        }
+      }
+    }, "graft-race-retry-reader")
     reader.start()
+    retryReader.start()
     try {
       for (i <- 1 to nBatches)
         Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
@@ -174,10 +199,15 @@ class SnapshotIsolationSpec extends AnyFunSuite with Matchers with SparkSessionS
     } finally {
       stop = true
       reader.join(30000)
+      retryReader.join(30000)
     }
-    withClue(s"ok=$okReads torn=$torn residual=$residual: ") {
+    withClue(s"ok=$okReads torn=$torn residual=$residual retryOk=$retryOk " +
+      s"retryTorn=$retryTorn escaped=[${escapedDetail.get()}]: ") {
       torn.get() shouldBe 0
       okReads.get() should be > 0
+      retryTorn.get() shouldBe 0
+      retryEscaped.get() shouldBe 0
+      retryOk.get() should be > 0
     }
     // quiesced: the final read is the final generation
     Streaming.readCommitted(spark, target).count() shouldBe (100L + nBatches)
