@@ -450,6 +450,29 @@ object AnnIndex {
       .select(col("qid"), col("rk"), col("nid"), col("iscore"))
   }
 
+  /** The SERVING ENDPOINT: answer a query batch against the persisted
+    * index at `root` with snapshot-retry semantics — the composition a
+    * serving fleet actually calls. Each attempt opens the index pinned
+    * to the latest committed manifest generation and collects the
+    * results; if a live maintainer's swap outruns the read (the
+    * documented loud residual), the NEXT generation is re-resolved and
+    * the search re-runs. Every returned answer set is computed against
+    * ONE complete generation. Returns (qid, rk, nid, iscore) rows.
+    */
+  def searchSnapshot(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      nprobe: Int,
+      topK: Int,
+      dim: Int = VectorKit.EmbeddingDim,
+      attempts: Int = 6
+  ): Array[org.apache.spark.sql.Row] =
+    graft.streaming.Streaming.withSnapshotRetry(spark, s"$root/corpus", attempts) { corpus =>
+      val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
+      search(centroids, corpus, queries, nprobe, topK, dim = dim).collect()
+    }
+
   /** Ingest vectors into a persisted index WITHOUT retraining:
     * validate/drop degenerates (the build policy), assign each to its
     * nearest EXISTING centroid (the [[assignCells]] math the serve

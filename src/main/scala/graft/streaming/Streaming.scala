@@ -593,7 +593,12 @@ object Streaming {
         refreshListing(target) // drop any cached listing of the raced layout
         return f(readCommitted(spark, target))
       } catch {
-        case e: Throwable if raceSignature(e) => last = e; i += 1
+        case e: Throwable if raceSignature(e) =>
+          last = e; i += 1
+          // linear backoff: a reader racing back-to-back maintenance
+          // verbs needs to land BETWEEN two swaps; retrying instantly
+          // tends to re-enter mid-verb and lose again
+          Thread.sleep(math.min(100L * i, 1000L))
       }
     }
     throw new IllegalStateException(

@@ -607,6 +607,61 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     AnnIndex.openIndex(spark, root)._2.filter(col("vec_id") >= 1000L).count() shouldBe 0
   }
 
+  test("searchSnapshot serves complete generations while a live maintainer storms the index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-serve-race").toString
+    val (centroids, corpus) = AnnIndex.build(corpusN(400), k = 8, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(centroids, corpus, root)
+    // the planted pairs the serve must keep finding: id%50==1 is a
+    // near-copy of id-1 (corpusDf), and the storm below never touches
+    // ids < 400
+    val queries = corpusN(400).filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe")).localCheckpoint()
+    val nQ = queries.count()
+    @volatile var maintFailure: Throwable = null
+    val maintainer = new Thread(() => {
+      try {
+        for (i <- 0 until 8) {
+          AnnIndex.upsert(root,
+            corpusDf(spark.range(0, 30).select((col("id") * 8 + 1000 + i * 100).as("id"))),
+            dim = dim)
+          if (i % 3 == 2)
+            AnnIndex.maintain(root, maxFilesPerCell = 4,
+              splitSkew = 2.5, mergeFraction = 0.0, minK = 4, dim = dim)
+        }
+      } catch { case t: Throwable => maintFailure = t }
+    }, "graft-serve-race-maintainer")
+    maintainer.start()
+    var serves = 0
+    var refused = 0
+    try {
+      while (maintainer.isAlive) {
+        // the serving endpoint: snapshot-pinned, retry-absorbed. The
+        // contract under a ZERO-GAP storm (this maintainer never
+        // pauses — far hostiler than any real maintenance cadence):
+        // a serve may be REFUSED loudly when every retry lands
+        // mid-verb, but a returned answer is always computed on one
+        // complete generation — recall holds on every success, and a
+        // silently-wrong answer fails the test.
+        try {
+          val rows = AnnIndex.searchSnapshot(spark, root, queries,
+            nprobe = 3, topK = 1, dim = dim, attempts = 8)
+          val hits = rows.count(r => r.getLong(2) == r.getLong(0) - 1) // nid == qid-1
+          withClue(s"serve #$serves planted recall through the storm: ") {
+            hits.toDouble / nQ should be >= 0.75
+          }
+          serves += 1
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("lost the swap race") =>
+            refused += 1
+        }
+      }
+    } finally maintainer.join(60000)
+    maintFailure shouldBe null
+    withClue(s"serves=$serves refused=$refused: ") { serves should be > 0 }
+    assertIdMapConsistent(root)
+  }
+
   test("writeIndex over an existing root purges stale swap leftovers: a prior generation's committed stage is never rolled forward into the rebuild") {
     val root = Files.createTempDirectory("graft-ann-rebuild").toString
     val fs = new org.apache.hadoop.fs.Path(root)
