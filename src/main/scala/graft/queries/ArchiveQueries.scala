@@ -66,7 +66,9 @@ object ArchiveQueries {
       (s, dir) => roundTrip(s, dir,
         build = entries => Archive.tarArchive(
           entries.map { case (id, data) => (s"doc-$id.txt", data) }),
-        explode = (_, bytes) => Archive.parseTar(bytes).map { e =>
+        // regular files only: real tarballs carry directory/symlink
+        // entries too, which are structure, not payload
+        explode = (_, bytes) => Archive.parseTar(bytes).filter(_.isFile).map { e =>
           (e.name.stripPrefix("doc-").stripSuffix(".txt").toLong, e.name,
             java.util.Arrays.copyOfRange(bytes, e.offset, e.offset + e.length))
         }),

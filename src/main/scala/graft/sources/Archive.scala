@@ -18,8 +18,14 @@ object Archive {
   // TAR (POSIX ustar)
   // ------------------------------------------------------------------
 
-  /** One parsed tar entry: name + the payload span inside the buffer. */
-  final case class TarEntry(name: String, offset: Int, length: Int)
+  /** One parsed tar entry: name, the payload span inside the buffer,
+    * and the typeflag ('0'/NUL = regular file, '5' = directory, '2' =
+    * symlink, ... per ustar) — consumers ingesting documents filter to
+    * regular files; a directory entry is structure, not payload.
+    */
+  final case class TarEntry(name: String, offset: Int, length: Int, typeflag: Char) {
+    def isFile: Boolean = typeflag == '0' || typeflag == '\u0000'
+  }
 
   private def octal(v: Long, width: Int): Array[Byte] = {
     // width-1 octal digits, NUL terminated (the ustar convention)
@@ -94,7 +100,8 @@ object Archive {
           var end = ii
           while (end < ii + 100 && b(end) != 0) end += 1
           entries += TarEntry(
-            new String(b, ii, end - ii, "UTF-8"), ii + 512, size.toInt)
+            new String(b, ii, end - ii, "UTF-8"), ii + 512, size.toInt,
+            (b(ii + 156) & 0xff).toChar)
           i += 512L + size + ((512 - size % 512) % 512)
         }
       }
