@@ -127,6 +127,59 @@ object ArchiveQueries {
              FROM documents
              WHERE doc_id IS NOT NULL AND text IS NOT NULL
              ORDER BY doc_id, payload_md5""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_html_extract",
+      (s, dir) => {
+        // HTML main-content extraction — the boilerplate-stripping
+        // step between the WARC walk and quality scoring (the
+        // CCNet/RefinedWeb chain). Each document is embedded (escaped)
+        // in a REAL page carrying every boilerplate class: a raw-text
+        // script whose body contains markup-looking strings and a '>'
+        // comparison, a style block, a comment hiding markup, a
+        // quote-aware attribute (a '>' inside a quoted value), nav
+        // links (one carrying a named entity), and a footer with a
+        // decimal character reference. functions.Html.extract strips
+        // it all in one quote-aware state-machine pass and decodes the
+        // references, so the expected text is a pure string formula —
+        // the oracle rebuilds it with one concat + whitespace-collapse
+        // regexp and compares the md5 and the code-point length. One
+        // leaked script token, un-decoded entity, or swallowed text
+        // node breaks the hash.
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id", "text"))
+          .select(col("doc_id"), col("text"), col("source"))
+          .as[(Long, String, String)]
+          .map { case (id, text, source) =>
+            val ext = graft.functions.Html.extract(
+              graft.functions.Html.fixturePage(id, text))
+            (id, source, ext.nLinks, ext.nScriptBlocks, ext.nStyleBlocks,
+              ext.nCommentBlocks, ext.text.codePointCount(0, ext.text.length),
+              ext.text.getBytes("UTF-8"))
+          }
+          .toDF("doc_id", "source", "n_links", "n_script_blocks", "n_style_blocks",
+            "n_comment_blocks", "n_chars_extracted", "payload")
+          .select(col("doc_id"), col("source"), col("n_links"), col("n_script_blocks"),
+            col("n_style_blocks"), col("n_comment_blocks"), col("n_chars_extracted"),
+            md5(col("payload")).as("extracted_md5"))
+          .orderBy("doc_id", "extracted_md5")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(
+                   'Doc ' || doc_id || ' Home About Q&A ' || text ||
+                     ' (c) example.org''s corpus',
+                   '[ \t\r\n]+', ' ', 'g')) AS ex
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        SELECT doc_id, source,
+               3 AS n_links, 1 AS n_script_blocks, 1 AS n_style_blocks,
+               1 AS n_comment_blocks,
+               CAST(length(ex) AS INTEGER) AS n_chars_extracted,
+               md5(ex) AS extracted_md5
+        FROM f ORDER BY doc_id, extracted_md5""")
     )
   )
 }
