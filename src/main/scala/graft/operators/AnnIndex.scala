@@ -140,27 +140,36 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.Streaming.withWriterLease(fs, root) {
       // A rebuild over an existing root is a NEW GENERATION: purge
-      // every swap-protocol leftover of the old one first. A committed
-      // `corpus.__stage` left by a crashed maintenance verb would
-      // otherwise be rolled FORWARD by the next heal INTO the freshly
-      // rebuilt corpus — resurrecting stale cell directories and
-      // silently desyncing the new idmap (r13 advice, medium); the
-      // idmap stage and the centroid swap files carry the same hazard.
-      for (leftover <- Seq("corpus.__stage", "corpus.__oldparts",
-          "idmap.__stage", "idmap.__oldparts", "centroids.__old", "centroids.__tmp"))
+      // every commit-protocol leftover of the old one first. A
+      // committed `corpus.__stage` left by a crashed maintenance verb
+      // would otherwise be rolled FORWARD by the next heal INTO the
+      // freshly rebuilt corpus — resurrecting stale cells and silently
+      // desyncing the new idmap (r13 advice, medium). The MANIFEST
+      // DIRS are purged too: the rebuild's mode-overwrite physically
+      // deletes the prior generation's files, so its manifests (and
+      // pending tombstones) would dangle — the fresh root restarts at
+      // generation 1 from a clean full listing.
+      for (leftover <- Seq("corpus.__stage", "idmap.__stage", "centroids.__stage",
+          "corpus.__manifests", "idmap.__manifests", "centroids.__manifests"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$leftover"), true)
       // dirty-first: a crash anywhere before the sidecar is complete
       // leaves the sentinel, and the next heal rebuilds the sidecar from
       // the corpus — the tables can never silently disagree
       fs.mkdirs(new org.apache.hadoop.fs.Path(root))
       fs.create(idMapDirty(root, fs), true).close()
-      centroids.write.mode("overwrite").parquet(s"$root/centroids")
-      corpus.write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      // one fat file per cell instead of one per training shuffle
+      // partition (32x fewer files): the build pinned its layout on
+      // vec_id, so without this every cell dir holds a sliver from
+      // every partition — serve-side open cost and scheduler pressure
+      // for nothing. repartition(cell) hashes ≤ k non-empty partitions.
+      corpus.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/corpus")
       // reader-visible commit of the new generation (in-place retrain
       // itself is NOT snapshot-isolated — the overwrite deletes the
       // old files; production rebuilds write a new root and repoint)
-      graft.streaming.Streaming.writeManifest(fs, s"$root/centroids", None)
-      graft.streaming.Streaming.writeManifest(fs, s"$root/corpus", None)
+      graft.streaming.Streaming.writeManifest(fs, s"$root/centroids")
+      graft.streaming.Streaming.writeManifest(fs, s"$root/corpus")
       rebuildIdMap(spark, root, fs)
     }
   }
@@ -203,13 +212,23 @@ object AnnIndex {
       fs.delete(mapPath, true)
       fs.delete(graft.streaming.Streaming.manifestDir(mapPath.toString), true)
     } else {
-      spark.read.parquet(corpusPath)
+      // the corpus is read PINNED: the live directory legitimately
+      // holds retained older-generation files awaiting the retention
+      // horizon — a directory read would resurrect replaced rows into
+      // the rebuilt sidecar. The sidecar's own manifests are purged
+      // with the overwrite (its prior files are physically gone, so
+      // the fresh table restarts at generation 1).
+      val snap = graft.streaming.Streaming.readCommitted(spark, corpusPath)
         .select(col("vec_id"), col("cell"),
           expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
           lit(0L).as("batch_id"))
+      fs.delete(graft.streaming.Streaming.manifestDir(mapPath.toString), true)
+      // one file per shard (not one per scan task) — the same
+      // small-file economics as the corpus write above
+      snap.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(mapPath.toString)
       graft.streaming.Streaming.refreshListing(mapPath.toString)
-      graft.streaming.Streaming.writeManifest(fs, mapPath.toString, None)
+      graft.streaming.Streaming.writeManifest(fs, mapPath.toString)
     }
     fs.delete(idMapDirty(root, fs), false)
   }
@@ -236,14 +255,22 @@ object AnnIndex {
     * compacted; [[delete]]/[[heal]] semantics are unchanged (appends
     * only ever ADD ids that [[upsert]] just guaranteed absent).
     */
-  private def appendIdMap(rows: DataFrame, root: String): Unit =
+  private def appendIdMap(rows: DataFrame, root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$root/idmap.__stage")
+    fs.delete(stage, true)
     // vec_id re-cast defensively: every appended file must carry the
     // same long type as rebuildIdMap's corpus-derived sidecar, or a
     // later parquet read fails on schema conflict (r13 advice, low)
     rows.select(col("vec_id").cast("long").as("vec_id"), col("cell"),
       expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
       lit(0L).as("batch_id"))
-      .write.mode("append").partitionBy("shard").parquet(s"$root/idmap")
+      .write.mode("overwrite").partitionBy("shard").parquet(stage.toString)
+    // append-only commit: no replaced dirs — every previous entry
+    // survives, the staged files join the manifest atomically
+    graft.streaming.Streaming.commitStage(fs, s"$root/idmap", Set.empty)
+  }
 
   /** Open a persisted index for serving: (centroids, corpus). By
     * default the open HEALS a maintenance crash first (interrupted
@@ -281,27 +308,30 @@ object AnnIndex {
     */
   private def heal(spark: SparkSession, root: String,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    graft.streaming.Streaming.recoverPartitionSwap(fs, s"$root/corpus")
-    graft.streaming.Streaming.recoverSwap(fs, s"$root/centroids")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/centroids.__tmp"), true)
+    graft.streaming.Streaming.recoverStage(fs, s"$root/corpus")
+    graft.streaming.Streaming.recoverStage(fs, s"$root/centroids")
     repairOrphanCells(spark, root)
     // sidecar consistency: a dirty sentinel (crash inside a mutation)
     // or a live corpus with no sidecar (pre-sidecar index) triggers
     // the wholesale rebuild — one corpus scan, after which [[delete]]
     // discovery is shard-pruned again
-    graft.streaming.Streaming.recoverPartitionSwap(fs, s"$root/idmap")
+    graft.streaming.Streaming.recoverStage(fs, s"$root/idmap")
     if (fs.exists(idMapDirty(root, fs)) ||
         (fs.exists(new org.apache.hadoop.fs.Path(s"$root/corpus")) &&
           !fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap"))))
       rebuildIdMap(spark, root, fs)
   }
 
-  /** Give every corpus cell directory missing from the centroid table
-    * a centroid row recomputed from its members (element-wise mean of
-    * the reconstructed raw vectors, n_build = population): the repair
-    * that closes [[splitCell]]'s stranded-cell window and makes the
-    * operation idempotent. Partition-pruned — only orphan directories
-    * are read. Returns the repaired cell ids (normally empty).
+  /** Give every MANIFEST-LISTED corpus cell missing from the centroid
+    * table a centroid row recomputed from its members (element-wise
+    * mean of the reconstructed raw vectors, n_build = population): the
+    * repair that closes [[splitCell]]'s stranded-cell window and makes
+    * the operation idempotent. Cells are discovered from the committed
+    * manifest, not the directory listing — the live tree legitimately
+    * holds retained older-generation files (e.g. a merged-away cell's
+    * dir before its tombstones age out), which are not the table.
+    * Partition-pruned — only orphan cells' files are read. Returns the
+    * repaired cell ids (normally empty).
     */
   def repairOrphanCells(spark: SparkSession, root: String): Seq[Int] = {
     val corpusPath = s"$root/corpus"
@@ -309,14 +339,23 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath)) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids"))) return Nil
-    val dirCells = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt }
-    val centroids = spark.read.parquet(s"$root/centroids")
+    val dirCells = graft.streaming.Streaming.latestManifest(fs, corpusPath) match {
+      case Some((_, rels)) =>
+        rels.flatMap { r =>
+          val i = r.lastIndexOf('/')
+          val d = if (i < 0) "" else r.substring(0, i)
+          if (d.startsWith("cell=")) Some(d.stripPrefix("cell=").toInt) else None
+        }.distinct
+      case None => // never maintained: the directory is the table
+        fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt }.toSeq
+    }
+    val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
     val known = centroids.select(col("cell")).collect().map(_.getInt(0)).toSet
-    val orphans = dirCells.filterNot(known).toSeq.sorted
+    val orphans = dirCells.filterNot(known).sorted
     if (orphans.isEmpty) return Nil
-    val members = spark.read.parquet(corpusPath)
+    val members = graft.streaming.Streaming.readCommitted(spark, corpusPath)
       .filter(col("cell").isin(orphans: _*))
       .select(col("cell"),
         posexplode(transform(col("q8"),
@@ -352,29 +391,24 @@ object AnnIndex {
     orphans
   }
 
-  /** Replace the k-row centroid table under the flat two-rename swap
-    * discipline (write to `.__tmp`, set the live table aside, rename
-    * in, drop the set-aside copy): a crash at any instant leaves the
-    * complete table at `centroids` or `centroids.__old`, and
-    * Streaming.recoverSwap at every entry point restores the latter.
-    * The r12 in-place overwrite could lose the whole table to a crash
-    * mid-write. localCheckpoint severs the lineage from the table
-    * being replaced (the update usually READS the current table).
+  /** Replace the k-row centroid table under the immutable commit
+    * protocol: stage the new table flat, commit with the root's
+    * previous entries replaced — the staged files join the live dir
+    * under unique names, the manifest is the reader-visible commit,
+    * and the replaced files await the retention horizon, so a pinned
+    * reader's centroid paths never move. Crash-atomic via the commit
+    * plan ([[graft.streaming.Streaming.recoverStage]] at every entry
+    * point). localCheckpoint severs the lineage from the table being
+    * replaced (the update usually READS the current table).
     */
   private def writeCentroidsSwapped(updated: DataFrame, root: String,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val cPath = new org.apache.hadoop.fs.Path(s"$root/centroids")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/centroids.__tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$root/centroids.__old")
+    val cPath = s"$root/centroids"
+    val stage = new org.apache.hadoop.fs.Path(s"$root/centroids.__stage")
     val snap = updated.localCheckpoint()
-    fs.delete(tmp, true)
-    snap.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(cPath)) { fs.delete(old, true); fs.rename(cPath, old) }
-    fs.rename(tmp, cPath)
-    // `.__old` retained for snapshot readers (one-verb window), the
-    // manifest generation is the reader-visible commit
-    graft.streaming.Streaming.refreshListing(cPath.toString)
-    graft.streaming.Streaming.writeManifest(fs, cPath.toString, None)
+    fs.delete(stage, true)
+    snap.write.mode("overwrite").parquet(stage.toString)
+    graft.streaming.Streaming.commitStage(fs, cPath, replacedDirs = Set(""))
   }
 
   /** Nearest-`nprobe` cell assignment of `vecs` ((id, e) with e
@@ -507,7 +541,7 @@ object AnnIndex {
     // the eventual recovery, seeing a live twin, would discard the
     // originals. Heal FIRST, then append.
     heal(spark, root, fs)
-    val centroids = spark.read.parquet(s"$root/centroids")
+    val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
     // id normalized to `vec_id` long at the boundary (the [[build]]
     // contract), and IN-BATCH duplicate ids collapsed to one row
     // (dropDuplicates AFTER the degenerate filter so a valid duplicate
@@ -546,32 +580,34 @@ object AnnIndex {
         .distinct().collect().map(_.getInt(0)).toSeq
       if (shards.nonEmpty &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap"))) {
-        val existing = org.apache.spark.sql.SparkSession.active.read
-          .parquet(s"$root/idmap")
-          .filter(col("shard").isin(shards: _*)) // partition-pruned
-          .select(col("vec_id"), col("cell"))
-          .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
-          .localCheckpoint()
-        if (existing.count() > 0) {
+        // shard-restricted PINNED lookup (O(batch) file resolution)
+        val existing = graft.streaming.Streaming
+          .readCommittedDirs(spark, s"$root/idmap",
+            shards.map(s => s"shard=$s").toSet)
+          .map(_.select(col("vec_id"), col("cell"))
+            .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
+            .localCheckpoint())
+        if (existing.exists(_.count() > 0)) {
           graft.streaming.Streaming.deleteFromPartitioned(
-            s"$root/corpus", "vec_id", "cell")(existing)
+            s"$root/corpus", "vec_id", "cell")(existing.get)
           graft.streaming.Streaming.deleteFromPartitioned(
             s"$root/idmap", "vec_id", "shard")(
-            existing.withColumn("shard",
+            existing.get.withColumn("shard",
               expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)")))
         }
       }
-      rows.write.mode("append").partitionBy("cell").parquet(s"$root/corpus")
+      // corpus append under the immutable commit: stage the batch's
+      // rows partitioned by cell, commit append-only — the staged
+      // files join the touched cells' manifests atomically, untouched
+      // cells keep their bytes, and no existing file moves
+      val corpusStage = new org.apache.hadoop.fs.Path(s"$root/corpus.__stage")
+      fs.delete(corpusStage, true)
+      // one staged file per touched cell per batch (not one per input
+      // partition x cell) — bounds append fragmentation at the source
+      rows.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(corpusStage.toString)
+      graft.streaming.Streaming.commitStage(fs, s"$root/corpus", Set.empty)
       appendIdMap(rows.select(col("vec_id"), col("cell")), root)
-      // manifest bump so snapshot readers see the ingest; touched cell/
-      // shard sets are batch-bounded (<= k / batch-span — metadata)
-      val touchedCells = rows.select(col("cell")).distinct()
-        .collect().map(r => s"cell=${r.get(0)}").toSet
-      graft.streaming.Streaming.writeManifest(fs, s"$root/corpus", Some(touchedCells))
-      val touchedShards = idKeys
-        .select(expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"))
-        .distinct().collect().map(r => s"shard=${r.get(0)}").toSet
-      graft.streaming.Streaming.writeManifest(fs, s"$root/idmap", Some(touchedShards))
     }
     base.count()
     }
@@ -610,35 +646,54 @@ object AnnIndex {
           .select(expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"))
           .distinct().collect().map(_.getInt(0)).toSeq
         if (shards.isEmpty) 0L
-        else {
-          val keyRows = spark.read.parquet(s"$root/idmap")
-            .filter(col("shard").isin(shards: _*)) // partition-pruned
-            .select(col("vec_id"), col("cell"))
-            .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
-          withIdMapDirty(fs, root) {
-            val n = graft.streaming.Streaming.deleteFromPartitioned(
-              corpusPath, "vec_id", "cell")(keyRows)
-            graft.streaming.Streaming.deleteFromPartitioned(
-              s"$root/idmap", "vec_id", "shard")(
-              idKeys.withColumn("shard",
-                expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)")))
-            n
-          }
+        else graft.streaming.Streaming
+          .readCommittedDirs(spark, s"$root/idmap",
+            shards.map(s => s"shard=$s").toSet) match {
+          case None => 0L // no sidecar entries in the batch's shards
+          case Some(idmapShards) =>
+            val keyRows = idmapShards
+              .select(col("vec_id"), col("cell"))
+              .join(broadcast(idKeys), Seq("vec_id"), "left_semi")
+            withIdMapDirty(fs, root) {
+              val n = graft.streaming.Streaming.deleteFromPartitioned(
+                corpusPath, "vec_id", "cell")(keyRows)
+              graft.streaming.Streaming.deleteFromPartitioned(
+                s"$root/idmap", "vec_id", "shard")(
+                idKeys.withColumn("shard",
+                  expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)")))
+              n
+            }
         }
       }
     }
   }
 
+  /** Live (manifest-listed) file count of one cell — the signal
+    * [[compact]] and [[maintain]] act on. Counted from the committed
+    * manifest, never the directory: the live tree also holds retained
+    * older-generation files awaiting the retention horizon.
+    */
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, dir: String): Int =
+    graft.streaming.Streaming.latestManifest(fs, table) match {
+      case Some((_, rels)) => rels.count(_.startsWith(dir + "/"))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(table, dir)
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+
   /** Fold the N append-files of a hot cell (every [[upsert]] batch
     * adds one file per touched cell — unbounded small-file growth
-    * under continuous ingest) back into one: a partition-pruned read
-    * of the single directory, coalesced to one output file, swapped in
-    * under the committed-stage crash discipline. Rows, bytes-modulo-
-    * encoding, and search results are unchanged — only the file count
-    * (and thus the serve-side task/open overhead) drops.
-    * tools/IvfSqScale measures serve latency flat after
-    * upsert-storm + compact vs degrading without. Returns
-    * (files before, files after).
+    * under continuous ingest) back into one: a pinned, dir-restricted
+    * read of the single cell, coalesced to one output file, committed
+    * with the cell's previous entries replaced. Rows, bytes-modulo-
+    * encoding, and search results are unchanged — only the LIVE file
+    * count (and thus the serve-side task/open overhead) drops; the
+    * replaced files linger until the retention horizon so pinned
+    * readers never lose a path. tools/IvfSqScale measures serve
+    * latency flat after upsert-storm + compact vs degrading without.
+    * Returns (live files before, live files after).
     */
   def compact(root: String, cell: Int): (Int, Int) = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -647,21 +702,19 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.Streaming.withWriterLease(fs, root) {
       heal(spark, root, fs)
-      val dir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
-      def nFiles(): Int =
-        if (!fs.exists(dir)) 0
-        else fs.listStatus(dir).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      val before = nFiles()
+      val before = manifestFiles(fs, corpusPath, s"cell=$cell")
       if (before <= 1) (before, before)
       else {
         val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
         fs.delete(stage, true)
-        spark.read.parquet(corpusPath)
-          .filter(col("cell") === cell) // partition-pruned single-dir read
-          .coalesce(1)
-          .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-        graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
-        (before, nFiles())
+        graft.streaming.Streaming
+          .readCommittedDirs(spark, corpusPath, Set(s"cell=$cell"))
+          .foreach { members =>
+            members.coalesce(1)
+              .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+            graft.streaming.Streaming.commitStage(fs, corpusPath, Set(s"cell=$cell"))
+          }
+        (before, manifestFiles(fs, corpusPath, s"cell=$cell"))
       }
     }
   }
@@ -671,18 +724,22 @@ object AnnIndex {
     * [[drift]] report (a cell bled dry by [[delete]]s wastes a probe
     * slot and skews nprobe coverage). The members' quantized
     * directions are unchanged — cell membership is pure routing — so
-    * the fold is a FILE MOVE: each data file of `cell` is renamed into
-    * the nearest cell's directory (no rewrite, no requantization),
-    * then the centroid table drops the folded row and the absorber
-    * inherits the folded build-population (keeping [[drift]]'s
-    * baseline meaningful). Guard: refuses to shrink the index below
-    * `minK` cells — a k below the serving fleet's nprobe would turn
-    * approximate search into exact scan-everything. Crash-tolerant by
-    * construction: at every instant each file lives in exactly one of
-    * the two directories and BOTH cells stay searchable until the
-    * centroid rewrite (itself swap-protected); re-running the merge
-    * converges (a missing source directory just skips to the centroid
-    * fix). Returns the absorbing cell id.
+    * the fold re-labels rows, never re-quantizes: the folded cell's
+    * rows are re-written as NEW files under the absorber's directory
+    * and committed with the folded cell's entries replaced (under the
+    * immutable protocol a live file's path must never move, so the r13
+    * rename-based fold would have torn pinned readers; the rewrite
+    * costs one small-cell encode — and the merge trigger IS
+    * smallness). The centroid table then drops the folded row and the
+    * absorber inherits the folded build-population (keeping
+    * [[drift]]'s baseline meaningful). Guard: refuses to shrink the
+    * index below `minK` cells — a k below the serving fleet's nprobe
+    * would turn approximate search into exact scan-everything.
+    * Crash-tolerant via the commit plan: both cells stay searchable in
+    * every retained generation until the commit point, and re-running
+    * the merge converges (an already-folded cell has no manifest
+    * entries and skips to the centroid fix). Returns the absorbing
+    * cell id.
     */
   def mergeCell(root: String, cell: Int, minK: Int = 2): Int = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -691,7 +748,7 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.Streaming.withWriterLease(fs, root) {
       heal(spark, root, fs)
-      val centroids = spark.read.parquet(s"$root/centroids")
+      val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
         .select(col("cell"), col("centroid"), col("n_build")).collect()
       require(centroids.length > minK,
         s"mergeCell($cell) would shrink the index to ${centroids.length - 1} < minK=$minK " +
@@ -710,33 +767,25 @@ object AnnIndex {
         }
         .minBy(_._2)
       val dst = absorber.getInt(0)
-      val srcDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
-      val dstDir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$dst")
-      if (fs.exists(srcDir)) {
-        // moved ids captured BEFORE the file move (partition-pruned
-        // single-directory read) — they relabel in the id->cell sidecar
-        val movedIds = spark.read.parquet(corpusPath)
-          .filter(col("cell") === cell).select(col("vec_id")).localCheckpoint()
-        withIdMapDirty(fs, root) {
-          if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-          fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
-            val name = st.getPath.getName
-            if (!name.startsWith("_")) // committer markers stay behind
-              // prefixed for uniqueness AND provenance: a re-run never
-              // collides, and the folded files remain identifiable
-              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstDir, s"merged-$cell-$name"))
+      graft.streaming.Streaming
+        .readCommittedDirs(spark, corpusPath, Set(s"cell=$cell")).foreach { src =>
+          // members re-labeled to the absorber and re-written as new
+          // files under cell=dst; the folded ids relabel in the sidecar
+          val moved = src
+            .select(col("vec_id"), col("q8"), col("nrm"), lit(dst).as("cell"))
+            .localCheckpoint()
+          withIdMapDirty(fs, root) {
+            val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
+            fs.delete(stage, true)
+            moved.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+            // adds land under cell=dst (whose existing entries survive);
+            // cell=$cell's entries are replaced by nothing — the folded
+            // cell leaves the manifest atomically with the commit
+            graft.streaming.Streaming.commitStage(fs, corpusPath, Set(s"cell=$cell"))
+            upsertIdMap(moved.select(col("vec_id"), col("cell")), root)
           }
-          fs.delete(srcDir, true)
-          graft.streaming.Streaming.refreshListing(corpusPath)
-          // manifest bump: the fold is a FILE MOVE, so snapshot readers
-          // pinned to the PRE-merge generation race the move itself
-          // (documented readCommitted limit); post-bump readers are safe
-          graft.streaming.Streaming.writeManifest(fs, corpusPath,
-            Some(Set(s"cell=$cell", s"cell=$dst")))
-          upsertIdMap(movedIds.withColumn("cell", lit(dst)), root)
         }
-      }
-      val updated = spark.read.parquet(s"$root/centroids")
+      val updated = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
         .filter(col("cell") =!= cell)
         .withColumn("n_build",
           when(col("cell") === dst, col("n_build") + lit(folded.getLong(2)))
@@ -783,14 +832,15 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.Streaming.withWriterLease(fs, root) {
     heal(spark, root, fs)
-    val centroids = spark.read.parquet(s"$root/centroids")
-    // partition-pruned: one directory read, however large the index.
-    // The 2-means runs in RAW space — q8/127 x nrm reconstructs each
-    // member up to int8 rounding — so the sub-centroids are
+    val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
+    // pinned + dir-restricted: one cell's files, however large the
+    // index. The 2-means runs in RAW space — q8/127 x nrm reconstructs
+    // each member up to int8 rounding — so the sub-centroids are
     // commensurable with the existing probe centroids (a q8-space fit
     // would put them on the unit-x-127 sphere and corrupt routing).
-    val members = spark.read.parquet(corpusPath)
-      .filter(col("cell") === cell)
+    val members = graft.streaming.Streaming
+      .readCommittedDirs(spark, corpusPath, Set(s"cell=$cell"))
+      .getOrElse(return -1)
       .withColumn("fv", array_to_vector(
         transform(col("q8"), x => x.cast(DoubleType) / lit(127.0) * col("nrm"))))
       .persist()
@@ -802,25 +852,31 @@ object AnnIndex {
         .select(
           col("vec_id"), col("q8"), col("nrm"),
           when(col("prediction") === 0, lit(cell)).otherwise(lit(newCell)).as("cell"))
-      // stage both sub-cells fully, then commit + swap: after the
-      // marker, every crash window rolls forward to the complete split
+      // stage both sub-cells fully, then commit: after the plan lands,
+      // every crash window rolls forward to the complete split. The
+      // replaced set is the split cell PLUS whatever Spark staged —
+      // covering the degenerate 2-means that routes every member to
+      // one side (the old dir's entries must still be superseded).
       val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
       fs.delete(stage, true)
       reassigned.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      val stagedDirs = fs.listStatus(stage)
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
       withIdMapDirty(fs, root) {
-        graft.streaming.Streaming.commitStageAndSwap(fs, corpusPath)
+        graft.streaming.Streaming.commitStage(fs, corpusPath,
+          stagedDirs + s"cell=$cell")
         // sidecar relabel for the moved half (the retained half keeps
         // its cell id — only newCell rows change assignment)
-        upsertIdMap(
-          spark.read.parquet(corpusPath).filter(col("cell") === newCell)
-            .select(col("vec_id"), col("cell")),
-          root)
+        graft.streaming.Streaming
+          .readCommittedDirs(spark, corpusPath, Set(s"cell=$newCell"))
+          .foreach(nc => upsertIdMap(nc.select(col("vec_id"), col("cell")), root))
       }
       // centroid table: replace the split row, append the new one; the
       // sub-cell populations become the new drift baselines
-      val counts = spark.read.parquet(corpusPath)
-        .filter(col("cell").isin(cell, newCell))
-        .groupBy(col("cell")).agg(count(lit(1)).as("n_build"))
+      val counts = graft.streaming.Streaming
+        .readCommittedDirs(spark, corpusPath, Set(s"cell=$cell", s"cell=$newCell"))
+        .map(_.groupBy(col("cell")).agg(count(lit(1)).as("n_build")))
+        .getOrElse(spark.range(0).select(lit(0).as("cell"), lit(0L).as("n_build")))
       val subCentroids = spark.createDataFrame(
         java.util.Arrays.asList(
           org.apache.spark.sql.Row(cell, model.clusterCenters(0).toArray.toSeq),
@@ -870,9 +926,9 @@ object AnnIndex {
     *  2. [[mergeCell]] every cell bled below `mergeFraction` x the
     *     mean (smallest first), stopping at `minK` — and never merging
     *     a cell this same pass just created by a split;
-    *  3. [[compact]] LAST, over the live directory listing — splits
-    *     rewrite their two sub-cells with one file per shuffle task
-    *     and merges move files wholesale, so compacting first would
+    *  3. [[compact]] LAST, over the live manifest — splits rewrite
+    *     their two sub-cells with one file per shuffle task and merges
+    *     add the folded rows as fresh files, so compacting first would
     *     just be re-fragmented; running it after the layout settles
     *     leaves every cell (including the freshly born) at one file.
     *
@@ -904,11 +960,7 @@ object AnnIndex {
     val health = drift(spark, root)
       .select(col("cell"), col("n_now")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    def files(cell: Int): Int = {
-      val dir = new org.apache.hadoop.fs.Path(corpusPath, s"cell=$cell")
-      if (!fs.exists(dir)) 0
-      else fs.listStatus(dir).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-    }
+    def files(cell: Int): Int = manifestFiles(fs, corpusPath, s"cell=$cell")
     val mean = if (health.isEmpty) 0.0 else health.values.sum.toDouble / health.size
 
     // -- 1. splits (fattest first, against the snapshot mean) ------------
@@ -927,12 +979,21 @@ object AnnIndex {
       actions += (("merge", cell, s"n=$n -> absorbed by cell $dst"))
     }
 
-    // -- 3. compaction, over the LIVE listing (splits/merges above
+    // -- 3. compaction, over the LIVE MANIFEST (splits/merges above
     //       changed the layout; a cell born this pass compacts too) ------
-    val liveCells = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case d if d.startsWith("cell=") => d.stripPrefix("cell=").toInt }
-      .sorted
+    val liveCells = graft.streaming.Streaming.latestManifest(fs, corpusPath) match {
+      case Some((_, rels)) =>
+        rels.flatMap { r =>
+          val i = r.lastIndexOf('/')
+          val d = if (i < 0) "" else r.substring(0, i)
+          if (d.startsWith("cell=")) Some(d.stripPrefix("cell=").toInt) else None
+        }.distinct.sorted
+      case None =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .collect { case d if d.startsWith("cell=") => d.stripPrefix("cell=").toInt }
+          .toSeq.sorted
+    }
     for (cell <- liveCells if files(cell) > maxFilesPerCell) {
       val (b, a) = compact(root, cell)
       actions += (("compact", cell, s"files $b -> $a"))

@@ -133,7 +133,7 @@ object IncClusterScale {
         val prepared = time(s"  b$b prepare+checkpoint") {
           MinHashLsh.prepare(batchDf(b), "doc_id", "w").localCheckpoint()
         }
-        val idx = spark.read.parquet(idxPath)
+        val idx = Streaming.readCommitted(spark, idxPath)
         // stage the two shuffled-hash verify joins as separate actions:
         // folded into one plan with the map join and the closure, their
         // concurrent hash-relation builds exceed the 8g tool heap
@@ -148,7 +148,7 @@ object IncClusterScale {
             MinHashLsh.candidates(prepared, "doc_id"), "doc_id", tau)
             .select(col("d1"), col("d2")).localCheckpoint()
         }
-        val map = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+        val map = Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
         val rows = time(s"  b$b mini-closure + relabel") {
           IncrementalClusters.maintain(
             map, prepared.select(col("doc_id")), cross, inBatch).localCheckpoint()
@@ -166,7 +166,7 @@ object IncClusterScale {
       "map shard 0 was rewritten — maintenance is no longer shard-scoped")
 
     // planted spot-checks: every merge triple collapsed to the b1 id
-    val finalMap = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+    val finalMap = Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
       .localCheckpoint()
     val mergeK = spark.range(batchN).filter(col("id") % 10 === 1).select(col("id").as("k"))
     val triples = mergeK.select(
@@ -226,7 +226,7 @@ object IncClusterScale {
       .localCheckpoint()
     val nRemoved = removedIds.count()
     time(f"removal ($nRemoved%d docs)") {
-      val mapNow = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+      val mapNow = Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
       val touched = time("  rm touched-cluster lookup") {
         mapNow.join(removedIds, Seq("doc_id"), "left_semi")
           .select(col("cluster")).distinct().localCheckpoint()
@@ -234,7 +234,7 @@ object IncClusterScale {
       val survEdges = time("  rm survivor re-verify") {
         val survivorIds = mapNow.join(touched, Seq("cluster"), "left_semi")
           .join(removedIds, Seq("doc_id"), "left_anti").select(col("doc_id"))
-        val survRows = spark.read.parquet(idxPath)
+        val survRows = Streaming.readCommitted(spark, idxPath)
           .join(survivorIds, Seq("doc_id"), "left_semi").localCheckpoint()
         MinHashLsh.verify(survRows,
           MinHashLsh.candidates(survRows, "doc_id"), "doc_id", tau)
@@ -253,7 +253,7 @@ object IncClusterScale {
     require(shard0Files() == cold,
       "map shard 0 was rewritten by the removal — it is no longer shard-scoped")
 
-    val mapAfter = spark.read.parquet(mapPath)
+    val mapAfter = Streaming.readCommitted(spark, mapPath)
       .select(col("doc_id"), col("cluster")).localCheckpoint()
     // planted spot-checks: min-removed triples re-mint as b2 (both
     // survivors), bridge-removed triples split into singletons

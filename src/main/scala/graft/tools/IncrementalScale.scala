@@ -98,7 +98,7 @@ object IncrementalScale {
       val cid = when(isDup, col("doc_id") - corpusN).otherwise(col("doc_id"))
       val batch = spark.range(corpusN, corpusN + n).select(col("id").as("doc_id"))
         .select(col("doc_id"), tokensFor(cid, isDup).as("w"))
-      val idx = spark.read.parquet(target)
+      val idx = graft.streaming.Streaming.readCommitted(spark, target)
       val prepared = MinHashLsh.prepare(batch, "doc_id", "w").localCheckpoint()
       time(f"batch dedup ($n%d vs index)") {
         val cand = MinHashLsh.candidatesAgainst(prepared, idx, "doc_id")
@@ -142,7 +142,7 @@ object IncrementalScale {
         "doc_id", shardSize)
       graft.streaming.Streaming.upsertPartitionedBatch(
         target, "doc_id", "batch_id", "shard")(rows, 2L)
-      val total = spark.read.parquet(target).count()
+      val total = graft.streaming.Streaming.readCommitted(spark, target).count()
       require(total == corpusN + batchN - batchN / 10,
         s"index row count after upsert: $total")
       require(shard0Files() == coldBefore,

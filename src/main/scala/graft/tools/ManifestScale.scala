@@ -7,41 +7,43 @@ import org.apache.spark.sql.functions._
 import graft.operators.MinHashLsh
 import graft.streaming.Streaming
 
-/** Scale demonstration for the committed-manifest snapshot layer: what
-  * the reader-isolation machinery COSTS at a 1M-row persisted table,
-  * and that a live reader racing a swap storm never sees a torn view.
+/** Scale demonstration for the immutable manifest-selected snapshot
+  * layer (r15): what reader isolation COSTS at a 1M-row persisted
+  * table, and that under the immutable protocol a live reader racing a
+  * commit storm is never torn AND never refused — pinned paths do not
+  * move, so every read is single-attempt.
   *
   * The claims under measurement:
-  *  1. the manifest COMMIT is O(touched), not O(table): a
-  *     carry-forward bump (re-list touched shards, inherit the rest
-  *     from the previous generation) must cost a fixed few tens of ms
-  *     regardless of table size, vs the full re-listing which pays one
-  *     FS listing per shard dir;
+  *  1. the per-batch mutation cost is O(touched), with NO table-wide
+  *     listing anywhere: the merge's existing-rows read resolves the
+  *     touched shard's files straight from the committed manifest
+  *     (readCommittedDirs) — the r14 protocol paid ~2.3 s/batch in
+  *     Spark's pre-pruning table-wide file listing at 500 dirs;
   *  2. the PINNED READ (readCommitted: latest-manifest resolve + one
   *     existence probe per directory + explicit-file-list scan) must
   *     cost within noise of the plain directory scan — snapshot
   *     isolation as a near-free default, not a tax;
-  *  3. under a SWAP STORM (single-shard upserts back to back) a
+  *  3. under a COMMIT STORM (single-shard upserts back to back) a
   *     concurrent reader thread sees ONLY complete committed
   *     generations (per-generation row counts are all distinct here,
-  *     so a torn read cannot masquerade as a complete one) — loud
-  *     residual refusals allowed, silent wrongness not.
+  *     so a torn read cannot masquerade as a complete one), with
+  *     residual == 0: the retry channel the r14 rename-based swap
+  *     needed is gone, because no pinned path ever moves inside the
+  *     retention horizon (ManifestKeep generations).
   *
   * Usage: runMain graft.tools.ManifestScale [rows] [batches]
   *
-  * MEASURED (1M rows, 500 shard dirs, local[32], r14): build+write
-  * 5.8 s; manifest bump carry-forward (1 touched shard) 0.020 s vs
-  * full re-list 0.055 s — the ~3x separation at 500 dirs that was
-  * invisible at 10 (both ~20 ms), and it widens linearly with dir
-  * count, which is the 100-TB shape; pinned read 1.21 s vs plain
-  * directory read 1.17 s (min of 3 each — the isolation overhead is
-  * one manifest read + 500 existence probes, 3.5%); swap storm of 20
-  * single-shard upserts at 2.3 s/batch (the per-batch floor is
-  * Spark's table-wide file LISTING before partition pruning — a
-  * direct `target/shard=N` path read would remove it; the merge
-  * itself stays shard-scoped) with a live reader: 22 successful
-  * pinned reads, torn=0, residual=1 (loud), every successful read a
-  * complete committed generation.
+  * MEASURED (1M rows, 500 shard dirs, local[32], r15, immutable
+  * protocol): build+write 6.1 s; full-relist manifest commit 0.046 s
+  * (bootstrap/rebuild path only — mutation verbs commit by delta
+  * arithmetic inside commitStage, no listing at all); pinned read
+  * 1.15 s vs plain directory read 1.13 s (min of 3 — one manifest
+  * read + 500 existence probes, ~2%); commit storm of 20 single-shard
+  * upserts at 0.83 s/batch (vs 2.3 s/batch under the r14 directory-
+  * swap protocol — the table-wide listing floor is gone; what remains
+  * is the merge's own shuffle + commit bookkeeping) with a live
+  * reader: 66 successful pinned reads, torn=0, residual=0 — every
+  * read landed single-attempt on a complete committed generation.
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {
@@ -59,9 +61,9 @@ object ManifestScale {
       (v, s)
     }
 
-    // 500 shard dirs: enough directories that the O(touched) vs
-    // O(table) listing difference is measurable (at 10 dirs both
-    // bumps cost ~20 ms and the comparison says nothing)
+    // 500 shard dirs: enough directories that an O(table) term hiding
+    // anywhere in the mutation path is measurable (at 10 dirs
+    // everything costs ~20 ms and the comparison says nothing)
     val shardSize = math.max(rows / 500, 1L)
     val target = Files.createTempDirectory("graft-manifest-scale").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(target)
@@ -77,15 +79,10 @@ object ManifestScale {
 
     time(s"build+write ($rows rows, ${rows / shardSize} shards)") {
       mk(0L, rows, 1L).write.mode("overwrite").partitionBy("shard").parquet(target)
-      Streaming.writeManifest(fs, target, None)
     }
-
-    // -- claim 1: manifest bump is O(touched) --------------------------
-    time("manifest bump, carry-forward (1 shard)") {
-      Streaming.writeManifest(fs, target, Some(Set("shard=0")))
-    }
-    time("manifest bump, full re-list (all shards)") {
-      Streaming.writeManifest(fs, target, None)
+    // bootstrap commit: the one full-relist path left in the protocol
+    time("manifest commit, full re-list (bootstrap)") {
+      Streaming.writeManifest(fs, target)
     }
 
     // -- claim 2: pinned read ~ plain read -----------------------------
@@ -104,7 +101,7 @@ object ManifestScale {
     println(f"[manifest-scale] isolation overhead: ${pinned - plain}%.3f s " +
       f"(${100.0 * (pinned - plain) / plain}%.1f%%)")
 
-    // -- claim 3: swap storm with a live reader ------------------------
+    // -- claims 1 + 3: commit storm with a live reader ------------------
     // each batch rewrites ONE shard and adds one brand-new doc, so the
     // complete generations have strictly increasing, distinct counts
     val torn = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -121,7 +118,7 @@ object ManifestScale {
       }
     }, "manifest-scale-reader")
     reader.start()
-    val (_, stormSec) = time(s"swap storm ($batches single-shard upserts)") {
+    val (_, stormSec) = time(s"commit storm ($batches single-shard upserts)") {
       for (i <- 1 to batches)
         Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
           mk(rows + i - 1, rows + i, 1L + i), 1L + i)
@@ -129,8 +126,10 @@ object ManifestScale {
     stop = true
     reader.join(30000)
     println(f"[manifest-scale] per-batch=${stormSec / batches}%.2f s; " +
-      s"reader: ok=${ok.get()} torn=${torn.get()} residual=${residual.get()} (loud)")
+      s"reader: ok=${ok.get()} torn=${torn.get()} residual=${residual.get()}")
     require(torn.get() == 0, s"TORN READS: ${torn.get()} — snapshot isolation broke")
+    require(residual.get() == 0,
+      s"RESIDUAL REFUSALS: ${residual.get()} — the immutable protocol must be single-attempt")
     require(ok.get() > 0, "reader starved — no successful pinned reads during the storm")
     val finalN = Streaming.readCommitted(spark, target).count()
     require(finalN == rows + batches, s"final count $finalN != ${rows + batches}")

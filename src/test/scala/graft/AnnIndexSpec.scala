@@ -44,8 +44,10 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     * id->cell map holds exactly the corpus's (vec_id, cell) pairs.
     */
   private def assertIdMapConsistent(root: String): Unit = {
-    val corpus = spark.read.parquet(s"$root/corpus").select(col("vec_id"), col("cell"))
-    val idmap = spark.read.parquet(s"$root/idmap").select(col("vec_id"), col("cell"))
+    val corpus = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
+      .select(col("vec_id"), col("cell"))
+    val idmap = graft.streaming.Streaming.readCommitted(spark, s"$root/idmap")
+      .select(col("vec_id"), col("cell"))
     withClue("id->cell sidecar diverged from the corpus: ") {
       idmap.count() shouldBe corpus.count()
       idmap.join(corpus, Seq("vec_id", "cell"), "left_anti").count() shouldBe 0L
@@ -281,13 +283,13 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // latest-wins re-ingest: the same ids with DIFFERENT content
     // (vectors minted from another direction family) must REPLACE, not
     // duplicate — one row per id, new bytes, sidecar still exact
-    val before310 = spark.read.parquet(s"$root/corpus")
+    val before310 = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
       .filter(col("vec_id") === 310L).select("q8").head.getSeq[Byte](0)
     AnnIndex.upsert(root,
       corpusDf(spark.range(700, 706).toDF("id"))
         .withColumn("vec_id", col("vec_id") - 390L),
       dim = dim)
-    val corpusNow = spark.read.parquet(s"$root/corpus")
+    val corpusNow = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
     corpusNow.count() shouldBe 340L
     corpusNow.filter(col("vec_id").between(310L, 315L))
       .groupBy("vec_id").count().filter(col("count") =!= 1).count() shouldBe 0L
@@ -309,7 +311,8 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     // crash inside a mutation: the dirty sentinel survives and the
     // sidecar may be arbitrarily wrong — heal must rebuild it from the
     // corpus (simulated by corrupting the map, then leaving the flag)
-    spark.read.parquet(s"$root/corpus").select(col("vec_id"), col("cell"))
+    graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
+      .select(col("vec_id"), col("cell"))
       .limit(3).withColumn("cell", lit(999))
       .withColumn("shard", expr(s"CAST(vec_id DIV ${AnnIndex.IdMapShardSize} AS INT)"))
       .withColumn("batch_id", lit(0L))
@@ -333,22 +336,33 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     val (centroids, corpus) = AnnIndex.build(corpusN(300), k = 6, vecCol = "e", dim = dim)
     AnnIndex.writeIndex(centroids, corpus, root)
 
-    // skew + fragmentation in one move: 8 small batches, all minted
-    // from direction family 0 (ids ≡ 0 mod 8), so ONE cell absorbs
-    // ~200 new members AND piles up 8 append files
+    // skew: 8 batches minted from direction family 0 (ids ≡ 0 mod 8),
+    // so ONE cell absorbs ~200 new members — the split signal. (The
+    // split REWRITES that cell, resetting its file count, so the
+    // fragmentation that must trip compact is planted in a DIFFERENT
+    // cell below.)
     for (i <- 0 until 8)
       AnnIndex.upsert(root,
         corpusDf(spark.range(0, 25).select((col("id") * 8 + 1000 + i * 200).as("id"))),
         dim = dim)
+    // fragmentation: 6 tiny batches from families 3 and 4 pile 6
+    // append files onto those families' cells WITHOUT growing them
+    // past the split threshold — upsert appends exactly one file per
+    // touched cell per batch, so only batch COUNT fragments (ids
+    // chosen never ≡ 1 mod 50, so none is a planted near-copy)
+    for (i <- 0 until 6)
+      AnnIndex.upsert(root,
+        corpusDf(spark.range(0, 2).select((col("id") * 8 + 9003 + i * 100).as("id"))),
+        dim = dim)
     // bleed the smallest cell to near-empty (the merge signal)
-    val pops = spark.read.parquet(s"$root/corpus")
+    val pops = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
       .groupBy("cell").count().orderBy(col("count").asc).collect()
     val bled = pops.head.getInt(0)
-    val victims = spark.read.parquet(s"$root/corpus")
+    val victims = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
       .filter(col("cell") === bled).select("vec_id")
       .orderBy("vec_id").collect().map(_.getLong(0)).drop(1)
     AnnIndex.delete(root, victims.toSeq.toDF("vec_id")) shouldBe victims.length.toLong
-    val totalRows = 300L + 200L - victims.length
+    val totalRows = 300L + 200L + 12L - victims.length
 
     val plan = AnnIndex.maintain(root,
       maxFilesPerCell = 3, splitSkew = 1.8, mergeFraction = 0.15, minK = 4, dim = dim)
@@ -365,13 +379,13 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     assertIdMapConsistent(root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/corpus"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-    cellDirs.foreach { d =>
-      val n = fs.listStatus(d.getPath)
-        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      withClue(s"cell dir ${d.getPath.getName} still fragmented: ") {
-        n should be <= 3
+    // LIVE file counts come from the manifest — the directories also
+    // hold replaced files awaiting the retention horizon
+    val liveByCell = graft.streaming.Streaming.latestManifest(fs, s"$root/corpus")
+      .get._2.groupBy(r => r.substring(0, r.lastIndexOf('/')))
+    liveByCell.foreach { case (d, fsOfCell) =>
+      withClue(s"cell dir $d still fragmented: ") {
+        fsOfCell.size should be <= 3
       }
     }
     // the bled cell is gone (merged away), the fat cell's skew absorbed
@@ -531,24 +545,38 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     val corpusPath = s"$root/corpus"
 
     // WINDOW 1 (r12 advice, high): the split staged both sub-cells and
-    // committed, then crashed after setting the live dir aside and
-    // before renaming either staged dir in. Fabricate it exactly:
-    // stage = {cell=fat: even members, cell=4: odd members} + marker;
-    // live cell=fat moved to __oldparts.
+    // recorded its commit PLAN, then crashed after moving ONE staged
+    // file in and before the manifest bump. Fabricate it exactly:
+    // stage = {cell=fat: even members, cell=4: odd members} + plan,
+    // one file moved.
     v0.filter(col("cell") === fat)
       .withColumn("cell",
         when(pmod(col("vec_id"), lit(2)) === 0, lit(fat)).otherwise(lit(4)))
       .write.mode("overwrite").partitionBy("cell").parquet(corpusPath + ".__stage")
-    fs.create(new org.apache.hadoop.fs.Path(
-      corpusPath + ".__stage/" + graft.streaming.Streaming.StageCommitMarker), true).close()
-    fs.mkdirs(new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts"))
-    fs.rename(
-      new org.apache.hadoop.fs.Path(corpusPath, s"cell=$fat"),
-      new org.apache.hadoop.fs.Path(corpusPath + ".__oldparts", s"cell=$fat"))
+    locally {
+      val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
+      def walk(p: org.apache.hadoop.fs.Path, rel: String): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+          else Seq(if (rel.isEmpty) n else s"$rel/$n")
+        }
+      val files = walk(stage, "")
+      val plan = (Seq(s"R cell=$fat", "R cell=4") ++ files.sorted.map(f => s"F $f"))
+        .mkString("\n")
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage,
+        graft.streaming.Streaming.StageCommitMarker), true)
+      try out.write(plan.getBytes("UTF-8")) finally out.close()
+      val first = files.head
+      val dst = new org.apache.hadoop.fs.Path(s"$corpusPath/$first")
+      if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$corpusPath.__stage/$first"), dst)
+    }
 
     // the next index entry (an upsert here — the r12-advice scenario
-    // where an unhealed upsert DESTROYED the set-aside originals)
-    // heals first: swap rolled forward, orphan cell 4 given a centroid
+    // where an unhealed upsert appended into a half-committed layout)
+    // heals first: commit rolled forward, orphan cell 4 given a centroid
     import spark.implicits._
     AnnIndex.upsert(root, corpusDf(Seq(5000L).toDF("id")), vecCol = "e", dim = dim)
     val (c1, v1) = AnnIndex.openIndex(spark, root)
@@ -562,17 +590,26 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       c1.count() shouldBe 5
     }
 
-    // WINDOW 2 (r12 advice, medium): corpus swap complete, centroid
-    // rewrite never ran — an orphan directory. Fabricate by moving one
-    // member file into a fresh cell dir with no centroid row.
-    val donor = fs.listStatus(new org.apache.hadoop.fs.Path(corpusPath, s"cell=$fat"))
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")).head.getPath
-    fs.mkdirs(new org.apache.hadoop.fs.Path(corpusPath, "cell=77"))
-    fs.rename(donor,
-      new org.apache.hadoop.fs.Path(corpusPath, s"cell=77/${donor.getName}"))
-    // in the real window-2 crash the corpus swap COMPLETED, so its
-    // manifest bump happened too — mirror that for the fabricated move
-    graft.streaming.Streaming.writeManifest(fs, corpusPath, None)
+    // WINDOW 2 (r12 advice, medium): the corpus commit COMPLETED —
+    // half of cell=fat's members re-labeled into a brand-new cell=77,
+    // manifest bumped — but the centroid rewrite never ran: an orphan
+    // cell with no probe row. Fabricate the completed corpus commit
+    // through the protocol itself.
+    locally {
+      val cur = graft.streaming.Streaming.readCommittedDirs(
+        spark, corpusPath, Set(s"cell=$fat")).get
+        .select(col("vec_id"), col("q8"), col("nrm"))
+        // window 1 left only EVEN vec_ids in cell=fat — split those by
+        // mod 4 so both halves of this fabricated commit are non-empty
+        .withColumn("cell",
+          when(pmod(col("vec_id"), lit(4)) === 0, lit(fat)).otherwise(lit(77)))
+        .localCheckpoint()
+      val stage = new org.apache.hadoop.fs.Path(corpusPath + ".__stage")
+      fs.delete(stage, true)
+      cur.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      graft.streaming.Streaming.commitStage(fs, corpusPath,
+        Set(s"cell=$fat", "cell=77"))
+    }
     val repaired = AnnIndex.repairOrphanCells(spark, root)
     repaired shouldBe Seq(77)
     val (c2, v2) = AnnIndex.openIndex(spark, root)
@@ -652,7 +689,7 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
           }
           serves += 1
         } catch {
-          case e: IllegalStateException if e.getMessage.contains("lost the swap race") =>
+          case e: IllegalStateException if e.getMessage.contains("lost the maintenance race") =>
             refused += 1
         }
       }

@@ -67,7 +67,7 @@ class ArchiveStreamSpec extends AnyFunSuite with Matchers with SparkSessionSetup
       val fs = new org.apache.hadoop.fs.Path(idxPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(idxPath))) {
-        val idx = spark.read.parquet(idxPath)
+        val idx = Streaming.readCommitted(spark, idxPath)
         val hits = MinHashLsh.verifyAgainst(prepared, idx,
           MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", tau)
         matches ++= hits.select(col("d_new"), col("d_old"))
@@ -94,7 +94,7 @@ class ArchiveStreamSpec extends AnyFunSuite with Matchers with SparkSessionSetup
         (101L, warcGz(Seq(doc(3L, 300L), doc(4L, 400L)))))
       stream.processAllAvailable()
       matches shouldBe empty
-      spark.read.parquet(idxPath).select("doc_id").as[Long].collect().sorted shouldBe
+      Streaming.readCommitted(spark, idxPath).select("doc_id").as[Long].collect().sorted shouldBe
         Array(1L, 2L, 3L, 4L)
 
       // trigger 2: one archive; doc 5 near-dups doc 1 FROM THE PRIOR
@@ -103,7 +103,7 @@ class ArchiveStreamSpec extends AnyFunSuite with Matchers with SparkSessionSetup
       input.addData((102L, warcGz(Seq(doc(5L, 100L, Some(7)), doc(6L, 600L)))))
       stream.processAllAvailable()
       matches.toSeq shouldBe Seq((5L, 1L))
-      spark.read.parquet(idxPath).count() shouldBe 6L
+      Streaming.readCommitted(spark, idxPath).count() shouldBe 6L
 
       // trigger 3: a DAMAGED archive (truncated mid-member) alongside a
       // good one — the good archive's docs land, the damage costs only
@@ -115,7 +115,7 @@ class ArchiveStreamSpec extends AnyFunSuite with Matchers with SparkSessionSetup
       }
       input.addData((103L, good), (104L, damaged))
       stream.processAllAvailable()
-      val ids = spark.read.parquet(idxPath).select("doc_id").as[Long].collect().sorted
+      val ids = Streaming.readCommitted(spark, idxPath).select("doc_id").as[Long].collect().sorted
       ids should contain(7L)
       ids should not contain 9L // the truncated tail, lost loudly-by-absence
     } finally stream.stop()

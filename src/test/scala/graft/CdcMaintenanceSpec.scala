@@ -51,7 +51,7 @@ class CdcMaintenanceSpec extends AnyFunSuite with Matchers with SparkSessionSetu
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        try spark.read.parquet(path)
+        try graft.streaming.Streaming.readCommitted(spark, path)
         catch { case _: Throwable => empty }
       else empty
     }

@@ -105,7 +105,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
             MinHashLsh.verify(prepared, MinHashLsh.candidates(prepared, "doc_id"), "doc_id", 0.8)
               .select(col("d1"), col("d2")))
         } else {
-          val idx = spark.read.parquet(idxPath)
+          val idx = Streaming.readCommitted(spark, idxPath)
           (MinHashLsh.verifyAgainst(prepared, idx,
             MinHashLsh.candidatesAgainst(prepared, idx, "doc_id"), "doc_id", 0.8)
             .select(col("d_new"), col("d_old")),
@@ -115,7 +115,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
       val map =
         if (version == 1L)
           spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("doc_id", "cluster")
-        else spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+        else Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
       val rows = IncrementalClusters.maintain(
         map, prepared.select(col("doc_id")), cross, inBatch)
       upsertSharded(mapPath)(rows, version)
@@ -135,7 +135,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
     // vs base 1; 21 vs 11 is 0.727 but both link through 1)
     ingest(Seq(doc(21L, 1L, Some(20)), doc(23L, 99L, Some(20))), 3L)
     locally {
-      val m = spark.read.parquet(mapPath)
+      val m = Streaming.readCommitted(spark, mapPath)
         .select(col("doc_id"), col("cluster"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       m(11L) shouldBe 1L
@@ -155,7 +155,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
     // variant clusters {14} and {23}: everything relabels to 14, and
     // the rewrite touches only the shards holding 23 and 31
     ingest(Seq(doc(31L, 99L)), 4L)
-    val finalMap = spark.read.parquet(mapPath)
+    val finalMap = Streaming.readCommitted(spark, mapPath)
       .select(col("doc_id"), col("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     finalMap(14L) shouldBe 14L
@@ -193,10 +193,10 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
       MinHashLsh.withShard(ids, "doc_id", shardSize)
     Streaming.deleteFromPartitioned(idxPath, "doc_id", "shard")(
       shardedKeys(removedIds)) shouldBe 2L
-    val idxAfter = spark.read.parquet(idxPath)
+    val idxAfter = Streaming.readCommitted(spark, idxPath)
     idxAfter.filter(col("doc_id").isin(1L, 31L)).count() shouldBe 0L
 
-    val mapNow = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+    val mapNow = Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
     // survivors of the touched clusters, reclustered over their STORED
     // index rows (component-sized: semi-join, then candidates+verify
     // among the survivors only — the corpus text is never rescanned)
@@ -214,7 +214,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
       shardedKeys(removedIds)) shouldBe 2L
     upsertSharded(mapPath)(repairs, 5L)
 
-    val afterMap = spark.read.parquet(mapPath)
+    val afterMap = Streaming.readCommitted(spark, mapPath)
       .select(col("doc_id"), col("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     afterMap.contains(1L) shouldBe false
@@ -260,7 +260,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       upsertSharded(mapPath)(map, 1L)
     }
-    spark.read.parquet(mapPath).filter(col("doc_id") === 5L)
+    Streaming.readCommitted(spark, mapPath).filter(col("doc_id") === 5L)
       .select("cluster").head.getLong(0) shouldBe 2L
 
     /** Re-ingest `edited` (changed content) end to end: latest-wins
@@ -271,9 +271,9 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
     def reingest(edited: Seq[(Long, Seq[String])], version: Long): Unit = {
       val editedIds = edited.map(_._1).toDF("doc_id")
       val newPrep = prep(edited).localCheckpoint()
-      val map = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster"))
+      val map = Streaming.readCommitted(spark, mapPath).select(col("doc_id"), col("cluster"))
       // old-cluster survivors' edges, from the index BEFORE replacement
-      val idx0 = spark.read.parquet(idxPath)
+      val idx0 = Streaming.readCommitted(spark, idxPath)
       val touched = map.join(editedIds, Seq("doc_id"), "left_semi")
         .select(col("cluster")).distinct()
       val survivorIds = map.join(touched, Seq("cluster"), "left_semi")
@@ -284,7 +284,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
         .select(col("d1"), col("d2"))
       // latest-wins index replacement, then cross edges vs the REST
       upsertSharded(idxPath)(MinHashLsh.index(newPrep, "doc_id"), version)
-      val idxRest = spark.read.parquet(idxPath)
+      val idxRest = Streaming.readCommitted(spark, idxPath)
         .join(editedIds, Seq("doc_id"), "left_anti")
       val cross = MinHashLsh.verifyAgainst(newPrep, idxRest,
         MinHashLsh.candidatesAgainst(newPrep, idxRest, "doc_id"), "doc_id", 0.8)
@@ -296,7 +296,7 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSessio
       upsertSharded(mapPath)(delta, version)
       corpus ++= edited.map(d => d._1 -> d)
     }
-    def mapNow(): Map[Long, Long] = spark.read.parquet(mapPath)
+    def mapNow(): Map[Long, Long] = Streaming.readCommitted(spark, mapPath)
       .select(col("doc_id"), col("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     def scratchNow(): Map[Long, Long] = {

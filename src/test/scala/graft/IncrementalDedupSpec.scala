@@ -51,7 +51,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
 
     // batch 2: doc 12 is a near-copy of indexed doc 3; 11/13 are new
     // content. Dedup reads ONLY the index parquet — no batch-1 text.
-    val idx1 = spark.read.parquet(target)
+    val idx1 = Streaming.readCommitted(spark, target)
     val b2 = prep(Seq(doc(11L, 11L), doc(12L, 3L, variantAt = Some(7)), doc(13L, 13L)))
     val hits2 = dedupAgainst(idx1, b2)
       .select(col("d_new"), col("d_old")).collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -62,7 +62,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     val kept2 = MinHashLsh.index(b2.filter(col("doc_id") =!= 12L), "doc_id")
       .withColumn("batch_id", lit(2L))
     upsert(kept2, 2L)
-    val idx2 = spark.read.parquet(target)
+    val idx2 = Streaming.readCommitted(spark, target)
     assert(idx2.count() == 8) // 6 from batch 1 + {11, 13}
     assert(idx2.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0)
 
@@ -100,7 +100,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     val stream = input.toDF().toDF("doc_id", "w")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val idx = spark.read.parquet(target)
+        val idx = Streaming.readCommitted(spark, target)
         val prepared = MinHashLsh.prepare(batch, "doc_id", "w").localCheckpoint()
         val dups = MinHashLsh.verifyAgainst(
           prepared, idx,
@@ -126,7 +126,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     val dups = spark.read.parquet(dupsOut)
       .select(col("d_new"), col("d_old")).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.toSet == Set((12L, 3L), (21L, 11L)))
-    val idx = spark.read.parquet(target)
+    val idx = Streaming.readCommitted(spark, target)
     // 6 seeded + admitted {11}; the dups {12, 21} were both dropped
     // before admission (21 matched an index row the stream itself
     // admitted one trigger earlier)
@@ -160,7 +160,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     up(sharded((90L until 110L).map(i => (i, s"v2-$i", 2L))), 2L)
     assert(fileSet(0) == shard0Before,
       "untouched shard 0 was rewritten — merge cost is no longer ∝ touched shards")
-    val t = spark.read.parquet(target)
+    val t = Streaming.readCommitted(spark, target)
     assert(t.count() == 110)
     // keys 90..99 merged latest-wins inside the touched shard
     assert(t.filter(col("doc_id") === 95L).select(col("payload")).head().getString(0) == "v2-95")
@@ -170,7 +170,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
 
     // version ties: the INCOMING batch wins (the upsertBatch contract)
     up(sharded(Seq((105L, "v2b-105", 2L))), 3L)
-    assert(spark.read.parquet(target).filter(col("doc_id") === 105L)
+    assert(Streaming.readCommitted(spark, target).filter(col("doc_id") === 105L)
       .select(col("payload")).head().getString(0) == "v2b-105")
   }
 
@@ -187,7 +187,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     }
     assert(e.getMessage.contains("migrate"))
     // and the refusal left the original table intact
-    assert(spark.read.parquet(target).count() == 1)
+    assert(Streaming.readCommitted(spark, target).count() == 1)
   }
 
   test("a crash-left empty target directory reads as 'no table yet', not a permanent failure") {
@@ -201,10 +201,10 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     val batch = MinHashLsh.withShard(
       Seq((1L, "v1", 1L)).toDF("doc_id", "payload", "batch_id"), "doc_id", 50L)
     Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(batch, 1L)
-    assert(spark.read.parquet(target).count() == 1)
+    assert(Streaming.readCommitted(spark, target).count() == 1)
   }
 
-  test("an interrupted shard swap is healed before the next merge") {
+  test("an interrupted commit is healed before the next merge") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft-part-crash").toString + "/index"
     val up = Streaming.upsertPartitionedBatch(
@@ -214,28 +214,38 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
         rows.toDF("doc_id", "payload", "batch_id"), "doc_id", shardSize = 50L)
     up(sharded((0L until 100L).map(i => (i, s"v1-$i", 1L))), 1L)
 
-    // simulate a crash between the two renames: shard 1 sits in
-    // __oldparts with no live twin (exactly the window upsert's
-    // per-shard swap leaves open)
+    // simulate a crash mid-commit: a PLANNED stage rewriting shard 1
+    // (v1.5 payloads for docs 50..99), none of its files moved yet —
+    // the pinned read still sees the committed generation, whole
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(target + ".__oldparts"))
-    fs.rename(
-      new org.apache.hadoop.fs.Path(target + "/shard=1"),
-      new org.apache.hadoop.fs.Path(target + ".__oldparts/shard=1"))
-    assert(spark.read.parquet(target).count() == 50) // half the table gone
+    sharded((50L until 100L).map(i => (i, s"v1.5-$i", 2L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    locally {
+      val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
+      def walk(p: org.apache.hadoop.fs.Path, rel: String): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+          else Seq(if (rel.isEmpty) n else s"$rel/$n")
+        }
+      val plan = (Seq("R shard=1") ++ walk(stage, "").sorted.map(f => s"F $f")).mkString("\n")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(stage, Streaming.StageCommitMarker), true)
+      try out.write(plan.getBytes("UTF-8")) finally out.close()
+    }
+    assert(Streaming.readCommitted(spark, target).count() == 100) // nothing torn
 
-    // the next upsert call heals FIRST (recoverPartitionSwap), so the
-    // merge sees the whole table and nothing is lost
+    // the next upsert call heals FIRST (recoverStage rolls the planned
+    // commit FORWARD), so the merge sees the completed v1.5 state and
+    // nothing is lost
     up(sharded(Seq((0L, "v2-0", 2L))), 2L)
-    val t = spark.read.parquet(target)
+    val t = Streaming.readCommitted(spark, target)
     assert(t.count() == 100)
     assert(t.filter(col("doc_id") === 0L).select(col("payload")).head().getString(0) == "v2-0")
-    assert(t.filter(col("doc_id") === 75L).select(col("payload")).head().getString(0) == "v1-75")
-    // the merge's own swap RETAINS its aside copies (reader snapshot
-    // window — SnapshotIsolationSpec); the healed crash debris itself
-    // was consumed by the restore
-    assert(fs.exists(new org.apache.hadoop.fs.Path(target + ".__oldparts/shard=0")))
+    assert(t.filter(col("doc_id") === 75L).select(col("payload")).head().getString(0) == "v1.5-75")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".__stage")))
   }
 
   test("re-ingesting an id replaces its index row (latest version wins)") {
@@ -247,7 +257,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionSetup {
     // re-crawl): the index keeps exactly one row, the newer one
     upsert(MinHashLsh.index(prep(Seq(doc(1L, 99L))), "doc_id")
       .withColumn("batch_id", lit(2L)), 2L)
-    val idx = spark.read.parquet(target)
+    val idx = Streaming.readCommitted(spark, target)
     assert(idx.count() == 1)
     assert(idx.select(col("batch_id")).head().getLong(0) == 2L)
     // and the stored set is the NEW content: a near-copy of the old

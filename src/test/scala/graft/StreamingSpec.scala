@@ -186,7 +186,9 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       // batch 2: event 1 updated (later ts), event 3 new, stale event 2 ignored
       in.addData(EventRow(1L, ts(30), 1L, "click", 9.0), row(3, 15), EventRow(2L, ts(5), 1L, "click", 7.0))
       q.processAllAvailable()
-      val table = spark.read.parquet(target)
+      // pinned read: the live dir also retains the replaced
+      // generation's files until the retention horizon
+      val table = Streaming.readCommitted(spark, target)
         .select($"event_id", $"ts", $"value").as[(Long, Timestamp, Double)]
         .collect().sortBy(_._1)
       table.map(_._1) shouldBe Array(1L, 2L, 3L)
@@ -196,37 +198,43 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally q.stop()
   }
 
-  test("upsert swap is crash-atomic: a kill between the two renames loses nothing") {
+  test("upsert commit is crash-atomic: a kill mid-commit loses nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val target = java.nio.file.Files.createTempDirectory("graft-upsert-crash").toString + "/entities"
     val upsert = Streaming.upsertBatch(target, keyCol = "event_id", versionCol = "ts") _
     upsert(Seq(row(1, 10), row(2, 20)).toDF(), 0L)
-    // Emulate a crash at the worst instant of the swap: the current
-    // table was renamed aside but the new one was never renamed in
-    // (exactly the window where the old delete-then-rename swap lost
-    // the whole table).
+    // Emulate a crash at the worst instant: a staged merge with its
+    // commit PLAN recorded but no file moved and no manifest bumped —
+    // the committed generation is untouched, so the reader sees it...
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(
-      new org.apache.hadoop.fs.Path(target),
-      new org.apache.hadoop.fs.Path(target + ".__old"))
-    // a reader-side recovery restores the set-aside table...
-    Streaming.recoverSwap(fs, target)
-    spark.read.parquet(target).count() shouldBe 2L
-    // ...and so does the next micro-batch on restart (recovery is
-    // built into upsertBatch itself): nothing was lost, merge is right
-    fs.rename(
-      new org.apache.hadoop.fs.Path(target),
-      new org.apache.hadoop.fs.Path(target + ".__old"))
+    // the staged content of a real upsertBatch is the full MERGED
+    // winner: existing {1@10, 2@20} merged with an incoming {2@25}
+    Seq(row(1, 10), EventRow(2L, ts(25), 1L, "click", 8.0)).toDF()
+      .write.mode("overwrite").parquet(target + ".__stage")
+    locally { // record the plan exactly as the writer would have
+      val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
+      val files = fs.listStatus(stage).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      val plan = (Seq("R ") ++ files.sorted.map(f => s"F $f")).mkString("\n")
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage, Streaming.StageCommitMarker), true)
+      try out.write(plan.getBytes("UTF-8")) finally out.close()
+    }
+    Streaming.readCommitted(spark, target).count() shouldBe 2L
+    // ...and the next micro-batch on restart heals FIRST (recovery is
+    // built into upsertBatch): the planned commit rolls forward, then
+    // the new batch merges on top — nothing lost, latest wins
     upsert(Seq(EventRow(1L, ts(30), 1L, "click", 9.0), row(3, 15)).toDF(), 1L)
-    val table = spark.read.parquet(target)
+    val table = Streaming.readCommitted(spark, target)
       .select($"event_id", $"ts").as[(Long, Timestamp)].collect().sortBy(_._1)
     table.map(_._1) shouldBe Array(1L, 2L, 3L)
     table(0)._2 shouldBe ts(30)
-    table(1)._2 shouldBe ts(20) // survived the simulated crash
-    withClue("the replaced generation is RETAINED for pinned readers until the next swap: ") {
-      fs.exists(new org.apache.hadoop.fs.Path(target + ".__old")) shouldBe true
+    table(1)._2 shouldBe ts(25) // the rolled-forward planned commit won
+    withClue("replaced files are RETAINED for pinned readers (deferred delete): ") {
+      fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")) should be >
+        Streaming.latestManifest(fs, target).get._2.size
     }
   }
 

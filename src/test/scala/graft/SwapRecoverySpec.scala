@@ -11,16 +11,16 @@ import org.scalatest.matchers.should.Matchers
 import graft.operators.MinHashLsh
 import graft.streaming.Streaming
 
-/** The committed-stage swap protocol behind every persisted-state
-  * mutation (upsertPartitionedBatch, deleteFromPartitioned,
-  * AnnIndex.splitCell/compact): a stage carrying the commit marker is
-  * complete per directory, so an interrupted swap ROLLS FORWARD; an
-  * unmarked stage is a write that died mid-job, so recovery ROLLS
-  * BACK. Both halves converge to one of the two complete states —
-  * never a mix that loses rows — including the one-live-dir-to-two-
-  * staged-dirs shape (splitCell) the r12 recovery could not heal.
-  * Plus the retraction verb (deleteFromPartitioned) and the
-  * single-writer lease on the same layout.
+/** The immutable commit protocol behind every persisted-state mutation
+  * (upsertPartitionedBatch, deleteFromPartitioned, AnnIndex's verbs):
+  * a stage carrying the COMMIT PLAN is complete and rolls FORWARD
+  * (finish the staged-file moves, commit the manifest delta); a stage
+  * without it is a write that died mid-job and rolls BACK. Existing
+  * files never move — replaced files are tombstoned and physically
+  * deleted only when their generation ages out of the retention
+  * horizon (ManifestKeep generations). Plus the retraction verb
+  * (deleteFromPartitioned) and the single-writer lease on the same
+  * layout.
   */
 class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup {
 
@@ -43,66 +43,143 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     finally it.close()
   }
 
-  test("a COMMITTED stage rolls FORWARD: crash inside the rename loop loses nothing") {
+  /** Replicate the plan a crashed writer would have recorded: the
+    * staged file list + the replaced dirs, written to the stage root —
+    * so tests can park the protocol at any window between "plan
+    * committed" and "commit executed".
+    */
+  private def writePlan(target: String, replaced: Set[String]): Seq[String] = {
+    val stage = new Path(target + ".__stage")
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else Seq(if (rel.isEmpty) n else s"$rel/$n")
+      }
+    val files = walk(stage, "")
+    val plan = (replaced.toSeq.sorted.map(d => s"R $d") ++ files.sorted.map(f => s"F $f"))
+      .mkString("\n")
+    val out = fs.create(new Path(stage, Streaming.StageCommitMarker), true)
+    try out.write(plan.getBytes("UTF-8")) finally out.close()
+    files
+  }
+
+  test("a PLANNED stage rolls FORWARD: crash inside the file-move loop loses nothing") {
     val target = Files.createTempDirectory("graft-rollfwd").toString + "/t"
     seed(target)
-    // a complete staged merge for shard 1 (new payloads), committed
+    // a complete staged merge for shard 1 (new payloads), plan recorded
     sharded((50L until 100L).map(i => (i, s"v2-$i", 2L)))
       .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
-    fs.create(new Path(target + ".__stage/" + Streaming.StageCommitMarker), true).close()
-    // crash point: live shard=1 already set aside, staged shard=1 NOT
-    // yet renamed in — the exact window where the r12 recovery (no
-    // marker concept) deleted the stage and replayed the OLD shard
-    fs.mkdirs(new Path(target + ".__oldparts"))
-    fs.rename(new Path(target + "/shard=1"), new Path(target + ".__oldparts/shard=1"))
+    val files = writePlan(target, Set("shard=1"))
+    // crash point: ONE staged file already moved into the live dir, the
+    // rest not — the exact mid-commit window
+    val first = files.head
+    fs.rename(new Path(s"$target.__stage/$first"), new Path(s"$target/$first"))
 
-    Streaming.recoverPartitionSwap(fs, target)
-    val t = spark.read.parquet(target)
+    Streaming.recoverStage(fs, target)
+    val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 100
     t.filter(col("doc_id") === 75L).select("payload").head.getString(0) shouldBe "v2-75"
     t.filter(col("doc_id") === 10L).select("payload").head.getString(0) shouldBe "v1-10"
     fs.exists(new Path(target + ".__stage")) shouldBe false
-    withClue("the pre-crash generation's aside copy is RETAINED for pinned readers: ") {
-      fs.exists(new Path(target + ".__oldparts/shard=1")) shouldBe true
+    withClue("the replaced generation's files are RETAINED on disk for pinned readers: ") {
+      // live dir holds old + new files — more parquet files than the
+      // manifest references (deferred delete)
+      val manifest = Streaming.latestManifest(fs, target).get._2
+      fileSet(target, 1).size should be > manifest.count(_.startsWith("shard=1/"))
     }
   }
 
-  test("the split shape: one staged dir replaces a live dir, a second is brand new — rolls forward whole") {
+  test("the split shape: staged files for a rewritten dir and a brand-new one — rolls forward whole") {
     val target = Files.createTempDirectory("graft-splitshape").toString + "/t"
     seed(target)
     // stage: shard=1 halved into a rewritten shard=1 and a new shard=9
-    // (the AnnIndex.splitCell move), committed, no rename ever ran
+    // (the AnnIndex.splitCell move), planned, no move ever ran
     val half1 = (50L until 75L).map(i => (i, s"s-$i", 2L))
     val half2 = (75L until 100L).map(i => (i, s"s-$i", 2L))
     import spark.implicits._
     half1.toDF("doc_id", "payload", "batch_id").withColumn("shard", lit(1))
       .unionByName(half2.toDF("doc_id", "payload", "batch_id").withColumn("shard", lit(9)))
       .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
-    fs.create(new Path(target + ".__stage/" + Streaming.StageCommitMarker), true).close()
+    writePlan(target, Set("shard=1", "shard=9"))
 
-    Streaming.recoverPartitionSwap(fs, target)
-    val t = spark.read.parquet(target)
+    Streaming.recoverStage(fs, target)
+    val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 100 // membership conserved: 50 in shard 0, 25 + 25 in 1 and 9
     t.filter(col("shard") === 1).count() shouldBe 25
     t.filter(col("shard") === 9).count() shouldBe 25
     t.filter(col("doc_id") === 80L).select("payload").head.getString(0) shouldBe "s-80"
   }
 
-  test("an UNCOMMITTED stage rolls BACK: the half-written job is garbage, the old table intact") {
+  test("an UNPLANNED stage rolls BACK: the half-written job is garbage, the table untouched") {
     val target = Files.createTempDirectory("graft-rollback").toString + "/t"
     seed(target)
-    // a stage with NO commit marker (writer died mid-job) plus a shard
-    // set aside by some earlier mayhem
+    val gen = Streaming.latestManifest(fs, target).get._1
+    // a stage with NO commit plan (writer died mid-job)
     sharded(Seq((50L, "garbage", 9L)))
       .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
-    fs.mkdirs(new Path(target + ".__oldparts"))
-    fs.rename(new Path(target + "/shard=0"), new Path(target + ".__oldparts/shard=0"))
 
-    Streaming.recoverPartitionSwap(fs, target)
-    val t = spark.read.parquet(target)
+    Streaming.recoverStage(fs, target)
+    val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 100
     t.filter(col("doc_id") === 50L).select("payload").head.getString(0) shouldBe "v1-50"
     fs.exists(new Path(target + ".__stage")) shouldBe false
+    withClue("roll-back must not advance the manifest: ") {
+      Streaming.latestManifest(fs, target).get._1 shouldBe gen
+    }
+  }
+
+  test("recovery is idempotent: re-running after a completed roll-forward changes nothing") {
+    val target = Files.createTempDirectory("graft-idem").toString + "/t"
+    seed(target)
+    sharded((50L until 100L).map(i => (i, s"v2-$i", 2L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    writePlan(target, Set("shard=1"))
+    Streaming.recoverStage(fs, target)
+    val gen = Streaming.latestManifest(fs, target).get._1
+    val rows = Streaming.readCommitted(spark, target)
+      .select("doc_id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the stage is gone, so a second recovery is a no-op: same
+    // generation, same rows, no double-committed manifest
+    Streaming.recoverStage(fs, target)
+    Streaming.latestManifest(fs, target).get._1 shouldBe gen
+    Streaming.readCommitted(spark, target)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe rows
+  }
+
+  test("replaced files are deleted only at the retention horizon (deferred delete + GC)") {
+    val target = Files.createTempDirectory("graft-gc").toString + "/t"
+    seed(target) // gen 1
+    val gen1Shard0 = Streaming.latestManifest(fs, target).get._2
+      .filter(_.startsWith("shard=0/")).toSet
+    gen1Shard0 should not be empty
+    def onDisk(rel: String): Boolean = fs.exists(new Path(s"$target/$rel"))
+    // each upsert rewrites shard 0 → gen 1's shard-0 files become
+    // tombstones of gen 2 and must SURVIVE until gen 2 is pruned
+    // (gen 2 ≤ latest - ManifestKeep → latest ≥ 2 + ManifestKeep = 5)
+    for (i <- 2 to 4) {
+      Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+        sharded(Seq((1L, s"v$i-1", i.toLong))), i.toLong)
+      withClue(s"after gen $i, gen-1 files must still exist (retention): ") {
+        gen1Shard0.forall(onDisk) shouldBe true
+      }
+    }
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((1L, "v5-1", 5L))), 5L) // gen 5: prunes gen 2, GCs its tombstones
+    withClue("past the horizon, the replaced files are physically gone: ") {
+      gen1Shard0.exists(onDisk) shouldBe false
+    }
+    // the table itself is intact and current
+    val t = Streaming.readCommitted(spark, target)
+    t.count() shouldBe 100
+    t.filter(col("doc_id") === 1L).select("payload").head.getString(0) shouldBe "v5-1"
+    withClue("pruned manifest generations are gone too: ") {
+      val mdir = Streaming.manifestDir(target)
+      val gens = fs.listStatus(mdir).map(_.getPath.getName).filter(_.startsWith("gen-"))
+      gens.length should be <= Streaming.ManifestKeep
+    }
   }
 
   test("deleteFromPartitioned: shard-scoped, untouched shards byte-identical, idempotent") {
@@ -112,7 +189,7 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     val n = Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
       sharded((10L until 20L).map(i => (i, "x", 0L))))
     n shouldBe 10L
-    val t = spark.read.parquet(target)
+    val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 90
     t.filter(col("doc_id") === 15L).count() shouldBe 0
     withClue("a delete confined to shard 0 must not rewrite shard 1: ") {
@@ -121,25 +198,26 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     // replaying the same delete is a no-op (crashed-delete redelivery)
     Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
       sharded((10L until 20L).map(i => (i, "x", 0L)))) shouldBe 0L
-    spark.read.parquet(target).count() shouldBe 90
+    Streaming.readCommitted(spark, target).count() shouldBe 90
   }
 
-  test("deleting a shard's every row leaves an explicit EMPTY directory, not a dangling live dir") {
+  test("deleting a shard's every row leaves a schema-bearing EMPTY entry, and the layout still upserts") {
     val target = Files.createTempDirectory("graft-delempty").toString + "/t"
     seed(target)
     val n = Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
       sharded((0L until 50L).map(i => (i, "x", 0L))))
     n shouldBe 50L
-    val t = spark.read.parquet(target)
+    val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 50
     t.filter(col("shard") === 0).count() shouldBe 0
-    withClue("the emptied shard dir must survive as an explicit empty partition: ") {
-      fs.exists(new Path(target + "/shard=0")) shouldBe true
+    withClue("the emptied shard keeps a manifest entry (the staged empty file): ") {
+      Streaming.latestManifest(fs, target).get._2
+        .count(_.startsWith("shard=0/")) shouldBe 1
     }
     // and the layout still upserts normally afterwards
     Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
       sharded(Seq((3L, "back", 5L))), 5L)
-    spark.read.parquet(target).filter(col("shard") === 0).count() shouldBe 1
+    Streaming.readCommitted(spark, target).filter(col("shard") === 0).count() shouldBe 1
   }
 
   test("the writer lease: a live second writer is refused loudly; a stale lease is broken") {
@@ -155,19 +233,19 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     }
     e.getMessage should include("another writer")
     // nothing was written under the refused call
-    spark.read.parquet(target).filter(col("payload") === "b").count() shouldBe 0
+    Streaming.readCommitted(spark, target).filter(col("payload") === "b").count() shouldBe 0
     fs.delete(lease, false)
 
     // a lease whose MTIME is older than the TTL is presumed crashed
     // and broken (liveness = modification time, renewed by the
-    // holder's heartbeat — a crashed holder stops beating): the swap
+    // holder's heartbeat — a crashed holder stops beating): the commit
     // protocol is crash-recoverable, so stealing it is safe
     val out2 = fs.create(lease, false)
     out2.writeLong(System.currentTimeMillis() - 24 * 3600 * 1000L); out2.close()
     fs.setTimes(lease, System.currentTimeMillis() - 24 * 3600 * 1000L, -1)
     Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
       sharded(Seq((1L, "b", 2L))), 2L)
-    spark.read.parquet(target).filter(col("payload") === "b").count() shouldBe 1
+    Streaming.readCommitted(spark, target).filter(col("payload") === "b").count() shouldBe 1
     withClue("the lease must be released after the write: ") {
       fs.exists(lease) shouldBe false
     }
@@ -197,7 +275,7 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     Streaming.withWriterLease(fs, root, ttlMs = ttl) { () }
   }
 
-  test("lease release is token-guarded: a broken-and-reacquired lease is never deleted by the old holder") {
+  test("lease release is claim-guarded: a broken-and-reacquired lease is never deleted by the old holder") {
     val root = Files.createTempDirectory("graft-lease-tok").toString + "/t"
     val lease = new Path(root + ".__lease")
     Streaming.withWriterLease(fs, root, ttlMs = 60000L) {
@@ -208,9 +286,12 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
       val out = fs.create(lease, false)
       out.writeLong(System.currentTimeMillis()); out.writeUTF("foreign-token"); out.close()
     }
-    withClue("the finally-release must leave the foreign holder's lease in place: ") {
+    withClue("the rename-claim release must put the foreign holder's lease back: ") {
       fs.exists(lease) shouldBe true
     }
+    // ...carrying the foreign token, untouched
+    val in = fs.open(lease)
+    try { in.readLong(); in.readUTF() shouldBe "foreign-token" } finally in.close()
     fs.delete(lease, false)
   }
 }
