@@ -34,16 +34,17 @@ import graft.streaming.Streaming
   * Usage: runMain graft.tools.ManifestScale [rows] [batches]
   *
   * MEASURED (1M rows, 500 shard dirs, local[32], r15, immutable
-  * protocol): build+write 6.1 s; full-relist manifest commit 0.046 s
+  * protocol): build+write 6.1 s; full-relist manifest commit 0.069 s
   * (bootstrap/rebuild path only — mutation verbs commit by delta
   * arithmetic inside commitStage, no listing at all); pinned read
-  * 1.15 s vs plain directory read 1.13 s (min of 3 — one manifest
-  * read + 500 existence probes, ~2%); commit storm of 20 single-shard
-  * upserts at 0.83 s/batch (vs 2.3 s/batch under the r14 directory-
-  * swap protocol — the table-wide listing floor is gone; what remains
-  * is the merge's own shuffle + commit bookkeeping) with a live
-  * reader: 66 successful pinned reads, torn=0, residual=0 — every
-  * read landed single-attempt on a complete committed generation.
+  * 1.31 s vs plain directory read 1.23 s (min of 3 — one manifest
+  * read + 500 existence probes, 6.1%); commit storm of 20
+  * single-shard upserts at 1.29 s/batch (vs 2.3 s/batch under the r14
+  * directory-swap protocol — the table-wide listing floor is gone;
+  * what remains is the merge's own shuffle + commit bookkeeping) with
+  * a live reader: 21 successful pinned reads, torn=0, residual=0 —
+  * every read landed single-attempt on a complete committed
+  * generation.
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {
