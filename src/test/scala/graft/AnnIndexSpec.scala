@@ -730,6 +730,41 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     assertIdMapConsistent(root)
   }
 
+  test("crash between the corpus append commit and the sidecar append: heal rebuilds the sidecar to the COMMITTED corpus") {
+    // the r14 advisor's medium: a process dying after the corpus
+    // append but before the sidecar write must not leave openIndex
+    // serving rows the committed sidecar does not list. Under the
+    // immutable protocol the corpus append is itself an atomic commit,
+    // and heal's rebuild reads the corpus PINNED — so the rebuilt
+    // sidecar references exactly the committed file set, appended rows
+    // included.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-appendcrash").toString
+    val (c, v) = AnnIndex.build(corpusN(100), k = 4, vecCol = "e", dim = dim)
+    AnnIndex.writeIndex(c, v, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the window through the protocol itself: stage one new
+    // corpus row (vec_id 900, routed to cell 0) and commit it
+    // append-only — then "crash" before appendIdMap, leaving the dirty
+    // sentinel a real upsert would have set first
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/idmap.__dirty"), true).close()
+    val newRow = graft.streaming.Streaming.readCommitted(spark, s"$root/corpus")
+      .limit(1).select(lit(900L).as("vec_id"), col("q8"), col("nrm"), col("cell"))
+      .localCheckpoint()
+    val stage = new org.apache.hadoop.fs.Path(s"$root/corpus.__stage")
+    fs.delete(stage, true)
+    newRow.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    graft.streaming.Streaming.commitStage(fs, s"$root/corpus", Set.empty)
+
+    // the next entry heals: sidecar rebuilt from the PINNED corpus —
+    // the appended row is listed, the tables agree, serving sees it
+    val (_, corpus) = AnnIndex.openIndex(spark, root)
+    corpus.filter(col("vec_id") === 900L).count() shouldBe 1L
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/idmap.__dirty")) shouldBe false
+    assertIdMapConsistent(root)
+  }
+
   test("upsert collapses in-batch duplicate ids: one corpus row, one sidecar row per id") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ann-dup").toString
