@@ -591,6 +591,43 @@ object Streaming {
     commitManifest(fs, target,
       listRel(fs, new org.apache.hadoop.fs.Path(target)).sorted, Nil)
 
+  /** The RETAINED manifest generations of `target`, ascending —
+    * each one a complete, readable snapshot until it ages past the
+    * retention horizon.
+    */
+  def manifestGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String
+  ): Seq[Long] = {
+    val mdir = manifestDir(target)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .toSeq.sorted
+  }
+
+  /** The entry list of one retained generation. Throws loudly for a
+    * pruned (or never-committed) generation — a time-travel read
+    * beyond the horizon must refuse, never silently read the wrong
+    * snapshot.
+    */
+  def manifestEntries(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      gen: Long
+  ): Seq[String] = {
+    val gp = new org.apache.hadoop.fs.Path(manifestDir(target), f"gen-$gen%012d")
+    if (!fs.exists(gp))
+      throw new IllegalStateException(
+        s"manifest generation $gen of $target is not retained " +
+          s"(retained: ${manifestGenerations(fs, target).mkString(",")}) — " +
+          s"the retention horizon is $ManifestKeep generations")
+    val buf = new Array[Byte](fs.getFileStatus(gp).getLen.toInt)
+    val in = fs.open(gp)
+    try in.readFully(buf) finally in.close()
+    new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
   /** The latest committed manifest generation of `target`, if any:
     * (generation, relative data-file paths).
     */
@@ -598,21 +635,62 @@ object Streaming {
       fs: org.apache.hadoop.fs.FileSystem,
       target: String
   ): Option[(Long, Seq[String])] = {
-    val mdir = manifestDir(target)
-    if (!fs.exists(mdir)) None
-    else {
-      val gens = fs.listStatus(mdir).map(_.getPath.getName)
-        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
-      if (gens.isEmpty) None
-      else {
-        val g = gens.max
-        val gp = new org.apache.hadoop.fs.Path(mdir, f"gen-$g%012d")
-        val buf = new Array[Byte](fs.getFileStatus(gp).getLen.toInt)
-        val in = fs.open(gp)
-        try in.readFully(buf) finally in.close()
-        Some((g, new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)))
-      }
-    }
+    val gens = manifestGenerations(fs, target)
+    if (gens.isEmpty) None
+    else Some((gens.max, manifestEntries(fs, target, gens.max)))
+  }
+
+  /** TIME-TRAVEL read: `target` pinned to a SPECIFIC retained
+    * generation. Because files are immutable under the commit
+    * protocol, every retained generation is a complete, consistent
+    * snapshot — this is the lakehouse `VERSION AS OF` read. Refuses
+    * loudly past the horizon.
+    */
+  def readGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      gen: Long
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = manifestEntries(fs, target, gen)
+    require(rels.nonEmpty, s"generation $gen of $target has no entries")
+    spark.read.option("basePath", target).parquet(rels.map(f => s"$target/$f"): _*)
+  }
+
+  /** INCREMENTAL consumption: the rows carried by files ADDED between
+    * two committed generations (`fromGen` exclusive, `toGen`
+    * inclusive) — the primitive a downstream pipeline uses to follow a
+    * maintained table without rescanning it. File-granular change
+    * semantics (the Delta/Iceberg "changes from added files" shape):
+    *
+    *  - on an APPEND-ONLY table (e.g. the ANN corpus between
+    *    compactions) the added files are exactly the appended rows;
+    *  - across a latest-wins shard REWRITE the added files carry the
+    *    touched shard's full merged content — a superset of the
+    *    changed keys — and the consumer applies the same latest-wins
+    *    merge the table itself uses (idempotent, so over-delivery is
+    *    harmless; this is the contract foreachBatch redelivery already
+    *    imposes).
+    *
+    * Returns None when the range added no files. Both generations
+    * must still be retained (loud refusal otherwise). Cost: O(added
+    * files) — never a table scan.
+    */
+  def readAddedBetween(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      fromGen: Long,
+      toGen: Long
+  ): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fromGen <= toGen, s"fromGen $fromGen > toGen $toGen")
+    val before = manifestEntries(fs, target, fromGen).toSet
+    val added = manifestEntries(fs, target, toGen).filterNot(before)
+    if (added.isEmpty) None
+    else Some(spark.read.option("basePath", target)
+      .parquet(added.map(f => s"$target/$f"): _*))
   }
 
   /** Read `target` pinned to its latest COMMITTED manifest generation

@@ -243,6 +243,75 @@ class SnapshotIsolationSpec extends AnyFunSuite with Matchers with SparkSessionS
     Streaming.readCommitted(spark, target).count() shouldBe (100L + nBatches)
   }
 
+  test("time travel: every retained generation is a complete snapshot; pruned generations refuse loudly") {
+    val target = Files.createTempDirectory("graft-timetravel").toString + "/t"
+    // three committed states with KNOWN contents
+    seed(target) // gen 1: docs 0..99, v1 payloads
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((7L, "v2-7", 2L))), 2L) // gen 2
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((100L, "v1-100", 3L))), 3L) // gen 3
+    val gens = Streaming.manifestGenerations(fs, target)
+    gens shouldBe Seq(1L, 2L, 3L)
+    // gen 1: the pre-update world, byte-for-byte
+    val g1 = Streaming.readGeneration(spark, target, 1L)
+    g1.count() shouldBe 100
+    g1.filter(col("doc_id") === 7L).select("payload").head.getString(0) shouldBe "v1-7"
+    // gen 2: the update visible, the later insert not
+    val g2 = Streaming.readGeneration(spark, target, 2L)
+    g2.count() shouldBe 100
+    g2.filter(col("doc_id") === 7L).select("payload").head.getString(0) shouldBe "v2-7"
+    g2.filter(col("doc_id") === 100L).count() shouldBe 0
+    // gen 3 == the live pinned read
+    Streaming.readGeneration(spark, target, 3L).count() shouldBe 101
+
+    // age gen 1 past the horizon (ManifestKeep = 3): two more commits
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((101L, "x", 4L))), 4L)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((102L, "x", 5L))), 5L)
+    val e = intercept[IllegalStateException] {
+      Streaming.readGeneration(spark, target, 1L)
+    }
+    e.getMessage should include("not retained")
+    // the still-retained middle generation reads fine
+    Streaming.readGeneration(spark, target, 3L).count() shouldBe 101
+  }
+
+  test("incremental consumption: readAddedBetween returns exactly the appended files' rows") {
+    val target = Files.createTempDirectory("graft-incread").toString + "/t"
+    seed(target) // gen 1
+    // an APPEND-ONLY commit (the AnnIndex-corpus shape): stage two new
+    // docs in a brand-new shard and commit with no replaced dirs
+    sharded(Seq((200L, "new-200", 2L), (201L, "new-201", 2L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    Streaming.commitStage(fs, target, replacedDirs = Set.empty)
+    val gens = Streaming.manifestGenerations(fs, target)
+    gens.size shouldBe 2
+    // append-only: the delta is EXACTLY the appended rows
+    val added = Streaming.readAddedBetween(spark, target, gens.head, gens.last).get
+    added.select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set((200L, "new-200"), (201L, "new-201"))
+    // and the live table is the union
+    Streaming.readCommitted(spark, target).count() shouldBe 102
+
+    // across a latest-wins shard REWRITE the delta is file-granular:
+    // the touched shard's full merged content (superset of the changed
+    // keys — the consumer's latest-wins merge absorbs the overlap)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((7L, "v2-7", 3L))), 3L)
+    val gens2 = Streaming.manifestGenerations(fs, target)
+    val delta = Streaming.readAddedBetween(spark, target, gens.last, gens2.last).get
+    delta.filter(col("doc_id") === 7L).select("payload").head.getString(0) shouldBe "v2-7"
+    // the rewrite touched only shard 0: the delta carries that whole
+    // shard and nothing else
+    delta.select("shard").distinct().collect().map(_.getInt(0)).toSeq shouldBe Seq(0)
+    delta.count() shouldBe 50
+    // an empty range adds nothing
+    Streaming.readAddedBetween(spark, target, gens2.last, gens2.last) shouldBe None
+  }
+
   test("a table with no manifest falls back to the directory read; horizon overrun is refused loudly") {
     val dir = Files.createTempDirectory("graft-nomanifest").toString + "/plain"
     import spark.implicits._
