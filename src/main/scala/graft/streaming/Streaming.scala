@@ -462,7 +462,9 @@ object Streaming {
     val entries = base.filterNot(e => replacedDirs.contains(dirOf(e))) ++ files
     if (!prev.map(_._2.toSet).contains(entries)) {
       val tombstones = base.filter(e => replacedDirs.contains(dirOf(e))) -- files
-      commitManifest(fs, target, entries.toSeq.sorted, tombstones.toSeq.sorted)
+      val adds = files.toSet -- base
+      commitManifest(fs, target, entries.toSeq.sorted,
+        tombstones.toSeq.sorted, adds.toSeq.sorted)
     }
     fs.delete(stage, true)
   }
@@ -510,38 +512,66 @@ object Streaming {
     */
   def manifestDir(target: String) = new org.apache.hadoop.fs.Path(target + ".__manifests")
 
-  /** Write generation `gen`'s tombstone file (`del-N`): the files this
+  /** A full manifest CHECKPOINT is written every CheckpointEvery
+    * generations; the generations between carry only their DELTA
+    * (`inc-N`: the `+`/`-` lines vs generation N-1). Commit-side
+    * manifest I/O is therefore O(batch) on most commits and O(table
+    * entry list) only at the checkpoint cadence — the Delta-log shape,
+    * which is what keeps the commit path batch-proportional when the
+    * table holds millions of files. Readers reconstruct a generation
+    * from the nearest checkpoint at or below it (≤ CheckpointEvery
+    * small delta reads).
+    */
+  val CheckpointEvery = 8L
+
+  /** Write generation `gen`'s tombstone file (`del-N`: the files this
     * generation REPLACED, physically deleted when the generation is
-    * pruned — by then no retained manifest can reference them (a file
-    * replaced at gen N appears only in gens < N, all pruned before N).
+    * pruned — by then no retained manifest can reference them), then
+    * commit the generation itself: a full checkpoint (`gen-N`) at the
+    * checkpoint cadence or when no checkpoint exists yet, otherwise
+    * the delta (`inc-N`). The rename of the gen/inc file is the
+    * reader-visible commit point.
     */
   private def commitManifest(
       fs: org.apache.hadoop.fs.FileSystem,
       target: String,
       entries: Seq[String],
-      tombstones: Seq[String]
+      tombstones: Seq[String],
+      adds: Seq[String],
+      forceCheckpoint: Boolean = false
   ): Long = {
     val mdir = manifestDir(target)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val gen = latestManifest(fs, target).map(_._1 + 1).getOrElse(1L)
+    val gens = manifestGenerations(fs, target)
+    val gen = if (gens.isEmpty) 1L else gens.max + 1
     if (tombstones.nonEmpty) {
       val dtmp = new org.apache.hadoop.fs.Path(mdir, s".del-$gen.tmp")
       val dout = fs.create(dtmp, true)
       try dout.write(tombstones.mkString("\n").getBytes("UTF-8")) finally dout.close()
       fs.rename(dtmp, new org.apache.hadoop.fs.Path(mdir, f"del-$gen%012d"))
     }
-    val tmp = new org.apache.hadoop.fs.Path(mdir, s".gen-$gen.tmp")
+    val checkpoint = forceCheckpoint ||
+      checkpointGens(fs, target).isEmpty || gen % CheckpointEvery == 0
+    val (prefix, body) =
+      if (checkpoint) ("gen", entries.mkString("\n"))
+      else ("inc",
+        (tombstones.map(t => s"- $t") ++ adds.map(a => s"+ $a")).mkString("\n"))
+    val tmp = new org.apache.hadoop.fs.Path(mdir, s".$prefix-$gen.tmp")
     val out = fs.create(tmp, true)
-    try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, f"gen-$gen%012d")) // the commit point
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, f"$prefix-$gen%012d")) // the commit point
     pruneManifests(fs, target, gen)
     gen
   }
 
   /** Prune generations no retained reader can still need, physically
     * deleting each pruned generation's tombstoned files — the deferred
-    * half of the immutable protocol. Idempotent: a crash mid-prune
-    * retries at the next commit (file deletes tolerate absence).
+    * half of the immutable protocol. Manifest files are kept down to
+    * the newest CHECKPOINT at or below the cutoff: the retained
+    * generations' delta chains reconstruct from it, and the handful of
+    * extra delta files below the horizon are O(batch)-sized.
+    * Idempotent: a crash mid-prune retries at the next commit (file
+    * deletes tolerate absence).
     */
   private def pruneManifests(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -551,6 +581,10 @@ object Streaming {
     val mdir = manifestDir(target)
     val names = fs.listStatus(mdir).map(_.getPath.getName)
     val cutoff = gen - ManifestKeep
+    // the oldest manifest file any retained generation's chain needs
+    val chainFloor = names
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .filter(_ <= cutoff).maxOption.getOrElse(Long.MinValue)
     // tombstones first (so a crash between the two deletes retries);
     // del-files for pruned gens may survive a crashed earlier prune
     // whose gen-file went first — sweep both prefixes independently
@@ -575,8 +609,19 @@ object Streaming {
       }
       fs.delete(dp, false)
     }
-    for (n <- names if n.startsWith("gen-") && n.stripPrefix("gen-").toLong <= cutoff)
-      fs.delete(new org.apache.hadoop.fs.Path(mdir, n), false)
+    for (n <- names) {
+      val g =
+        if (n.startsWith("gen-")) Some(n.stripPrefix("gen-").toLong)
+        else if (n.startsWith("inc-")) Some(n.stripPrefix("inc-").toLong)
+        else None
+      // deltas BELOW the chain floor are unreadable anyway (their
+      // checkpoint is gone) and checkpoints below it are superseded;
+      // everything >= the floor stays so retained chains reconstruct
+      g.foreach { gg =>
+        if (gg <= cutoff && gg < chainFloor)
+          fs.delete(new org.apache.hadoop.fs.Path(mdir, n), false)
+      }
+    }
   }
 
   /** Commit a manifest generation from a FULL listing of the live tree
@@ -588,14 +633,33 @@ object Streaming {
     * [[commitStage]].
     */
   def writeManifest(fs: org.apache.hadoop.fs.FileSystem, target: String): Long =
+    // always a CHECKPOINT: a full-relist commit has no delta basis
+    // (the rebuild physically replaced the previous generation's files)
     commitManifest(fs, target,
-      listRel(fs, new org.apache.hadoop.fs.Path(target)).sorted, Nil)
+      listRel(fs, new org.apache.hadoop.fs.Path(target)).sorted, Nil, Nil,
+      forceCheckpoint = true)
 
   /** The RETAINED manifest generations of `target`, ascending —
-    * each one a complete, readable snapshot until it ages past the
-    * retention horizon.
+    * checkpoints (`gen-N`) and deltas (`inc-N`) alike; each one a
+    * complete, readable snapshot (deltas reconstruct from the nearest
+    * checkpoint below) until it ages past the retention horizon.
     */
   def manifestGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String
+  ): Seq[Long] = {
+    val mdir = manifestDir(target)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("gen-") => n.stripPrefix("gen-").toLong
+        case n if n.startsWith("inc-") => n.stripPrefix("inc-").toLong
+      }
+      .toSeq.sorted
+  }
+
+  /** Checkpoint generations only (full entry lists), ascending. */
+  private def checkpointGens(
       fs: org.apache.hadoop.fs.FileSystem,
       target: String
   ): Seq[Long] = {
@@ -606,26 +670,58 @@ object Streaming {
       .toSeq.sorted
   }
 
-  /** The entry list of one retained generation. Throws loudly for a
-    * pruned (or never-committed) generation — a time-travel read
-    * beyond the horizon must refuse, never silently read the wrong
-    * snapshot.
+  private def readManifestFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): Seq[String] = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** The entry list of one retained generation: a checkpoint read
+    * verbatim, a delta reconstructed from the nearest checkpoint at or
+    * below it plus the intervening deltas (≤ CheckpointEvery small
+    * reads). Throws loudly for a pruned (or never-committed)
+    * generation — a time-travel read beyond the horizon must refuse,
+    * never silently read the wrong snapshot.
     */
   def manifestEntries(
       fs: org.apache.hadoop.fs.FileSystem,
       target: String,
       gen: Long
   ): Seq[String] = {
-    val gp = new org.apache.hadoop.fs.Path(manifestDir(target), f"gen-$gen%012d")
-    if (!fs.exists(gp))
-      throw new IllegalStateException(
-        s"manifest generation $gen of $target is not retained " +
-          s"(retained: ${manifestGenerations(fs, target).mkString(",")}) — " +
-          s"the retention horizon is $ManifestKeep generations")
-    val buf = new Array[Byte](fs.getFileStatus(gp).getLen.toInt)
-    val in = fs.open(gp)
-    try in.readFully(buf) finally in.close()
-    new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    val mdir = manifestDir(target)
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"manifest generation $gen of $target is not retained " +
+        s"(retained: ${manifestGenerations(fs, target).mkString(",")}) — " +
+        s"the retention horizon is $ManifestKeep generations")
+    val ckpt = new org.apache.hadoop.fs.Path(mdir, f"gen-$gen%012d")
+    if (fs.exists(ckpt)) readManifestFile(fs, ckpt)
+    else if (!fs.exists(new org.apache.hadoop.fs.Path(mdir, f"inc-$gen%012d"))) refuse()
+    else {
+      val base = checkpointGens(fs, target).filter(_ <= gen).lastOption.getOrElse(refuse())
+      val entries = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries ++= readManifestFile(fs,
+        new org.apache.hadoop.fs.Path(mdir, f"gen-$base%012d"))
+      var g = base + 1
+      while (g <= gen) {
+        val inc = new org.apache.hadoop.fs.Path(mdir, f"inc-$g%012d")
+        // a checkpoint can interrupt a delta chain only AT the chain's
+        // own generation (handled above); every intermediate must be a
+        // delta — a hole means the chain was pruned out from under us
+        if (!fs.exists(inc)) refuse()
+        readManifestFile(fs, inc).foreach { line =>
+          if (line.startsWith("+ ")) entries += line.substring(2)
+          else if (line.startsWith("- ")) entries -= line.substring(2)
+          else throw new IllegalStateException(
+            s"malformed delta line in $inc: '$line'")
+        }
+        g += 1
+      }
+      entries.toSeq
+    }
   }
 
   /** The latest committed manifest generation of `target`, if any:
@@ -646,6 +742,25 @@ object Streaming {
     * snapshot — this is the lakehouse `VERSION AS OF` read. Refuses
     * loudly past the horizon.
     */
+  /** Refuse a generation whose DATA FILES may already be GC'd: the
+    * retention POLICY is ManifestKeep generations behind the latest,
+    * even when the manifest file itself survives as a delta-chain
+    * anchor — reading it could hit half-deleted data.
+    */
+  private def requireRetained(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      gen: Long
+  ): Unit = {
+    val latest = manifestGenerations(fs, target).lastOption.getOrElse(
+      throw new IllegalStateException(s"$target has no committed manifest"))
+    if (gen <= latest - ManifestKeep)
+      throw new IllegalStateException(
+        s"manifest generation $gen of $target is not retained " +
+          s"(latest $latest, horizon $ManifestKeep generations) — its replaced " +
+          "files may already be deleted")
+  }
+
   def readGeneration(
       spark: org.apache.spark.sql.SparkSession,
       target: String,
@@ -653,6 +768,7 @@ object Streaming {
   ): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireRetained(fs, target, gen)
     val rels = manifestEntries(fs, target, gen)
     require(rels.nonEmpty, s"generation $gen of $target has no entries")
     spark.read.option("basePath", target).parquet(rels.map(f => s"$target/$f"): _*)
@@ -686,6 +802,11 @@ object Streaming {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fromGen <= toGen, s"fromGen $fromGen > toGen $toGen")
+    requireRetained(fs, target, toGen)
+    // `fromGen` only anchors the set difference — its own files may be
+    // gone, but files present in BOTH generations were never its
+    // tombstones, and files only in `toGen` are retained with it; a
+    // pruned fromGen MANIFEST (unreadable chain) still refuses loudly
     val before = manifestEntries(fs, target, fromGen).toSet
     val added = manifestEntries(fs, target, toGen).filterNot(before)
     if (added.isEmpty) None

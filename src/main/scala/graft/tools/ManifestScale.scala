@@ -134,6 +134,17 @@ object ManifestScale {
     require(ok.get() > 0, "reader starved — no successful pinned reads during the storm")
     val finalN = Streaming.readCommitted(spark, target).count()
     require(finalN == rows + batches, s"final count $finalN != ${rows + batches}")
+    // manifest ECONOMICS: most commits write an O(batch) delta; a full
+    // checkpoint lands every CheckpointEvery generations — the ratio
+    // of the two sizes is the Delta-log claim, printed as evidence
+    val mdir = Streaming.manifestDir(target)
+    val stats = fs.listStatus(mdir).map(st => (st.getPath.getName, st.getLen))
+    def tot(prefix: String) = stats.filter(_._1.startsWith(prefix))
+    val ck = tot("gen-"); val inc = tot("inc-")
+    println(f"[manifest-scale] manifest dir: ${ck.length} checkpoints " +
+      f"(max ${if (ck.isEmpty) 0L else ck.map(_._2).max} B), ${inc.length} deltas " +
+      f"(max ${if (inc.isEmpty) 0L else inc.map(_._2).max} B) — commit text I/O is " +
+      "O(batch) off-checkpoint")
     println(s"[manifest-scale] final pinned read: $finalN rows — PASS")
     spark.stop()
   }

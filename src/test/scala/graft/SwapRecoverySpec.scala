@@ -175,10 +175,18 @@ class SwapRecoverySpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     val t = Streaming.readCommitted(spark, target)
     t.count() shouldBe 100
     t.filter(col("doc_id") === 1L).select("payload").head.getString(0) shouldBe "v5-1"
-    withClue("pruned manifest generations are gone too: ") {
+    withClue("generations past the horizon refuse by POLICY (their data may be gone): ") {
+      val e = intercept[IllegalStateException] {
+        Streaming.readGeneration(spark, target, 1L)
+      }
+      e.getMessage should include("not retained")
+    }
+    withClue("aged tombstone files are gone from the manifest dir: ") {
       val mdir = Streaming.manifestDir(target)
-      val gens = fs.listStatus(mdir).map(_.getPath.getName).filter(_.startsWith("gen-"))
-      gens.length should be <= Streaming.ManifestKeep
+      // dels written at gens 2..5 (gen 1 replaced nothing); the one at
+      // or below the cutoff (gen 2) is GC'd with its files
+      fs.listStatus(mdir).map(_.getPath.getName)
+        .count(_.startsWith("del-")) shouldBe 3
     }
   }
 
