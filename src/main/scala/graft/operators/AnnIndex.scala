@@ -174,6 +174,72 @@ object AnnIndex {
     }
   }
 
+  /** VERSIONED rebuild — the production retrain path. [[writeIndex]]
+    * rebuilds IN PLACE (mode-overwrite physically deletes the prior
+    * generation's files), which is documented as the one
+    * non-snapshot-isolated verb: a reader mid-scan during the
+    * overwrite loses files. This verb removes that channel the same
+    * way the file level did: write the NEW index generation into a
+    * fresh sub-root (`<root>/v-N`, full commit protocol inside), then
+    * atomically REPOINT (`<root>/__current`, tmp + rename — the
+    * reader-visible commit), and garbage-collect version dirs older
+    * than the one just superseded (one-rebuild-deep retention, so a
+    * reader that resolved the old version mid-repoint still scans
+    * fully intact files). Every entry point resolves the pointer
+    * ([[resolveRoot]]) — a root with no pointer is the plain in-place
+    * layout, unchanged. Returns the new version's sub-root path.
+    */
+  def writeIndexVersioned(centroids: DataFrame, corpus: DataFrame, root: String): String = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val cur = currentVersion(fs, root)
+    val next = cur.getOrElse(0L) + 1
+    val sub = f"$root/v-$next%06d"
+    writeIndex(centroids, corpus, sub)
+    // the repoint: write-aside + rename, the same commit-point shape
+    // as the manifests
+    val tmp = new org.apache.hadoop.fs.Path(root, ".__current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(f"v-$next%06d".getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(root, "__current")
+    fs.delete(ptr, false) // local FS rename refuses an existing dest
+    require(fs.rename(tmp, ptr), s"repoint failed: $tmp -> $ptr")
+    graft.streaming.Streaming.refreshListing(root)
+    // retain exactly the superseded version for in-flight readers;
+    // anything older can have no reader left (they resolved since the
+    // previous repoint). First rebuild: nothing to retain or GC.
+    cur.foreach { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v-") && st.isDirectory && n.stripPrefix("v-").toLong < c)
+          fs.delete(st.getPath, true)
+      }
+    }
+    sub
+  }
+
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "__current")
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim.stripPrefix("v-").toLong)
+    }
+  }
+
+  /** Resolve a logical index root to its ACTIVE physical root: the
+    * pointed version sub-root when a `__current` pointer exists (the
+    * [[writeIndexVersioned]] layout), the root itself otherwise (the
+    * plain in-place layout). Every verb and reader resolves through
+    * here, so the two layouts share one code path.
+    */
+  def resolveRoot(fs: org.apache.hadoop.fs.FileSystem, root: String): String =
+    currentVersion(fs, root).map(v => f"$root/v-$v%06d").getOrElse(root)
+
   /** Id-range width of one sidecar shard: a delete batch's ids map to
     * a handful of shard directories, so discovery reads megabytes, not
     * the corpus (the MinHashLsh.withShard sizing rationale).
@@ -284,9 +350,10 @@ object AnnIndex {
     * generation — never a directory listing with a partition missing
     * (r13 judge #2).
     */
-  def openIndex(spark: SparkSession, root: String): (DataFrame, DataFrame) = {
-    val fs = new org.apache.hadoop.fs.Path(root)
+  def openIndex(spark: SparkSession, rootSpec: String): (DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
     // ONLY the contended-lease case skips healing (that writer owns
     // the layout and will heal); any other failure inside the leased
     // heal is real and must surface, not read as "live writer" (r13
@@ -333,10 +400,11 @@ object AnnIndex {
     * Partition-pruned — only orphan cells' files are read. Returns the
     * repaired cell ids (normally empty).
     */
-  def repairOrphanCells(spark: SparkSession, root: String): Seq[Int] = {
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+  def repairOrphanCells(spark: SparkSession, rootSpec: String): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath)) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids"))) return Nil
     val dirCells = graft.streaming.Streaming.latestManifest(fs, corpusPath) match {
@@ -495,17 +563,21 @@ object AnnIndex {
     */
   def searchSnapshot(
       spark: SparkSession,
-      root: String,
+      rootSpec: String,
       queries: DataFrame,
       nprobe: Int,
       topK: Int,
       dim: Int = VectorKit.EmbeddingDim,
       attempts: Int = 6
-  ): Array[org.apache.spark.sql.Row] =
+  ): Array[org.apache.spark.sql.Row] = {
+    val root = resolveRoot(
+      new org.apache.hadoop.fs.Path(rootSpec).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), rootSpec)
     graft.streaming.Streaming.withSnapshotRetry(spark, s"$root/corpus", attempts) { corpus =>
       val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
       search(centroids, corpus, queries, nprobe, topK, dim = dim).collect()
     }
+  }
 
   /** Ingest vectors into a persisted index WITHOUT retraining:
     * validate/drop degenerates (the build policy), assign each to its
@@ -525,15 +597,16 @@ object AnnIndex {
     * [[drift]] is the alarm.
     */
   def upsert(
-      root: String,
+      rootSpec: String,
       newVectors: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "e",
       dim: Int = VectorKit.EmbeddingDim
   ): Long = {
     val spark = newVectors.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
     graft.streaming.Streaming.withWriterLease(fs, root) {
     // entry healing (r12 advice, medium): an upsert that appends into
     // a cell whose directory a crashed splitCell had set aside would
@@ -628,11 +701,12 @@ object AnnIndex {
     * centroid row stays — population 0 surfaces in [[drift]] as full
     * shrink, the [[mergeCell]] signal). Returns the deleted count.
     */
-  def delete(root: String, ids: DataFrame, idCol: String = "vec_id"): Long = {
+  def delete(rootSpec: String, ids: DataFrame, idCol: String = "vec_id"): Long = {
     val spark = ids.sparkSession
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     graft.streaming.Streaming.withWriterLease(fs, root) {
       heal(spark, root, fs)
       if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) 0L
@@ -695,11 +769,12 @@ object AnnIndex {
     * latency flat after upsert-storm + compact vs degrading without.
     * Returns (live files before, live files after).
     */
-  def compact(root: String, cell: Int): (Int, Int) = {
+  def compact(rootSpec: String, cell: Int): (Int, Int) = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     graft.streaming.Streaming.withWriterLease(fs, root) {
       heal(spark, root, fs)
       val before = manifestFiles(fs, corpusPath, s"cell=$cell")
@@ -741,11 +816,12 @@ object AnnIndex {
     * entries and skips to the centroid fix). Returns the absorbing
     * cell id.
     */
-  def mergeCell(root: String, cell: Int, minK: Int = 2): Int = {
+  def mergeCell(rootSpec: String, cell: Int, minK: Int = 2): Int = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     graft.streaming.Streaming.withWriterLease(fs, root) {
       heal(spark, root, fs)
       val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
@@ -820,16 +896,17 @@ object AnnIndex {
     * split). Returns the new cell id, or -1 for the no-op case.
     */
   def splitCell(
-      root: String,
+      rootSpec: String,
       cell: Int,
       dim: Int = VectorKit.EmbeddingDim
   ): Int = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = org.apache.spark.sql.SparkSession.active
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     graft.streaming.Streaming.withWriterLease(fs, root) {
     heal(spark, root, fs)
     val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
@@ -943,7 +1020,7 @@ object AnnIndex {
     * plan as (verb, cell, detail) rows, in execution order.
     */
   def maintain(
-      root: String,
+      rootSpec: String,
       maxFilesPerCell: Int = 16,
       splitSkew: Double = 3.0,
       mergeFraction: Double = 0.1,
@@ -951,9 +1028,10 @@ object AnnIndex {
       dim: Int = VectorKit.EmbeddingDim
   ): Seq[(String, Int, String)] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val corpusPath = s"$root/corpus"
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
+    val corpusPath = s"$root/corpus"
     val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
 
     // -- signals (one snapshot; ≤ k rows on the driver) ----------------

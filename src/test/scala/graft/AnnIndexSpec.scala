@@ -623,6 +623,50 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     AnnIndex.repairOrphanCells(spark, root) shouldBe Seq.empty
   }
 
+  test("versioned rebuild repoints atomically: in-flight readers keep a fully intact generation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-versioned").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generation 1
+    val (c1b, v1b) = AnnIndex.build(corpusN(200), k = 4, vecCol = "e", dim = dim)
+    val sub1 = AnnIndex.writeIndexVersioned(c1b, v1b, root)
+    sub1 should endWith("v-000001")
+    // every verb resolves the pointer: open, ingest, serve
+    val (c1, v1) = AnnIndex.openIndex(spark, root)
+    v1.count() shouldBe 200L
+    AnnIndex.upsert(root, corpusDf(Seq(900L).toDF("id")), vecCol = "e", dim = dim) shouldBe 1L
+    AnnIndex.openIndex(spark, root)._2.count() shouldBe 201L
+    val queries = corpusN(200).filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    AnnIndex.searchSnapshot(spark, root, queries, nprobe = 2, topK = 1, dim = dim)
+      .count(r => r.getLong(2) == r.getLong(0) - 1) shouldBe queries.count()
+
+    // a reader resolved BEFORE the rebuild holds generation-1 handles;
+    // the rebuild into a fresh sub-root + repoint must leave every one
+    // of its files intact (one-rebuild-deep retention)
+    val (cOld, vOld) = AnnIndex.openIndex(spark, root)
+    val (c2b, v2b) = AnnIndex.build(corpusN(300), k = 4, vecCol = "e", dim = dim)
+    val sub2 = AnnIndex.writeIndexVersioned(c2b, v2b, root)
+    sub2 should endWith("v-000002")
+    withClue("the in-flight generation-1 reader is undisturbed: ") {
+      vOld.count() shouldBe 201L
+      AnnIndex.search(cOld, vOld, queries, nprobe = 2, topK = 1, dim = dim)
+        .filter(col("nid") === col("qid") - 1).count() shouldBe queries.count()
+    }
+    // new resolutions see generation 2
+    AnnIndex.openIndex(spark, root)._2.count() shouldBe 300L
+
+    // a third rebuild garbage-collects generation 1, retains 2
+    AnnIndex.writeIndexVersioned(
+      AnnIndex.build(corpusN(100), k = 4, vecCol = "e", dim = dim)._1,
+      AnnIndex.build(corpusN(100), k = 4, vecCol = "e", dim = dim)._2, root)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/v-000001")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/v-000002")) shouldBe true
+    AnnIndex.openIndex(spark, root)._2.count() shouldBe 100L
+    assertIdMapConsistent(s"$root/v-000003")
+  }
+
   test("degenerate vectors are excluded at build, upsert, and query time") {
     import spark.implicits._
     val good = corpusN(100)
