@@ -1008,6 +1008,62 @@ object Streaming {
     }
   }
 
+  /** FOLLOW a maintained table: deliver the rows added since the last
+    * consumed generation to `apply`, then durably advance the cursor
+    * (a tmp+renamed file holding the consumed generation). At-least-
+    * once on crash — a death between `apply` and the cursor bump
+    * re-delivers the range, which the consumer's latest-wins merge
+    * absorbs (the same contract foreachBatch redelivery imposes). A
+    * follower that stalls past the retention horizon fails LOUDLY on
+    * its next poll (its cursor generation is no longer reconstructable
+    * or its files are gone) instead of silently skipping data — the
+    * operator then re-bootstraps from a full pinned read. Returns the
+    * delivered row count (0 when already caught up).
+    *
+    * This is the table-to-table CDC primitive: a derived pipeline
+    * tracks a 100-TB source at O(commit delta) per poll, never
+    * rescanning it.
+    */
+  def followTable(
+      spark: org.apache.spark.sql.SparkSession,
+      source: String,
+      cursorPath: String
+  )(apply: DataFrame => Unit): Long = {
+    val fs = new org.apache.hadoop.fs.Path(source)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursor = new org.apache.hadoop.fs.Path(cursorPath)
+    val latest = manifestGenerations(fs, source).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"cannot follow $source: no committed manifest (not maintained by this module)"))
+    val from: Option[Long] =
+      if (!fs.exists(cursor)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(cursor).getLen.toInt)
+        val in = fs.open(cursor)
+        try in.readFully(buf) finally in.close()
+        Some(new String(buf, "UTF-8").trim.toLong)
+      }
+    val delivered = from match {
+      case Some(g) if g >= latest => 0L // caught up
+      case Some(g) =>
+        readAddedBetween(spark, source, g, latest) match {
+          case Some(delta) =>
+            val snap = delta.localCheckpoint() // count + apply read once
+            apply(snap); snap.count()
+          case None => 0L
+        }
+      case None => // bootstrap: the full pinned snapshot is the first delivery
+        val snap = readCommitted(spark, source).localCheckpoint()
+        apply(snap); snap.count()
+    }
+    val tmp = new org.apache.hadoop.fs.Path(cursorPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cursor, false)
+    fs.rename(tmp, cursor)
+    delivered
+  }
+
   /** Thrown when another LIVE writer holds a lease — its own type so
     * callers that want "skip if contended" (AnnIndex.openIndex's
     * opportunistic heal) can catch EXACTLY the contended case without
