@@ -976,14 +976,30 @@ object AnnIndex {
     * n_now, growth) where growth = (n_now - n_build) / max(n_build, 1).
     * A cell whose population has grown far past its build-time share
     * means the coarse quantizer no longer describes the corpus — the
-    * retrain signal. k rows out; the only corpus-sized work is a
-    * partial-agg'd count.
+    * retrain signal. k rows out — and when the corpus manifest carries
+    * per-file row counts (every commit records them from the parquet
+    * footers), n_now comes from METADATA: the health read costs zero
+    * data I/O at any corpus size, which is what lets the maintenance
+    * autopilot poll it every window. Legacy manifests without stats
+    * fall back to the partial-agg'd corpus count.
     */
-  def drift(spark: SparkSession, root: String): DataFrame = {
+  def drift(spark: SparkSession, rootSpec: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(rootSpec)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveRoot(fs, rootSpec)
     val (centroids, corpus) = openIndex(spark, root)
+    val nNow = graft.streaming.Streaming
+      .committedDirRowCounts(fs, s"$root/corpus")
+      .map { byDir =>
+        byDir.toSeq.collect {
+          case (d, n) if d.startsWith("cell=") => (d.stripPrefix("cell=").toInt, n)
+        }.toDF("cell", "n_now")
+      }
+      .getOrElse(corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_now")))
     centroids
       .select(col("cell"), col("n_build"))
-      .join(corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_now")), Seq("cell"), "left")
+      .join(nNow, Seq("cell"), "left")
       .na.fill(0L, Seq("n_now"))
       .withColumn(
         "growth",

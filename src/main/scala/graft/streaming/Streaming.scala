@@ -451,23 +451,57 @@ object Streaming {
       } // already moved by the interrupted run: skip
     }
     refreshListing(target)
-    val prev = latestManifest(fs, target)
-    val base: Set[String] = prev match {
-      case Some((_, rels)) => rels.toSet
+    val prevGen = manifestGenerations(fs, target).lastOption
+    // base keyed by PATH, values the full entry LINES (path + stats) so
+    // carried-forward entries keep their row counts verbatim
+    val base: Map[String, String] = prevGen match {
+      case Some(g) => manifestEntryLines(fs, target, g)
+        .map(l => entryPath(l) -> l).toMap
       // first commit (or recovery of it): the live tree holds any
       // pre-manifest legacy files PLUS whatever of our adds already
-      // moved — subtract the adds to recover the true base
-      case None => listRel(fs, targetPath).toSet -- files
+      // moved — subtract the adds to recover the true base (no stats
+      // for legacy files; readers treat stats as optional)
+      case None => (listRel(fs, targetPath).toSet -- files).map(p => p -> p).toMap
     }
-    val entries = base.filterNot(e => replacedDirs.contains(dirOf(e))) ++ files
-    if (!prev.map(_._2.toSet).contains(entries)) {
-      val tombstones = base.filter(e => replacedDirs.contains(dirOf(e))) -- files
-      val adds = files.toSet -- base
-      commitManifest(fs, target, entries.toSeq.sorted,
-        tombstones.toSeq.sorted, adds.toSeq.sorted)
+    val prevPaths = base.keySet
+    val newPaths = prevPaths.filterNot(p => replacedDirs.contains(dirOf(p))) ++ files
+    if (!prevGen.exists(_ => prevPaths == newPaths)) {
+      // per-file row counts from the parquet footers of the files THIS
+      // commit added — O(batch) metadata reads; they make table/dir
+      // counts a manifest lookup (committedDirRowCounts)
+      val addLines = (files.toSet -- prevPaths).toSeq.sorted.map { f =>
+        rowCountOf(fs, new org.apache.hadoop.fs.Path(targetPath, f))
+          .map(n => s"$f\t$n").getOrElse(f)
+      }
+      val carried = base.collect {
+        case (p, line) if !replacedDirs.contains(dirOf(p)) => line
+      }.toSeq
+      val tombstones = prevPaths.filter(p => replacedDirs.contains(dirOf(p))) -- files
+      commitManifest(fs, target, (carried ++ addLines).sorted,
+        tombstones.toSeq.sorted, addLines)
     }
     fs.delete(stage, true)
   }
+
+  /** The path half of a manifest entry line (`path` or `path\trows`). */
+  private def entryPath(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Row count from a parquet file's FOOTER — one metadata read, no
+    * data pages. None for unreadable/non-parquet files (the entry then
+    * carries no stats; consumers treat stats as optional).
+    */
+  private def rowCountOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Throwable => None }
 
   /** Heal an interrupted commit at `target`: a stage carrying the plan
     * rolls FORWARD (the staged files are complete — finish the moves
@@ -632,12 +666,16 @@ object Streaming {
     * retention horizon, so their manifests advance by delta inside
     * [[commitStage]].
     */
-  def writeManifest(fs: org.apache.hadoop.fs.FileSystem, target: String): Long =
+  def writeManifest(fs: org.apache.hadoop.fs.FileSystem, target: String): Long = {
     // always a CHECKPOINT: a full-relist commit has no delta basis
     // (the rebuild physically replaced the previous generation's files)
-    commitManifest(fs, target,
-      listRel(fs, new org.apache.hadoop.fs.Path(target)).sorted, Nil, Nil,
-      forceCheckpoint = true)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val lines = listRel(fs, targetPath).sorted.map { f =>
+      rowCountOf(fs, new org.apache.hadoop.fs.Path(targetPath, f))
+        .map(n => s"$f\t$n").getOrElse(f)
+    }
+    commitManifest(fs, target, lines, Nil, Nil, forceCheckpoint = true)
+  }
 
   /** The RETAINED manifest generations of `target`, ascending —
     * checkpoints (`gen-N`) and deltas (`inc-N`) alike; each one a
@@ -680,14 +718,15 @@ object Streaming {
     new String(buf, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** The entry list of one retained generation: a checkpoint read
-    * verbatim, a delta reconstructed from the nearest checkpoint at or
-    * below it plus the intervening deltas (≤ CheckpointEvery small
-    * reads). Throws loudly for a pruned (or never-committed)
-    * generation — a time-travel read beyond the horizon must refuse,
-    * never silently read the wrong snapshot.
+  /** The entry LINES (`path` or `path\trows`) of one retained
+    * generation: a checkpoint read verbatim, a delta reconstructed
+    * from the nearest checkpoint at or below it plus the intervening
+    * deltas (≤ CheckpointEvery small reads; `-` lines remove by path).
+    * Throws loudly for a pruned (or never-committed) generation — a
+    * time-travel read beyond the horizon must refuse, never silently
+    * read the wrong snapshot.
     */
-  def manifestEntries(
+  private def manifestEntryLines(
       fs: org.apache.hadoop.fs.FileSystem,
       target: String,
       gen: Long
@@ -702,9 +741,9 @@ object Streaming {
     else if (!fs.exists(new org.apache.hadoop.fs.Path(mdir, f"inc-$gen%012d"))) refuse()
     else {
       val base = checkpointGens(fs, target).filter(_ <= gen).lastOption.getOrElse(refuse())
-      val entries = scala.collection.mutable.LinkedHashSet.empty[String]
-      entries ++= readManifestFile(fs,
-        new org.apache.hadoop.fs.Path(mdir, f"gen-$base%012d"))
+      val entries = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      readManifestFile(fs, new org.apache.hadoop.fs.Path(mdir, f"gen-$base%012d"))
+        .foreach(l => entries(entryPath(l)) = l)
       var g = base + 1
       while (g <= gen) {
         val inc = new org.apache.hadoop.fs.Path(mdir, f"inc-$g%012d")
@@ -713,16 +752,44 @@ object Streaming {
         // delta — a hole means the chain was pruned out from under us
         if (!fs.exists(inc)) refuse()
         readManifestFile(fs, inc).foreach { line =>
-          if (line.startsWith("+ ")) entries += line.substring(2)
-          else if (line.startsWith("- ")) entries -= line.substring(2)
+          if (line.startsWith("+ ")) {
+            val l = line.substring(2); entries(entryPath(l)) = l
+          } else if (line.startsWith("- ")) entries.remove(line.substring(2))
           else throw new IllegalStateException(
             s"malformed delta line in $inc: '$line'")
         }
         g += 1
       }
-      entries.toSeq
+      entries.values.toSeq
     }
   }
+
+  /** The relative data-file PATHS of one retained generation. */
+  def manifestEntries(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      gen: Long
+  ): Seq[String] = manifestEntryLines(fs, target, gen).map(entryPath)
+
+  /** Per-directory LIVE row counts straight from the latest committed
+    * manifest — zero data I/O (the counts were read once, from the
+    * parquet footers, at each file's commit). None when the table has
+    * no manifest or any entry predates stats (legacy) — callers fall
+    * back to a data-side count. This is what turns table-health
+    * signals (AnnIndex.drift's per-cell populations, the maintenance
+    * autopilot's inputs) into metadata lookups at any corpus size.
+    */
+  def committedDirRowCounts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String
+  ): Option[Map[String, Long]] =
+    manifestGenerations(fs, target).lastOption.flatMap { g =>
+      val lines = manifestEntryLines(fs, target, g)
+      if (lines.exists(_.indexOf('\t') < 0)) None // legacy entries: no stats
+      else Some(lines
+        .map(l => dirOf(entryPath(l)) -> l.substring(l.indexOf('\t') + 1).toLong)
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum })
+    }
 
   /** The latest committed manifest generation of `target`, if any:
     * (generation, relative data-file paths).

@@ -312,6 +312,27 @@ class SnapshotIsolationSpec extends AnyFunSuite with Matchers with SparkSessionS
     Streaming.readAddedBetween(spark, target, gens2.last, gens2.last) shouldBe None
   }
 
+  test("manifest row-count stats: per-dir live counts are a metadata lookup, exact through upsert and delete") {
+    val target = Files.createTempDirectory("graft-stats").toString + "/t"
+    seed(target) // docs 0..99 across shards 0 and 1
+    def statCounts() = Streaming.committedDirRowCounts(fs, target).get
+    def dataCounts() = Streaming.readCommitted(spark, target)
+      .groupBy(col("shard")).count().collect()
+      .map(r => s"shard=${r.getInt(0)}" -> r.getLong(1)).toMap
+    statCounts() shouldBe dataCounts()
+    statCounts().values.sum shouldBe 100L
+    // an upsert rewrites one shard and adds another: stats follow
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      sharded(Seq((7L, "v2-7", 2L), (120L, "new", 2L))), 2L)
+    statCounts() shouldBe dataCounts()
+    statCounts().values.sum shouldBe 101L
+    // a delete drops the counts without any data-side counting
+    Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
+      sharded((0L until 10L).map(i => (i, "x", 0L))))
+    statCounts() shouldBe dataCounts()
+    statCounts().values.sum shouldBe 91L
+  }
+
   test("a table with no manifest falls back to the directory read; horizon overrun is refused loudly") {
     val dir = Files.createTempDirectory("graft-nomanifest").toString + "/plain"
     import spark.implicits._
