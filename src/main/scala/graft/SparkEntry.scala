@@ -18,7 +18,7 @@ object SparkEntry {
       ScalarQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ CompositeQueries.defs ++
       TypedQueries.defs ++ ExtendedRelationalQueries.defs ++ SourceModelQueries.defs ++
-      ArchiveQueries.defs
+      ArchiveQueries.defs ++ StorageQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.registry(allDefs)
 
