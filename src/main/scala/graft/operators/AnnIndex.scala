@@ -315,7 +315,7 @@ object AnnIndex {
     * append (one small file per touched shard) rather than paying a
     * whole-shard rewrite per batch — the storm measurement that
     * motivated this: 100 x 200-row upserts cost 220 s with per-batch
-    * shard swaps vs ~the corpus-append floor with appends. Sidecar
+    * shard rewrites vs ~the corpus-append floor with appends. Sidecar
     * fragmentation is folded by [[rebuildIdMap]] (one partitioned
     * overwrite) in the same maintenance window the corpus is
     * compacted; [[delete]]/[[heal]] semantics are unchanged (appends
@@ -340,15 +340,15 @@ object AnnIndex {
 
   /** Open a persisted index for serving: (centroids, corpus). By
     * default the open HEALS a maintenance crash first (interrupted
-    * corpus swap, interrupted centroid swap, orphan cells) — but only
-    * if it can take the writer lease: against a LIVE maintainer the
-    * healing is skipped (that writer owns the layout and will heal),
-    * never raced. Both tables are read PINNED to their latest
-    * committed manifest generation (Streaming.readCommitted): a serve
-    * racing that live maintainer's swap resolves every pinned file at
-    * its live or set-aside path and plans against one complete
-    * generation — never a directory listing with a partition missing
-    * (r13 judge #2).
+    * staged commit, orphan cells, dirty sidecar) — but only if it can
+    * take the writer lease: against a LIVE maintainer the healing is
+    * skipped (that writer owns the layout and will heal), never raced.
+    * Both tables are read PINNED to their latest committed manifest
+    * generation (Streaming.readCommitted): under the immutable commit
+    * protocol a pinned path never moves inside the retention horizon,
+    * so a serve racing a live maintainer plans against one complete
+    * generation, single-attempt — never a directory listing with a
+    * partition missing or a mix of generations.
     */
   def openIndex(spark: SparkSession, rootSpec: String): (DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(rootSpec)
@@ -366,11 +366,11 @@ object AnnIndex {
 
   /** The shared entry-point healing every maintenance verb (and a
     * lease-holding [[openIndex]]) runs before touching the layout:
-    * finish or roll back an interrupted corpus partition swap, restore
-    * an interrupted centroid-table swap, then give any corpus cell
-    * directory that has no centroid row (the crash window between a
-    * completed [[splitCell]] corpus swap and its centroid rewrite —
-    * r12 advice, medium) a repaired row, so no vector is ever silently
+    * roll a PLANNED staged commit forward (or an unplanned stage back)
+    * on the corpus, centroids, and sidecar, then give any
+    * manifest-listed corpus cell that has no centroid row (the crash
+    * window between a completed [[splitCell]] corpus commit and its
+    * centroid rewrite) a repaired row, so no vector is ever silently
     * unsearchable.
     */
   private def heal(spark: SparkSession, root: String,
@@ -556,10 +556,12 @@ object AnnIndex {
     * index at `root` with snapshot-retry semantics — the composition a
     * serving fleet actually calls. Each attempt opens the index pinned
     * to the latest committed manifest generation and collects the
-    * results; if a live maintainer's swap outruns the read (the
-    * documented loud residual), the NEXT generation is re-resolved and
-    * the search re-runs. Every returned answer set is computed against
-    * ONE complete generation. Returns (qid, rk, nid, iscore) rows.
+    * results; under the immutable protocol pinned paths never move, so
+    * the retry channel fires only for the horizon-overrun edge (a read
+    * stalled past ManifestKeep commits) or a wholesale in-place
+    * rebuild — then the NEXT generation is re-resolved and the search
+    * re-runs. Every returned answer set is computed against ONE
+    * complete generation. Returns (qid, rk, nid, iscore) rows.
     */
   def searchSnapshot(
       spark: SparkSession,
@@ -608,11 +610,10 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = resolveRoot(fs, rootSpec)
     graft.streaming.Streaming.withWriterLease(fs, root) {
-    // entry healing (r12 advice, medium): an upsert that appends into
-    // a cell whose directory a crashed splitCell had set aside would
-    // otherwise recreate the directory with only the new rows — and
-    // the eventual recovery, seeing a live twin, would discard the
-    // originals. Heal FIRST, then append.
+    // entry healing: a crashed splitCell may have left a PLANNED
+    // corpus commit half-executed — appending against that layout
+    // would interleave this batch with the roll-forward. Heal FIRST
+    // (recoverStage completes or discards the stage), then append.
     heal(spark, root, fs)
     val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
     // id normalized to `vec_id` long at the boundary (the [[build]]
@@ -876,16 +877,15 @@ object AnnIndex {
     * retrain: a local 2-means runs on ONLY that cell's members (a
     * partition-PRUNED read of one directory; the int8 vectors carry
     * the directions, which is all a coarse quantizer needs), each
-    * member is reassigned to the nearer sub-centroid, the cell's
-    * partition directory is swapped for the two sub-cell directories
-    * under the COMMITTED-STAGE discipline (the commit marker lands
-    * only after both staged dirs are fully written, so
-    * Streaming.recoverPartitionSwap ROLLS an interrupted swap FORWARD
-    * — the r12 two-rename recovery could not heal a one-dir-to-two
-    * split and lost the moved half; r12 advice, high), and the k-row
-    * centroid table is rewritten with the old row replaced and one
-    * row appended (new cell id = max + 1, so probes of other cells
-    * never move) under its own flat swap ([[writeCentroidsSwapped]]).
+    * member is reassigned to the nearer sub-centroid, both sub-cells'
+    * files are staged and committed under the immutable protocol (the
+    * commit plan lands only after both staged dirs are fully written,
+    * so Streaming.recoverStage ROLLS an interrupted commit FORWARD;
+    * the replaced cell's old files await the retention horizon for
+    * pinned readers), and the k-row centroid table is rewritten with
+    * the old row replaced and one row appended (new cell id = max + 1,
+    * so probes of other cells never move) under its own staged commit
+    * ([[writeCentroidsSwapped]]).
     * Serving needs no change: [[search]] probes whatever centroid
     * table it reads. Order is corpus-first, centroids-second: a crash
     * between the two strands the new cell without a centroid row —
