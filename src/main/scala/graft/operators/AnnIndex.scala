@@ -194,6 +194,16 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    // lease at the LOGICAL root (writeIndex below leases only the new
+    // sub-root): without it two concurrent rebuilds both compute
+    // next = cur + 1 and collide on the same v-N, and the unguarded GC
+    // could delete a version a racing writer just resolved (r15
+    // advice, medium). Maintenance verbs lease the RESOLVED sub-root,
+    // so this serializes rebuilds against each other without blocking
+    // in-flight maintenance on the current version — the GC below
+    // retains exactly the superseded version, which is the newest one
+    // any of them can hold.
+    graft.streaming.Streaming.withWriterLease(fs, root) {
     val cur = currentVersion(fs, root)
     val next = cur.getOrElse(0L) + 1
     val sub = f"$root/v-$next%06d"
@@ -218,6 +228,7 @@ object AnnIndex {
       }
     }
     sub
+    }
   }
 
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: String): Option[Long] = {
@@ -572,10 +583,19 @@ object AnnIndex {
       dim: Int = VectorKit.EmbeddingDim,
       attempts: Int = 6
   ): Array[org.apache.spark.sql.Row] = {
-    val root = resolveRoot(
-      new org.apache.hadoop.fs.Path(rootSpec).getFileSystem(
-        spark.sparkContext.hadoopConfiguration), rootSpec)
-    graft.streaming.Streaming.withSnapshotRetry(spark, s"$root/corpus", attempts) { corpus =>
+    val fs = new org.apache.hadoop.fs.Path(rootSpec).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the pointer is resolved INSIDE each attempt: after a versioned
+    // rebuild repoints (and a second one GCs the previously-pinned
+    // sub-root), a retry must re-target the new version, not keep
+    // exhausting attempts against the dead v-N path (r15 advice, low)
+    graft.streaming.Streaming.withSnapshotRetryOn(spark, attempts)(
+      () => s"${resolveRoot(fs, rootSpec)}/corpus") { corpus =>
+      // centroids re-read from the SAME resolved version as the corpus
+      // this attempt planned against (corpus paths are under the
+      // version sub-root, so deriving the root from the attempt's own
+      // resolve keeps the pair consistent)
+      val root = resolveRoot(fs, rootSpec)
       val centroids = graft.streaming.Streaming.readCommitted(spark, s"$root/centroids")
       search(centroids, corpus, queries, nprobe, topK, dim = dim).collect()
     }

@@ -66,20 +66,8 @@ object ArchiveQueries {
     * returned plan reads the files lazily, so an in-query delete would
     * be wrong; gate loops must not strand fixture copies under /tmp).
     */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          val s = java.nio.file.Files.list(p)
-          try s.forEach(rm(_)) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(tmp) catch { case _: Throwable => () }
-    }, s"graft-scratch-cleanup-$prefix"))
-    tmp
-  }
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.core.Scratch.dir(prefix)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -637,21 +637,10 @@ object SimilarityQueries {
         } else {
           // exit-time sweep (r14 judge, low): the returned plan lazily
           // reads the written index, so an in-query delete would be
-          // wrong — register a JVM shutdown hook instead, so gate loops
-          // (Verify/Bench runs) never strand fixture-sized index copies
-          // under /tmp
-          val tmpRoot = java.nio.file.Files.createTempDirectory("graft-index-serve")
-          Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            def rm(p: java.nio.file.Path): Unit = {
-              if (java.nio.file.Files.isDirectory(p,
-                  java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-                val s = java.nio.file.Files.list(p)
-                try s.forEach(rm(_)) finally s.close()
-              }
-              java.nio.file.Files.deleteIfExists(p)
-            }
-            try rm(tmpRoot) catch { case _: Throwable => () }
-          }, "graft-index-serve-cleanup"))
+          // wrong — register with the shared Scratch registry (one
+          // hook JVM-wide), so gate loops (Verify/Bench runs) never
+          // strand fixture-sized index copies under /tmp
+          val tmpRoot = graft.core.Scratch.dir("graft-index-serve")
           val root = tmpRoot.toString + "/idx"
           val (centroids, corpus) = AnnIndex.build(
             base.select(col("vec_id"), col("e")), k = k, vecCol = "e")

@@ -20,22 +20,10 @@ import graft.streaming.Streaming
 object StorageQueries {
 
   /** Scratch root swept at JVM exit (the returned plan reads the
-    * committed files lazily — the ArchiveQueries.scratchDir rationale).
+    * committed files lazily — the shared graft.core.Scratch registry).
     */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          val s = java.nio.file.Files.list(p)
-          try s.forEach(rm(_)) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(tmp) catch { case _: Throwable => () }
-    }, s"graft-scratch-cleanup-$prefix"))
-    tmp
-  }
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.core.Scratch.dir(prefix)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

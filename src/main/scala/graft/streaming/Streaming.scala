@@ -582,7 +582,11 @@ object Streaming {
       val dtmp = new org.apache.hadoop.fs.Path(mdir, s".del-$gen.tmp")
       val dout = fs.create(dtmp, true)
       try dout.write(tombstones.mkString("\n").getBytes("UTF-8")) finally dout.close()
-      fs.rename(dtmp, new org.apache.hadoop.fs.Path(mdir, f"del-$gen%012d"))
+      // a failed del rename must abort BEFORE the generation commits:
+      // a committed generation with lost tombstones would leak its
+      // replaced files forever (r15 advice, medium)
+      require(fs.rename(dtmp, new org.apache.hadoop.fs.Path(mdir, f"del-$gen%012d")),
+        s"tombstone-file rename failed for generation $gen of $target")
     }
     val checkpoint = forceCheckpoint ||
       checkpointGens(fs, target).isEmpty || gen % CheckpointEvery == 0
@@ -593,7 +597,15 @@ object Streaming {
     val tmp = new org.apache.hadoop.fs.Path(mdir, s".$prefix-$gen.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, f"$prefix-$gen%012d")) // the commit point
+    // THE reader-visible commit point: if this rename fails the whole
+    // commit must abort loudly — proceeding would let executeCommit
+    // delete the stage (and the plan with it), stranding the batch's
+    // files in the live tree unlisted by any manifest, invisible to
+    // every pinned reader with no recovery path left (r15 advice,
+    // medium)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, f"$prefix-$gen%012d")),
+      s"manifest commit rename failed for generation $gen of $target — " +
+        "the staged batch is NOT committed; rerun the verb (recoverStage rolls it forward)")
     pruneManifests(fs, target, gen)
     gen
   }
@@ -898,7 +910,23 @@ object Streaming {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, target) match {
       case None => spark.read.parquet(target)
-      case Some((_, rels)) if rels.isEmpty => spark.read.parquet(target)
+      case Some((gen, rels)) if rels.isEmpty =>
+        // an EMPTY committed generation means the table has NO live
+        // rows — but under the immutable protocol the live directory
+        // legitimately retains tombstoned files awaiting GC, so the
+        // old directory-read fallback here would RESURRECT deleted
+        // rows (r15 advice, low). Return zero rows; the retained
+        // files' footers still supply the schema. A directory with no
+        // readable footers at all (everything GC'd) cannot produce a
+        // typed frame — refuse loudly rather than guess a schema.
+        try spark.read.parquet(target).filter(lit(false))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"generation $gen of $target is EMPTY (zero live rows) and no retained " +
+                "file remains to supply a schema — supply one explicitly or re-seed " +
+                "the table", e)
+        }
       case Some((gen, rels)) =>
         rels.groupBy(dirOf).toSeq.sortBy(_._1).foreach { case (_, files) =>
           val probe = files.head
@@ -962,9 +990,20 @@ object Streaming {
       spark: org.apache.spark.sql.SparkSession,
       target: String,
       attempts: Int = 3
-  )(f: DataFrame => T): T = {
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  )(f: DataFrame => T): T =
+    withSnapshotRetryOn(spark, attempts)(() => target)(f)
+
+  /** [[withSnapshotRetry]] with the target RESOLVED PER ATTEMPT — for
+    * readers whose target is itself a mutable pointer (the versioned
+    * index layout's `__current`): resolving once outside the loop
+    * would make every retry re-target the same dead path after a
+    * racing repoint + GC, exhausting attempts instead of picking up
+    * the new version (r15 advice, low).
+    */
+  def withSnapshotRetryOn[T](
+      spark: org.apache.spark.sql.SparkSession,
+      attempts: Int
+  )(resolveTarget: () => String)(f: DataFrame => T): T = {
     def raceSignature(e: Throwable): Boolean = e match {
       case null => false
       case ise: IllegalStateException => ise.getMessage != null &&
@@ -988,17 +1027,23 @@ object Streaming {
           raceSignature(se.getCause)
       case e => raceSignature(e.getCause)
     }
-    def tableExists(): Boolean =
-      try fs.exists(new org.apache.hadoop.fs.Path(target)) || fs.exists(manifestDir(target))
-      catch { case _: java.io.IOException => true } // can't tell: keep retrying
+    def tableExists(target: String): Boolean =
+      try {
+        val fs = new org.apache.hadoop.fs.Path(target)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(target)) || fs.exists(manifestDir(target))
+      } catch { case _: java.io.IOException => true } // can't tell: keep retrying
     var last: Throwable = null
+    var lastTarget = ""
     var i = 0
     while (i < attempts) {
+      val target = resolveTarget()
+      lastTarget = target
       try {
         refreshListing(target) // drop any cached listing of the raced layout
         return f(readCommitted(spark, target))
       } catch {
-        case e: Throwable if raceSignature(e) && tableExists() =>
+        case e: Throwable if raceSignature(e) && tableExists(target) =>
           last = e; i += 1
           // linear backoff: a reader racing back-to-back maintenance
           // verbs needs to land BETWEEN two commits; retrying instantly
@@ -1007,7 +1052,7 @@ object Streaming {
       }
     }
     throw new IllegalStateException(
-      s"snapshot read of $target lost the maintenance race $attempts times in a row — " +
+      s"snapshot read of $lastTarget lost the maintenance race $attempts times in a row — " +
         "maintenance is outrunning this reader", last)
   }
 
