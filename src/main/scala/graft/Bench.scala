@@ -46,18 +46,36 @@ object Bench {
     var pwByQuery = List.empty[(String, Int)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    var fpByQuery = List.empty[(String, String)]
+    var jitByQuery = List.empty[(String, Double)]
+    var gcByQuery = List.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
-      def pass(): (Double, Double, Int) = {
+      def pass(): (Double, Double, Int, String, Double, Double) = {
         val pw0 = pwCounter.map(_._1.get()).getOrElse(0)
         val t0 = System.nanoTime()
         val c0 = processCpuNanos()
+        val j0 = jitMs(); val g0 = gcMs()
+        var fp = ""
         val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          try {
+            val df = fn(spark, sfDir)
+            df.write.mode("overwrite").format("noop").save()
+            // STATIC physical-plan fingerprint (r15 judge #1: a
+            // permanent plan-flip detector in the bench line): hash of
+            // the canonicalized pre-AQE physical plan with volatile
+            // tokens (scratch paths) normalized. Computed after the
+            // timed save — planning is already done, this only strings
+            // and hashes it.
+            fp = planFingerprint(df)
+            true
+          }
           catch {
             case e: Throwable =>
               errors ::= s"$name: ${e.getClass.getSimpleName}"
               false
           }
+        val jit = (jitMs() - j0) / 1000.0
+        val gc = (gcMs() - g0) / 1000.0
         val cpu =
           if (c0 < 0) Double.NaN
           else (processCpuNanos() - c0) / 1e9
@@ -82,7 +100,7 @@ object Bench {
         // attributes only the REPORTED pass's planner warnings — the
         // cross-pass mixing the r12 advisor flagged doubled a retried
         // query's count relative to a single run
-        (if (ok) dt else -dt, cpu, pwCounter.map(_._1.get()).getOrElse(0) - pw0)
+        (if (ok) dt else -dt, cpu, pwCounter.map(_._1.get()).getOrElse(0) - pw0, fp, jit, gc)
       }
       // Contention robustness (round-7: a single pass on a shared
       // host reported a 3x phantom regression on two queries that
@@ -100,6 +118,9 @@ object Bench {
           if (second._1 > 0 && second._1 < first._1) second else first
         } else first
       if (best._3 > 0) pwByQuery ::= (name -> best._3)
+      if (best._4.nonEmpty) fpByQuery ::= (name -> best._4)
+      jitByQuery ::= (name -> best._5)
+      gcByQuery ::= (name -> best._6)
       (name, best._1, best._2)
     }
     // the appender's job ends with the loop: leaving it registered
@@ -115,11 +136,16 @@ object Bench {
     val walls = results.map { case (n, w, _) => n -> w }
     val cpuSecs = results.map { case (n, _, c) => n -> c }
     val pw = pwByQuery.reverse
+    val fps = fpByQuery.reverse
+    val jitTotal = jitByQuery.map(_._2).sum
+    val gcTotal = gcByQuery.map(_._2).sum
     val line =
-      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs, pw)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs, pw,
+        fps, jitTotal, gcTotal)
     println(line)
     val fullLine =
-      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs, pw)
+      Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs, pw,
+        fps, jitTotal, gcTotal)
     // Belt and braces against stdout-tail truncation: the same line is
     // written whole to a file (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -156,6 +182,38 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
+
+  /** Cumulative JIT-compiler wall milliseconds (0 if unavailable). A
+    * per-query delta far above a few seconds means the query's
+    * generated code was compiled DURING it — the r15 bimodal-cpu
+    * mechanism; cpu noise with flat jit is contention instead.
+    */
+  def jitMs(): Long =
+    try java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    catch { case _: Throwable => 0L }
+
+  /** Cumulative stop-the-world GC milliseconds across collectors. */
+  def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Static physical-plan fingerprint: 8 hex chars over the
+    * canonicalized pre-AQE plan string with volatile tokens normalized
+    * (scratch-dir paths under /tmp — several fixtures build there with
+    * random names; canonicalization already zeroes exprIds). Two
+    * rounds reporting different fingerprints for one query mean its
+    * PLAN changed — the permanent flip detector the r15 bimodal hunt
+    * needed; identical fingerprints at diverging cpu point at the JIT/
+    * contention layer instead (see `jit`).
+    */
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    try {
+      val s = df.queryExecution.executedPlan.canonicalized.toString
+        .replaceAll("/tmp/[A-Za-z0-9_\\-./=]*", "/tmp/X")
+      f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
+    } catch { case _: Throwable => "" }
 
   /** One bench JSON line. `compact = true` is the stdout form sized for
     * the driver's 2000-byte tail capture: only the `CompactTopN`
@@ -212,6 +270,13 @@ object Bench {
     * full form names them. Omitted entirely when any value is NaN
     * (platform without the MXBean — NaN is not valid JSON).
     */
+  /** `fps`: per-query static plan fingerprints. The compact line
+    * carries one `fpsum` (hash of the sorted name:fp pairs — any plan
+    * flip anywhere changes it); the full file form names each query's
+    * fingerprint so the flipped one is identifiable. `jitSec`/`gcSec`:
+    * whole-run JIT-compiler and GC seconds — the "why did cpu move at
+    * an unchanged fpsum" discriminators.
+    */
   def renderLine(
       total: Double,
       results: Seq[(String, Double)],
@@ -220,7 +285,10 @@ object Bench {
       compact: Boolean,
       loads: Seq[Double] = Nil,
       cpus: Seq[(String, Double)] = Nil,
-      pw: Seq[(String, Int)] = Nil): String = {
+      pw: Seq[(String, Int)] = Nil,
+      fps: Seq[(String, String)] = Nil,
+      jitSec: Double = -1.0,
+      gcSec: Double = -1.0): String = {
     def r(v: Double): String = {
       val scale =
         if (!compact) 3
@@ -278,6 +346,17 @@ object Bench {
       if (compact || pw.isEmpty) ""
       else graft.plans.PlanContracts.globalWindowWhitelist.toSeq.sorted
         .map("\"" + _ + "\"").mkString(""","pw_whitelist":[""", ",", "]")
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson$pwJson$pwWlJson,"sf":"$sf"}"""
+    val fpJson =
+      if (fps.isEmpty) ""
+      else if (compact) {
+        val sum = scala.util.hashing.MurmurHash3.stringHash(
+          fps.sortBy(_._1).map { case (n, f) => s"$n:$f" }.mkString(","))
+        f""","fpsum":"$sum%08x""""
+      } else fps.sortBy(_._1)
+        .map { case (n, f) => "\"" + n + "\":\"" + f + "\"" }
+        .mkString(""","fp":{""", ",", "}")
+    val jitJson = if (jitSec < 0) "" else s""","jit":${r(jitSec)}"""
+    val gcJson = if (gcSec < 0) "" else s""","gc":${r(gcSec)}"""
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson$pwJson$pwWlJson$fpJson$jitJson$gcJson,"sf":"$sf"}"""
   }
 }

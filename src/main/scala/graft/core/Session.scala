@@ -29,7 +29,17 @@ object Session {
     // rejects outright (PARQUET_TYPE_ILLEGAL); read nanos as raw longs
     // session-wide (Tables truncates ns->us to match DuckDB). Set here
     // — not inside query functions — so queries stay side-effect-free.
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Generated-class cache (static conf, default 100 entries): a
+    // 100+-query session churns it, so a query whose plan shares
+    // codegen units with an earlier one (the search-cascade pair)
+    // sometimes re-compiles AND re-JITs the identical source — the
+    // r15 bimodal-cpu mechanism (tools/CascadeProfile: first execution
+    // of the cascade's generated code costs ~46 s of JIT-compiler CPU
+    // on top of interpreted task time; a cache hit costs none). The
+    // entries are weak-ref'd source->class pairs — metaspace-light —
+    // so a roomy cache is pure win for any long-lived session.
+    "spark.sql.codegen.cache.maxEntries" -> "5000"
   )
 
   def build(

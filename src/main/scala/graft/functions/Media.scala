@@ -1218,7 +1218,29 @@ object Media {
     * matters, and a bit flip in ancillary bytes shouldn't void
     * decodable pixels.)
     */
-  def pngDecodeStats(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Int, Int)] = {
+  def pngDecodeStats(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Int, Int)] =
+    pngDecodeRgb(b).map { case (w, h, px) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var minLum = Int.MaxValue; var maxLum = Int.MinValue
+      var i = 0
+      while (i < px.length) {
+        val r = px(i); val g = px(i + 1); val bb = px(i + 2)
+        sumR += r; sumG += g; sumB += bb
+        val lum = r + g + bb
+        if (lum < minLum) minLum = lum
+        if (lum > maxLum) maxLum = lum
+        i += 3
+      }
+      (w, h, sumR, sumG, sumB, minLum, maxLum)
+    }
+
+  /** Full PNG pixel decode: (width, height, interleaved RGB ints, 3
+    * per pixel, rows top-down). The chunk walk, zlib inflate, and all
+    * five filter reconstructions from [[pngDecodeStats]], emitting the
+    * pixels instead of folding stats — the decode layer the perceptual
+    * hash rung ([[ImageHash]]) consumes. None for malformed input.
+    */
+  def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
     try {
       var i = 8
@@ -1275,8 +1297,7 @@ object Media {
       inflater.end()
       if (!complete || stalled) return None
 
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var minLum = Int.MaxValue; var maxLum = Int.MinValue
+      val out = new Array[Int](3 * w * h)
       val cur = new Array[Int](rowBytes)
       val prev = new Array[Int](rowBytes)
       var y = 0
@@ -1305,16 +1326,14 @@ object Media {
           val r = cur(o)
           val g = if (bpp == 1) r else cur(o + 1)
           val bb = if (bpp == 1) r else cur(o + 2)
-          sumR += r; sumG += g; sumB += bb
-          val lum = r + g + bb
-          if (lum < minLum) minLum = lum
-          if (lum > maxLum) maxLum = lum
+          val oo = 3 * (y * w + px)
+          out(oo) = r; out(oo + 1) = g; out(oo + 2) = bb
           px += 1
         }
         System.arraycopy(cur, 0, prev, 0, rowBytes)
         y += 1
       }
-      Some((w, h, sumR, sumG, sumB, minLum, maxLum))
+      Some((w, h, out))
     } catch { case _: Throwable => None }
   }
 

@@ -94,18 +94,29 @@ object CompositeQueries {
         count(lit(1)).as("n_assoc"),
         sum(col("revdec")).as("totdec")
       )
-    // Consumed twice (max-rank fold + final projection): eager
-    // localCheckpoint materializes the part-level aggregate ONCE and
-    // truncates lineage — the reference pins with persist around its
-    // fold (Search.scala:652-787), but a persist inside a query leaks
-    // unless the caller unpersists; checkpoint blocks are released
-    // with the RDD, so Verify/correctness runs need no external cache
-    // clearing.
+    // Materialize the part-level aggregate ONCE, BEFORE the global
+    // rank: eager localCheckpoint truncates lineage — the reference
+    // pins with persist around its fold (Search.scala:652-787), but a
+    // persist inside a query leaks unless the caller unpersists;
+    // checkpoint blocks are released with the RDD, so Verify/
+    // correctness runs need no external cache clearing. Placement
+    // matters at both correctness-of-cost levels (r16, closing the r15
+    // `weak` item): checkpointing AFTER the rank let GlobalRank's
+    // range-partitioner SAMPLING job re-execute the whole cascade
+    // reduce side (fact joins + rank window + 6-tier aggregate — the
+    // most JIT-expensive code in the registry: ~56 s of compiler CPU
+    // on first execution, tools/CascadeProfile), so the query ran the
+    // monster stage 2-3x and its cpu swung 45-219 s with JIT timing.
+    // Checkpointing the ~20k-row aggregate FIRST makes the sampling
+    // pass, the range shuffle, the max-rank fold, and the final
+    // projection all read cached rows: the cascade executes exactly
+    // once, every run.
+    val agg0 = agged.localCheckpoint()
     val g = (if (scaledRank)
                graft.operators.GlobalRank.rowNumber(
-                 agged, Seq(col("totdec").desc, col("l_partkey").asc), "grank")
+                 agg0, Seq(col("totdec").desc, col("l_partkey").asc), "grank")
              else
-               agged.withColumn("grank",
+               agg0.withColumn("grank",
                  rank().over(Window.orderBy(col("totdec").desc, col("l_partkey").asc)))
             ).localCheckpoint()
     // The reference's driver scalar fold: max rank -> multiplier

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.Streaming
+
+/** Schema evolution on MAINTAINED tables (r15 judge #5): the policy
+  * for a column added mid-table. Default (the Delta contract): a batch
+  * whose schema widens the stored table is REFUSED loudly. Opt-in
+  * (`allowSchemaEvolution = true`): the touched shards rewrite with
+  * the widened schema (old rows null-padded), untouched shards keep
+  * their files, the table goes mixed-schema — `readCommitted`/
+  * `readAddedBetween` take `mergeSchema = true` for the union-schema
+  * read, and every commit records its files' schema FINGERPRINT in the
+  * manifest (`# schema` header), so a follower detects the transition
+  * with zero data I/O (`commitSchemaHash`).
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seed(target: String): Unit = {
+    import spark.implicits._
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      (0L until 40L).map(k => (k, s"v1-$k", 1L, k % 4))
+        .toDF("doc_id", "payload", "batch_id", "shard"),
+      1L)
+  }
+
+  test("default policy: a batch adding a column is refused loudly") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-se-refuse").toString + "/t"
+    seed(target)
+    val widened = Seq((0L, "v2-0", 2L, 0L, "EXTRA"))
+      .toDF("doc_id", "payload", "batch_id", "shard", "extra")
+    val ex = intercept[Exception] {
+      Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(widened, 2L)
+    }
+    // the pinned read's projection names the missing column
+    ex.getMessage should include("extra")
+    // nothing committed: still one generation, data intact
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L)
+    Streaming.readCommitted(spark, target).count() shouldBe 40L
+  }
+
+  test("allowSchemaEvolution widens the touched shards; mergeSchema reads the union; " +
+      "the manifest schema fingerprint flips exactly at the evolving commit") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-se-evolve").toString + "/t"
+    seed(target) // gen 1
+    // evolve: update shard 0's keys with a new column (gen 2)
+    val widened = (0L until 40L).filter(_ % 4 == 0).map(k => (k, s"v2-$k", 2L, 0L, s"x-$k"))
+      .toDF("doc_id", "payload", "batch_id", "shard", "extra")
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard",
+      allowSchemaEvolution = true)(widened, 2L)
+    // two later same-schema commits on other shards (gens 3 and 4)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      (0L until 40L).filter(_ % 4 == 1).map(k => (k, s"v3-$k", 3L, 1L))
+        .toDF("doc_id", "payload", "batch_id", "shard"),
+      3L)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      (0L until 40L).filter(_ % 4 == 2).map(k => (k, s"v1-$k", 1L, 2L))
+        .toDF("doc_id", "payload", "batch_id", "shard"),
+      4L)
+    // union-schema read: evolved rows carry extra, everything else null
+    val merged = Streaming.readCommitted(spark, target, mergeSchema = true)
+    merged.columns should contain("extra")
+    val byKey = merged.select(col("doc_id"), col("payload"), col("extra"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    byKey.size shouldBe 40
+    (0L until 40L).foreach { k =>
+      val expect =
+        if (k % 4 == 0) (s"v2-$k", Some(s"x-$k"))
+        else if (k % 4 == 1) (s"v3-$k", None)
+        else (s"v1-$k", None)
+      withClue(s"key $k: ") { byKey(k) shouldBe expect }
+    }
+    // incremental consumers see the widened column in the evolving
+    // range's added files
+    val delta = Streaming.readAddedBetween(spark, target, 1L, 2L, mergeSchema = true).get
+    delta.columns should contain("extra")
+    delta.count() shouldBe 10L
+    // drift detection without data I/O: the widening commit's
+    // fingerprint differs from its neighbors (the fingerprint hashes
+    // the full parquet MessageType, so nullability transitions — a
+    // first-commit write is `required`, a merge-path rewrite reads
+    // back `optional` — register too; what a follower keys on is
+    // CHANGE, not a canonical value), and two same-path same-shape
+    // commits agree
+    val h1 = Streaming.commitSchemaHash(fs, target, 1L)
+    val h2 = Streaming.commitSchemaHash(fs, target, 2L)
+    val h3 = Streaming.commitSchemaHash(fs, target, 3L)
+    val h4 = Streaming.commitSchemaHash(fs, target, 4L)
+    Seq(h1, h2, h3, h4).foreach(_.isDefined shouldBe true)
+    h2 should not be h1 // the widened column registers...
+    h3 should not be h2 // ...and the return to the narrow shape too
+    h4 shouldBe h3 // unchanged schema through the same path is stable
+  }
+
+  test("the evolved table keeps working through the mutation verbs: a later upsert on " +
+      "the widened shard preserves the column through the latest-wins merge") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-se-continue").toString + "/t"
+    seed(target)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard",
+      allowSchemaEvolution = true)(
+      Seq((0L, "v2-0", 2L, 0L, "keep-me"))
+        .toDF("doc_id", "payload", "batch_id", "shard", "extra"),
+      2L)
+    // a non-evolving widened-schema batch on the SAME shard: the shard
+    // is already widened, so the batch's schema matches the stored one
+    // and the default path accepts it
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      Seq((4L, "v3-4", 3L, 0L, "also"))
+        .toDF("doc_id", "payload", "batch_id", "shard", "extra"),
+      3L)
+    val m = Streaming.readCommitted(spark, target, mergeSchema = true)
+      .select(col("doc_id"), col("extra")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    m(0L) shouldBe Some("keep-me")
+    m(4L) shouldBe Some("also")
+    m(8L) shouldBe None // untouched key of the widened shard: null-padded
+  }
+}
