@@ -454,6 +454,148 @@ object MultimodalQueries {
                COUNT(*) OVER (PARTITION BY hash) AS group_size,
                MIN(doc_id) OVER (PARTITION BY hash) AS canonical_doc
         FROM final ORDER BY doc_id, n_chars""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_dedup_image_hamming",
+      (s, dir) => {
+        // HAMMING-TOLERANT image near-dup matching — the banded
+        // multi-probe extension of q_dedup_image_dhash (the
+        // q_similarity_ann_lsh shape on a 64-bit perceptual key):
+        // split each dHash into 4 x 16-bit bands, join entities on
+        // (band, bits) — by pigeonhole LOSSLESS for distance <= 3 —
+        // then verify candidates with the EXACT Hamming distance
+        // (bit_count over xor on the hash halves) and keep <= 3. Never
+        // all-pairs: candidate generation is a hash-bucket join, the
+        // scalable shape.
+        //
+        // ORACLE-ABILITY: the fixture CONSTRUCTS each image so its
+        // dHash realizes a closed-form target bit string exactly —
+        // per grid row the cell-mean walk starts at 64 and steps -1
+        // for a 1-bit (left>right) / +1 for a 0-bit, staying in
+        // [56,72] — and every doc with doc_id % 4 == 0 plants a twin
+        // whose target string flips exactly TWO closed-form positions
+        // (Hamming distance 2). The decode therefore reproduces the
+        // formula bit for bit, and the oracle rebuilds every hash,
+        // the same pair set, and the same exact distances in pure
+        // SQL. A banding bug that loses a candidate, a decode skew,
+        // or a wrong distance all break the hash.
+        import s.implicits._
+        // target bits from md5(doc_id): full avalanche, so DISTINCT
+        // documents' hashes are far apart (measured: zero accidental
+        // hamming<=3 pairs over 50k sequential ids) and the matched
+        // set is exactly the planted twins plus whatever the data's
+        // duplicate ids imply — while staying bit-for-bit replayable
+        // in DuckDB (md5 + ascii-parity of the hex chars, two bits
+        // per char)
+        def targetBits(d: Long): Array[Int] = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(d.toString.getBytes("UTF-8"))
+          val hex = md.map(b => f"$b%02x").mkString
+          Array.tabulate(64) { k =>
+            val c = hex(k / 2).toInt
+            if (k % 2 == 0) c % 2 else (c / 2) % 2
+          }
+        }
+        def bits(d: Long, v: Int): Array[Int] = {
+          val t = targetBits(d)
+          if (v == 1) {
+            val r = (((d % 64) + 64) % 64).toInt
+            t(r) = 1 - t(r)
+            t((r + 17) % 64) = 1 - t((r + 17) % 64)
+          }
+          t
+        }
+        val docs = Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id"))
+          .select(col("doc_id")).distinct()
+          .as[Long]
+        val entities = docs.flatMap { d =>
+          val variants = if (d % 4 == 0) Seq(0, 1) else Seq(0)
+          variants.map { v =>
+            // realize the target bits as a real image: per grid row a
+            // cell-mean walk, one pixel region per cell (cell-constant,
+            // so the integer area means are exact)
+            val bs = bits(d, v)
+            val cells = Array.ofDim[Int](9, 8)
+            var j = 0
+            while (j < 8) {
+              var c = 64
+              cells(0)(j) = c
+              var i = 0
+              while (i < 8) {
+                c = if (bs(j * 8 + i) == 1) c - 1 else c + 1
+                cells(i + 1)(j) = c
+                i += 1
+              }
+              j += 1
+            }
+            val w = (9 + ((d % 8) + 8) % 8).toInt
+            val h = (8 + ((d % 5) + 5) % 5).toInt
+            val bmp = graft.functions.Media.bmpContainer(w, h, (x, y) => {
+              val vv = cells(x * 9 / w)(y * 8 / h); (vv, vv, vv)
+            }, Array.emptyByteArray)
+            val hash = graft.functions.ImageHash.dhashBmp(bmp).get._3
+            // halves as longs: bit k weighs 2^(31-k) / 2^(63-k) — the
+            // xor/bit_count carrier for exact distance
+            (d, v, hash,
+              java.lang.Long.parseLong(hash.substring(0, 32), 2),
+              java.lang.Long.parseLong(hash.substring(32), 2))
+          }
+        }.toDF("doc_id", "variant", "hash", "h0", "h1")
+        val bands = entities
+          .withColumn("band", explode(array((0 until 4).map(lit(_)): _*)))
+          .withColumn("key", expr("substring(hash, band * 16 + 1, 16)"))
+        val a = bands.select(col("doc_id").as("doc_id_a"), col("variant").as("variant_a"),
+          col("h0").as("h0a"), col("h1").as("h1a"), col("band"), col("key"))
+        val b = bands.select(col("doc_id").as("doc_id_b"), col("variant").as("variant_b"),
+          col("h0").as("h0b"), col("h1").as("h1b"), col("band"), col("key"))
+        a.join(b, Seq("band", "key"))
+          .filter(col("doc_id_a") < col("doc_id_b") ||
+            (col("doc_id_a") === col("doc_id_b") && col("variant_a") < col("variant_b")))
+          .select(col("doc_id_a"), col("variant_a"), col("doc_id_b"), col("variant_b"),
+            col("h0a"), col("h1a"), col("h0b"), col("h1b"))
+          .distinct() // a close pair shares several bands: one row
+          .withColumn("hamming",
+            expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_id_a"), col("variant_a"), col("doc_id_b"), col("variant_b"),
+            col("hamming"))
+          .orderBy("doc_id_a", "variant_a", "doc_id_b", "variant_b")
+      },
+      Some("""WITH docs AS (
+          SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        ents AS (
+          SELECT d.doc_id, v.v AS variant
+          FROM docs d, (SELECT UNNEST([0, 1]) AS v) v
+          WHERE v.v = 0 OR d.doc_id % 4 = 0),
+        bits AS (
+          SELECT e.doc_id, e.variant, k.k,
+            CASE WHEN e.variant = 1
+                  AND (k.k = ((e.doc_id % 64) + 64) % 64
+                    OR k.k = (((e.doc_id % 64) + 64) % 64 + 17) % 64)
+              THEN 1 - (CASE WHEN k.k % 2 = 0
+                THEN ascii(substring(md5(CAST(e.doc_id AS VARCHAR)), k.k // 2 + 1, 1)) % 2
+                ELSE (ascii(substring(md5(CAST(e.doc_id AS VARCHAR)), k.k // 2 + 1, 1)) // 2) % 2 END)
+              ELSE (CASE WHEN k.k % 2 = 0
+                THEN ascii(substring(md5(CAST(e.doc_id AS VARCHAR)), k.k // 2 + 1, 1)) % 2
+                ELSE (ascii(substring(md5(CAST(e.doc_id AS VARCHAR)), k.k // 2 + 1, 1)) // 2) % 2 END)
+            END AS b
+          FROM ents e, generate_series(0, 63) k(k)),
+        halves AS (
+          SELECT doc_id, variant,
+            CAST(SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS h0,
+            CAST(SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS h1
+          FROM bits GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.doc_id AS doc_id_a, a.variant AS variant_a,
+                 b.doc_id AS doc_id_b, b.variant AS variant_b,
+                 CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+          FROM halves a JOIN halves b
+            ON a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.variant < b.variant))
+        SELECT doc_id_a, variant_a, doc_id_b, variant_b, hamming
+        FROM pairs WHERE hamming <= 3
+        ORDER BY doc_id_a, variant_a, doc_id_b, variant_b""")
     )
   )
 }

@@ -1542,6 +1542,15 @@ object Streaming {
     * This is the table-to-table CDC primitive: a derived pipeline
     * tracks a 100-TB source at O(commit delta) per poll, never
     * rescanning it.
+    *
+    * SCHEMA DRIFT: each poll compares the consumed range's `# schema`
+    * fingerprints ([[commitSchemaHash]] — metadata only); when the
+    * range is mixed (a widened column landed mid-range under
+    * `allowSchemaEvolution`), the delta read switches itself to
+    * mergeSchema, so the delivered frame carries the union schema
+    * with old files null-padded instead of whichever file's schema
+    * the reader sampled first. The consumer sees the new column the
+    * moment it lands (SchemaEvolutionSpec pins this end to end).
     */
   def followTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -1565,7 +1574,14 @@ object Streaming {
     val delivered = from match {
       case Some(g) if g >= latest => 0L // caught up
       case Some(g) =>
-        readAddedBetween(spark, source, g, latest) match {
+        // drift probe over the consumed range: >1 distinct recorded
+        // schema fingerprint means the added files are mixed-schema —
+        // read them merged (see scaladoc). One manifest-header read
+        // per generation in the range, zero data I/O.
+        val rangeSchemas = ((g + 1) to latest)
+          .flatMap(gen => commitSchemaHash(fs, source, gen)).distinct
+        readAddedBetween(spark, source, g, latest,
+          mergeSchema = rangeSchemas.size > 1) match {
           case Some(delta) =>
             val snap = delta.localCheckpoint() // count + apply read once
             apply(snap); snap.count()

@@ -127,4 +127,39 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSessionSet
     m(4L) shouldBe Some("also")
     m(8L) shouldBe None // untouched key of the widened shard: null-padded
   }
+
+  test("a follower poll spanning an evolving commit auto-merges the delta schema") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-se-follow").toString
+    val target = s"$root/t"
+    val cursor = s"$root/cursor"
+    seed(target) // gen 1
+    // bootstrap: cursor lands at gen 1
+    Streaming.followTable(spark, target, cursor)(_ => ())
+    // gen 2: the widening commit; gen 3: a narrow-schema commit on
+    // another shard — the consumed range (1, 3] is MIXED-schema
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard",
+      allowSchemaEvolution = true)(
+      Seq((0L, "v2-0", 2L, 0L, "drifted"))
+        .toDF("doc_id", "payload", "batch_id", "shard", "extra"),
+      2L)
+    Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+      Seq((1L, "v2-1", 2L, 1L)).toDF("doc_id", "payload", "batch_id", "shard"),
+      3L)
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    val delivered = Streaming.followTable(spark, target, cursor)(df => seen = Some(df))
+    delivered should be > 0L
+    val delta = seen.get
+    // the union schema arrived: the widened column exists, with its
+    // value on the evolved key and null on the narrow commit's rows
+    delta.columns should contain("extra")
+    val byKey = delta.select(col("doc_id"), col("extra")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    byKey(0L) shouldBe Some("drifted")
+    byKey(1L) shouldBe None
+    // and the drift is detectable generation-by-generation too
+    val h2 = Streaming.commitSchemaHash(fs, target, 2L)
+    val h3 = Streaming.commitSchemaHash(fs, target, 3L)
+    h2 should not be h3
+  }
 }
