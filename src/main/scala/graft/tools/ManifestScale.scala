@@ -33,23 +33,25 @@ import graft.streaming.Streaming
   *
   * Usage: runMain graft.tools.ManifestScale [rows] [batches]
   *
-  * MEASURED (1M rows, 500 shard dirs, local[32], r16 — CAS commits,
-  * thread-pooled renames/footer stats, schema headers): build+write
-  * 5.6 s; full-relist bootstrap commit 0.55 s (was 5.3 s serial —
-  * the footer reads now divide by the commit pool); pinned read
-  * 1.25 s vs plain directory read 1.13 s (min of 3 — parity within
-  * noise); commit storm of 20 single-shard upserts at 1.95 s/batch
-  * (run concurrently with an unrelated test JVM; the r15 idle point
-  * was 1.53) with a live reader: 21 successful pinned reads, torn=0,
-  * residual=0. Manifest economics: the one checkpoint 44 KB, deltas
-  * 162 B each — commit text I/O is O(batch) off-checkpoint. r16 legs:
-  * 2-WRITER OPTIMISTIC STORM — 2 x 10 disjoint-shard upserts with no
-  * lease, 0.35 s/commit, verb attempts 20/20 (every collision
-  * resolved by CAS rebase, zero verb re-runs), live reader torn=0
-  * residual=0, chain linear, zero lost updates; WIDE COMMIT — one
-  * upsert touching all 500 shards staging ~3.5k files, 15.4 s total
-  * verb time (dominated by the 10k-row merge + 500-dir staged write;
-  * the commit's renames + footer reads ride the 16-thread pool).
+  * MEASURED (1M rows, 500 shard dirs, local[32], r16 idle re-run —
+  * CAS commits, thread-pooled renames/footer stats, schema headers):
+  * build+write 5.5 s; full-relist bootstrap commit 0.57 s (was 5.3 s
+  * serial — the footer reads now divide by the commit pool); pinned
+  * read 1.37 s vs plain directory read 1.30 s (min of 3 — 5.5%
+  * isolation overhead); commit storm of 20 single-shard upserts at
+  * 2.04 s/batch (r15 idle: 1.53 — the delta is the per-commit
+  * staleness probe reading the base generation's chain plus run
+  * noise; both inside the established band) with a live reader: 21
+  * successful pinned reads, torn=0, residual=0. Manifest economics:
+  * the one checkpoint 44 KB, deltas 180 B each — commit text I/O is
+  * O(batch) off-checkpoint. r16 legs: 2-WRITER OPTIMISTIC STORM —
+  * 2 x 10 disjoint-shard upserts with no lease, 0.44 s/commit, verb
+  * attempts 20/20 (every collision resolved by CAS rebase, zero verb
+  * re-runs), live reader torn=0 residual=0, chain linear, zero lost
+  * updates; WIDE COMMIT — one upsert touching all 500 shards staging
+  * ~3.5k files, 14.9 s total verb time (dominated by the 10k-row
+  * merge + 500-dir staged write; the commit's renames + footer reads
+  * ride the 16-thread pool).
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {

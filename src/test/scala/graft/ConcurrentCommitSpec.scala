@@ -155,6 +155,47 @@ class ConcurrentCommitSpec extends AnyFunSuite with Matchers with SparkSessionSe
     }
   }
 
+  test("a mid-commit crash window (plan recorded, files partially moved) rolls forward " +
+      "idempotently from recoverAbandonedStages") {
+    val target = Files.createTempDirectory("graft-cc-midcrash").toString + "/t"
+    seed(target, 40) // gen 1
+    import spark.implicits._
+    // stage a shard-0 rewrite, record its plan, move ONE staged file
+    // into the live tree by hand — the exact state a writer killed
+    // mid-executeCommit leaves behind
+    val stage = new Path(target + ".__stage-crash")
+    (0 until 40).filter(_ % 8 == 0).map(k => (k.toLong, s"crash-$k", 2L, 0L))
+      .toDF("doc_id", "payload", "batch_id", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(stage.toString)
+    def files(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else Seq(if (rel.isEmpty) n else s"$rel/$n")
+      }
+    val staged = files(stage, "")
+    staged should not be empty
+    val plan = ("B 1" +: "R shard=0" +: staged.sorted.map(f => s"F $f")).mkString("\n")
+    val out = fs.create(new Path(stage, Streaming.StageCommitMarker), true)
+    out.write(plan.getBytes("UTF-8")); out.close()
+    val first = staged.head
+    fs.mkdirs(new Path(s"$target/${first.substring(0, first.lastIndexOf('/'))}"))
+    fs.rename(new Path(stage, first), new Path(s"$target/$first")) shouldBe true
+    // readers never saw the torn state: the manifest still pins gen 1
+    readAll(target).values.forall(_._2 == 1L) shouldBe true
+    // recovery past the TTL completes the commit exactly once
+    fs.setTimes(stage, System.currentTimeMillis() - Streaming.StageAbandonedMs - 1000, -1)
+    Streaming.recoverAbandonedStages(fs, target)
+    fs.exists(stage) shouldBe false
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L, 2L)
+    val got = readAll(target)
+    (0L until 40L).foreach { k =>
+      val expect = if (k % 8 == 0) (s"crash-$k", 2L) else (s"v1-$k", 1L)
+      withClue(s"key $k: ") { got(k) shouldBe expect }
+    }
+  }
+
   test("an abandoned plan-bearing optimistic stage rolls forward; a fresh one is untouched") {
     val target = Files.createTempDirectory("graft-cc-recover").toString + "/t"
     seed(target, 40) // gen 1
