@@ -204,6 +204,249 @@ object StorageQueries {
             AND doc_id + 1000000 NOT IN (SELECT doc_id FROM canon))
         SELECT doc_id, CAST(payload_len AS INTEGER) AS payload_len, shard
         FROM live ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_storage_zonemap_prune",
+      (s, dir) => {
+        // ZONE-MAP data skipping under the gate (the Iceberg/Delta
+        // file-pruning core): the canonical documents are committed
+        // through the real upsert verb, RANGE-CLUSTERED on doc_id
+        // (clusterTable — the OPTIMIZE ZORDER-lite rewrite, one
+        // immutable commit), then a doc_id range is read back through
+        // readCommittedRange, which prunes files against the manifest's
+        // per-file min/max bounds BEFORE Spark lists a path. Pruning is
+        // load-bearing: when the id domain is wide enough to separate
+        // into ranges, the require below fails the whole rung if the
+        // zone maps kept every file. The oracle replays the canon +
+        // range filter + aggregate in pure SQL — a pruned file that
+        // held matching rows, a stale manifest, or bounds recorded off
+        // by one all break the hash.
+        import s.implicits._
+        val wId = Window.partitionBy(col("doc_id")).orderBy(
+          col("n_chars").desc_nulls_last,
+          md5(col("text").cast("binary")).desc_nulls_last,
+          col("lang").desc_nulls_last,
+          col("source").desc_nulls_last)
+        val canon = Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id"))
+          .withColumn("__rn", row_number().over(wId))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"),
+            lit(1).as("batch_id"), col("doc_id").mod(16).cast("int").as("shard"))
+          .localCheckpoint()
+        val outSchema = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_chars",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("min_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("max_id",
+              org.apache.spark.sql.types.LongType))))
+        if (canon.isEmpty) outSchema
+        else {
+          val target = scratchDir("graft-storage-zonemap").toString + "/t"
+          Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+            canon, 1L)
+          Streaming.clusterTable(s, target, "doc_id", 16)
+          val fs = new org.apache.hadoop.fs.Path(target)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val (kept, total) = Streaming.zoneMapFiles(fs, target, "doc_id", 10L, 39L).get
+          val Array(idLo, idHi) = canon.agg(min("doc_id"), max("doc_id"))
+            .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+          // a 30-wide slice of a >=200-wide domain split into 16 range
+          // files MUST skip most of them — pruning is part of the rung
+          require(total < 8 || idHi - idLo < 200L || kept.size < total,
+            s"zone maps pruned nothing: kept ${kept.size} of $total clustered files")
+          Streaming.readCommittedRange(s, target, "doc_id", 10L, 39L)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_chars").as("sum_chars"),
+              min("doc_id").as("min_id"),
+              max("doc_id").as("max_id"))
+            .select(col("lang"), col("n_docs"), col("sum_chars"),
+              col("min_id"), col("max_id"))
+            .orderBy(col("lang").asc_nulls_first)
+        }
+      },
+      Some("""WITH canon AS (SELECT doc_id, n_chars, lang FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
+                            lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
+                 FROM documents WHERE doc_id IS NOT NULL) WHERE rn = 1)
+        SELECT lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(MIN(doc_id) AS BIGINT) AS min_id,
+          CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM canon
+        WHERE doc_id BETWEEN 10 AND 39
+        GROUP BY lang
+        ORDER BY lang NULLS FIRST""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_storage_zorder_prune",
+      (s, dir) => {
+        // Z-ORDER + zone maps, end to end (the full OPTIMIZE ZORDER
+        // pipeline): two derived dimensions x = doc_id % 16 and
+        // y = doc_id div 16 % 16, a Morton-interleaved zval
+        // (functions.Layout.zorder2), a clusterTable rewrite on zval
+        // (files become tight RECTANGLES in (x, y) space), then a 2-D
+        // range read through readCommittedRanges — BOTH dimensions
+        // prune files from pure manifest metadata, which a 1-D sort
+        // cannot do for its trailing column. Bootstrap goes through
+        // writeManifest (the full-relist path), so this rung also
+        // gates bounds recorded by that path. Pruning is load-bearing
+        // when the id domain actually fills the grid; the oracle
+        // replays the canon + conjunctive filter in closed form.
+        import s.implicits._
+        val wId = Window.partitionBy(col("doc_id")).orderBy(
+          col("n_chars").desc_nulls_last,
+          md5(col("text").cast("binary")).desc_nulls_last,
+          col("lang").desc_nulls_last,
+          col("source").desc_nulls_last)
+        // doc_id >= 0: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors — a hostile negative id would diverge
+        val canon = Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id"))
+          .filter(col("doc_id") >= 0)
+          .withColumn("__rn", row_number().over(wId))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"),
+            (col("doc_id") % 16).as("x"),
+            (expr("doc_id div 16") % 16).as("y"))
+          .localCheckpoint()
+        val outSchema = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.LongType))))
+        if (canon.isEmpty) outSchema
+        else {
+          val target = scratchDir("graft-storage-zorder").toString + "/t"
+          canon
+            .withColumn("zval", graft.functions.Layout.zorder2(
+              col("x").cast("int"), col("y").cast("int"), bits = 4))
+            .write.mode("overwrite").parquet(target)
+          val fs = new org.apache.hadoop.fs.Path(target)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          Streaming.writeManifest(fs, target)
+          Streaming.clusterTable(s, target, "zval", 16)
+          val predicates = Seq[(String, Any, Any)](("x", 4L, 7L), ("y", 1L, 2L))
+          val (kept, total) = Streaming.zoneMapFilesMulti(fs, target, predicates).get
+          require(canon.count() < 256 || kept.size < total,
+            s"z-order zone maps pruned nothing: kept ${kept.size} of $total files")
+          Streaming.readCommittedRanges(s, target, predicates)
+            .select(col("doc_id"), col("x"), col("y"))
+            .orderBy("doc_id")
+        }
+      },
+      Some("""WITH canon AS (SELECT doc_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
+                            lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
+                 FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0) WHERE rn = 1)
+        SELECT doc_id,
+          CAST(doc_id % 16 AS BIGINT) AS x,
+          CAST((doc_id // 16) % 16 AS BIGINT) AS y
+        FROM canon
+        WHERE doc_id % 16 BETWEEN 4 AND 7
+          AND (doc_id // 16) % 16 BETWEEN 1 AND 2
+        ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_storage_stats_agg",
+      (s, dir) => {
+        // METADATA-ONLY aggregates (the Iceberg/Delta stats-pushdown
+        // shape): after a full mutation lifecycle — ingest, a %10
+        // latest-wins update (rewritten shards get fresh footer
+        // stats), a %20==5 retraction — COUNT(*)/MIN/MAX of doc_id are
+        // answered from the manifest's per-file row counts and zone
+        // maps with ZERO data I/O (statsRowCount / statsMinMax), and
+        // the oracle replays the lifecycle's closed form. On a
+        // wide-domain fixture the metadata path is REQUIRED (the rung
+        // fails if it fell back); a hostile tiny fixture may legally
+        // fall back to the data-side aggregate (e.g. a fully-emptied
+        // shard's schema-bearing empty file carries no bounds), which
+        // must be value-identical anyway.
+        import s.implicits._
+        val wId = Window.partitionBy(col("doc_id")).orderBy(
+          col("n_chars").desc_nulls_last,
+          md5(col("text").cast("binary")).desc_nulls_last,
+          col("lang").desc_nulls_last,
+          col("source").desc_nulls_last)
+        val canon = Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id"))
+          .withColumn("__rn", row_number().over(wId))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("payload"),
+            col("doc_id").mod(16).cast("int").as("shard"))
+          .localCheckpoint()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_live",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_id",
+            org.apache.spark.sql.types.LongType)))
+        if (canon.isEmpty)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else {
+          val target = scratchDir("graft-storage-stats").toString + "/t"
+          Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+            canon.select(col("doc_id"), col("payload"), lit(1).as("batch_id"),
+              col("shard")), 1L)
+          Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+            canon.filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id"), concat(col("payload"), lit("-v2")).as("payload"),
+                lit(2).as("batch_id"), col("shard")), 2L)
+          Streaming.deleteFromPartitioned(target, "doc_id", "shard")(
+            canon.filter(col("doc_id") % 20 === 5)
+              .select(col("doc_id"), col("shard")))
+          val fs = new org.apache.hadoop.fs.Path(target)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val metaCnt = Streaming.statsRowCount(fs, target)
+          val metaMm = Streaming.statsMinMax(fs, target, "doc_id")
+          require(canon.count() < 64 || (metaCnt.isDefined && metaMm.isDefined),
+            s"metadata-only aggregates unavailable on a canonical fixture: " +
+              s"count=$metaCnt minmax=$metaMm")
+          val cnt: Long = metaCnt.getOrElse(
+            Streaming.readCommitted(s, target).count())
+          val (mn, mx): (java.lang.Long, java.lang.Long) = metaMm match {
+            case Some((a, b, 'l')) => (a.toLong, b.toLong)
+            case _ =>
+              val r = Streaming.readCommitted(s, target)
+                .agg(min("doc_id"), max("doc_id")).head()
+              (if (r.isNullAt(0)) null else r.getLong(0),
+                if (r.isNullAt(1)) null else r.getLong(1))
+          }
+          s.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row(cnt, mn, mx)), schema)
+        }
+      },
+      Some("""WITH canon AS (SELECT doc_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
+                            lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
+                 FROM documents WHERE doc_id IS NOT NULL) WHERE rn = 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM canon
+        WHERE doc_id % 20 != 5""")
     )
   )
 }

@@ -33,25 +33,32 @@ import graft.streaming.Streaming
   *
   * Usage: runMain graft.tools.ManifestScale [rows] [batches]
   *
-  * MEASURED (1M rows, 500 shard dirs, local[32], r16 idle re-run —
-  * CAS commits, thread-pooled renames/footer stats, schema headers):
-  * build+write 5.5 s; full-relist bootstrap commit 0.57 s (was 5.3 s
-  * serial — the footer reads now divide by the commit pool); pinned
-  * read 1.37 s vs plain directory read 1.30 s (min of 3 — 5.5%
-  * isolation overhead); commit storm of 20 single-shard upserts at
-  * 2.04 s/batch (r15 idle: 1.53 — the delta is the per-commit
-  * staleness probe reading the base generation's chain plus run
-  * noise; both inside the established band) with a live reader: 21
-  * successful pinned reads, torn=0, residual=0. Manifest economics:
-  * the one checkpoint 44 KB, deltas 180 B each — commit text I/O is
-  * O(batch) off-checkpoint. r16 legs: 2-WRITER OPTIMISTIC STORM —
-  * 2 x 10 disjoint-shard upserts with no lease, 0.44 s/commit, verb
-  * attempts 20/20 (every collision resolved by CAS rebase, zero verb
-  * re-runs), live reader torn=0 residual=0, chain linear, zero lost
-  * updates; WIDE COMMIT — one upsert touching all 500 shards staging
-  * ~3.5k files, 14.9 s total verb time (dominated by the 10k-row
-  * merge + 500-dir staged write; the commit's renames + footer reads
-  * ride the 16-thread pool).
+  * MEASURED (1M rows, 500 shard dirs, local[32], r16b — MANIFEST-LIST
+  * checkpoints: per-dir manifest files + ref reuse, zone-map stats in
+  * every entry, CAS commits, thread-pooled renames/footer stats/m-file
+  * writes): build+write 5.1 s; full-relist bootstrap commit 1.05 s
+  * (writes all 500 per-dir manifests on the commit pool); pinned read
+  * within noise of the plain directory read (−0.3% to +6% across
+  * runs); commit storm of 20 single-shard upserts at 1.08–1.20
+  * s/batch (r16a flat-checkpoint protocol: 2.04 — the per-dir
+  * resolution of the touched shard no longer loads the table's entry
+  * list) with a live reader: 21 successful pinned reads, torn=0,
+  * residual=0. Manifest economics: checkpoint file 21 KB of refs
+  * (entries live in the per-dir manifests, UNTOUCHED dirs reuse their
+  * m-files verbatim), deltas 263 B — commit text I/O is O(batch)
+  * off-checkpoint and O(dirty dirs) at the cadence, never O(table).
+  * 2-WRITER OPTIMISTIC STORM — 2 x 10 disjoint-shard upserts with no
+  * lease, 0.52–0.59 s/commit, verb attempts 20/20 (every collision
+  * resolved by CAS rebase, zero verb re-runs), live reader torn=0
+  * residual=0, chain linear, zero lost updates. WIDE COMMIT — one
+  * upsert touching all 500 shards staging ~3.5k files, 13.5–13.8 s
+  * total verb time (dominated by the 10k-row merge + 500-dir staged
+  * write). COMPACTION — compactShards bin-packs all 500 fragmented
+  * shards in one commit, 8.7 s, 4021 -> 521 manifest entries, rows
+  * identical. ZONE MAPS — clusterTable(doc_id, 64 files) on a 1M-row
+  * copy in 2.8 s; a 1%-wide doc_id range keeps 2 of 64 files from
+  * pure manifest metadata and the pruned read matches the full
+  * filtered read exactly.
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {
@@ -233,6 +240,46 @@ object ManifestScale {
     val n3 = Streaming.readCommitted(spark, target).count()
     require(n3 == n2, s"wide upsert changed row count: $n3 != $n2")
     println(s"[manifest-scale] wide commit: $n3 rows — PASS")
+
+    // -- claim 6 (r16b): OPTIMIZE compaction (bin-pack) ------------------
+    // the wide upsert left every shard fragmented (one file per
+    // task x shard pair); compactShards rewrites each to ONE file in a
+    // single immutable commit — file count collapses back to ~shard
+    // count, rows byte-for-byte identical
+    val (nCompacted, _) = time("compactShards (bin-pack every shard)") {
+      Streaming.compactShards(spark, target, "shard")
+    }
+    val postCompact = Streaming.manifestGenerations(fs, target).lastOption
+      .map(g => Streaming.manifestEntries(fs, target, g).size).getOrElse(0)
+    println(s"[manifest-scale] compaction: $nCompacted shards bin-packed, " +
+      s"$postFiles -> $postCompact manifest entries")
+    val n4 = Streaming.readCommitted(spark, target).count()
+    require(n4 == n3, s"compaction changed row count: $n4 != $n3")
+    require(postCompact < postFiles, "compaction did not reduce the file count")
+    println(s"[manifest-scale] compaction: $n4 rows — PASS")
+
+    // -- claim 7 (r16b): ZONE-MAP pruning at 1M ------------------------
+    // range-cluster a COPY on doc_id and prove a narrow range resolves
+    // to a handful of files from pure manifest metadata
+    val zt = Files.createTempDirectory("graft-manifest-zm").toString + "/t"
+    val (_, clusterSec) = time("clusterTable copy on doc_id (64 files)") {
+      Streaming.readCommitted(spark, target)
+        .write.mode("overwrite").parquet(zt)
+      Streaming.writeManifest(fs, zt)
+      Streaming.clusterTable(spark, zt, "doc_id", 64)
+    }
+    val (kept, total) = Streaming.zoneMapFiles(fs, zt, "doc_id",
+      rows / 2, rows / 2 + rows / 100).get
+    println(s"[manifest-scale] zone maps: a 1%-wide doc_id range keeps " +
+      s"${kept.size} of $total clustered files")
+    require(kept.size <= math.max(3, total / 16),
+      s"zone maps pruned too little: ${kept.size} of $total")
+    val zn = Streaming.readCommittedRange(spark, zt, "doc_id",
+      rows / 2, rows / 2 + rows / 100).count()
+    val zExpect = Streaming.readCommitted(spark, zt)
+      .filter(col("doc_id").between(rows / 2, rows / 2 + rows / 100)).count()
+    require(zn == zExpect, s"pruned read wrong: $zn != $zExpect")
+    println(s"[manifest-scale] zone-map pruned read: $zn rows — PASS")
     spark.stop()
   }
 }

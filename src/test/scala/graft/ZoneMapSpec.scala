@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.Streaming
+
+/** Zone-map file skipping (the Iceberg/Delta data-skipping core):
+  * every commit records per-file min/max bounds for the top-level
+  * long / double / string columns in its manifest entry lines (one
+  * parquet-footer read per added file — already paid for the row
+  * counts), `clusterTable` range-clusters a table so the bounds are
+  * tight and non-overlapping, and `readCommittedRange` prunes files
+  * against them before Spark lists a single path. The contract under
+  * test: the pruned read EQUALS the full read + filter (pruning is
+  * lossless), the pruning is REAL (most files skipped on a clustered
+  * table), and every unboundable case — nulls, stat-less legacy
+  * entries, unknown columns, oversized string bounds — falls back to
+  * "keep", never to a wrong answer.
+  */
+class ZoneMapSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def seed(target: String, n: Long = 400L): Unit = {
+    import spark.implicits._
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      (0L until n).map(k => (k, k.toDouble / 2, f"name-$k%03d", 1L, k % 4))
+        .toDF("id", "score", "name", "v", "shard"),
+      1L)
+  }
+
+  test("commits record per-column bounds; clusterTable makes them prune") {
+    val target = tmp("graft-zm-cluster")
+    seed(target)
+    Streaming.clusterTable(spark, target, "id", 16)
+    val (kept, total) = Streaming.zoneMapFiles(fs, target, "id", 100L, 124L).get
+    total should be >= 16
+    // a 25-wide slice of a 400-key domain split into 16 ranges touches
+    // at most 2 files
+    kept.size should be <= 2
+    val pruned = Streaming.readCommittedRange(spark, target, "id", 100L, 124L)
+    val full = Streaming.readCommitted(spark, target)
+      .where(col("id") >= 100L && col("id") <= 124L)
+    pruned.count() shouldBe 25L
+    pruned.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(pruned).count() shouldBe 0L
+  }
+
+  test("double and string columns prune too; lossless vs the full filter") {
+    val target = tmp("graft-zm-kinds")
+    seed(target)
+    Streaming.clusterTable(spark, target, "score", 8)
+    val (keptD, totalD) = Streaming.zoneMapFiles(fs, target, "score", 10.0, 19.5).get
+    keptD.size should be < totalD
+    val prunedD = Streaming.readCommittedRange(spark, target, "score", 10.0, 19.5)
+    prunedD.count() shouldBe Streaming.readCommitted(spark, target)
+      .where(col("score").between(10.0, 19.5)).count()
+
+    Streaming.clusterTable(spark, target, "name", 8)
+    val (keptS, totalS) =
+      Streaming.zoneMapFiles(fs, target, "name", "name-100", "name-149").get
+    keptS.size should be < totalS
+    Streaming.readCommittedRange(spark, target, "name", "name-100", "name-149")
+      .count() shouldBe 50L
+  }
+
+  test("a range past the domain prunes everything and returns the empty typed frame") {
+    val target = tmp("graft-zm-empty")
+    seed(target)
+    Streaming.clusterTable(spark, target, "id", 8)
+    val (kept, _) = Streaming.zoneMapFiles(fs, target, "id", 100000L, 200000L).get
+    kept shouldBe empty
+    val out = Streaming.readCommittedRange(spark, target, "id", 100000L, 200000L)
+    out.count() shouldBe 0L
+    out.columns should contain allOf ("id", "score", "name")
+  }
+
+  test("nulls in the clustered column never break losslessness") {
+    import spark.implicits._
+    val target = tmp("graft-zm-nulls")
+    val rows = (0L until 100L).map(k =>
+      (k, if (k % 10 == 0) null else s"n-$k", 1L, k % 4))
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      rows.toDF("id", "name", "v", "shard"), 1L)
+    Streaming.clusterTable(spark, target, "name", 4)
+    // nulls fail BETWEEN in both the pruned and the full read
+    val pruned = Streaming.readCommittedRange(spark, target, "name", "n-1", "n-3")
+    val full = Streaming.readCommitted(spark, target)
+      .where(col("name") >= "n-1" && col("name") <= "n-3")
+    pruned.count() shouldBe full.count()
+    pruned.exceptAll(full).count() shouldBe 0L
+  }
+
+  test("Z-ORDER clustering makes BOTH dimensions prune (zoneMapFilesMulti); " +
+      "the 2-D pruned read equals the full conjunctive filter") {
+    import spark.implicits._
+    import graft.functions.Layout
+    val target = tmp("graft-zm-zorder")
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x * 64 + y, x, y, 1L, (x * 64 + y) % 4)
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      rows.toDF("id", "x", "y", "v", "shard"), 1L)
+    // cluster on the Morton interleave of (x, y): files become tight
+    // RECTANGLES in (x, y) space, so a range on EITHER dimension prunes
+    val withZ = Streaming.readCommitted(spark, target)
+      .withColumn("zval",
+        Layout.zorder2(col("x").cast("int"), col("y").cast("int"), bits = 6))
+    val staged = target + "2"
+    Streaming.upsertPartitionedBatch(staged, "id", "v", "shard")(
+      withZ.withColumn("shard", col("shard").cast("long")), 1L)
+    Streaming.clusterTable(spark, staged, "zval", 16)
+    val predicates = Seq[(String, Any, Any)](("x", 8L, 15L), ("y", 24L, 31L))
+    val (kept, total) = Streaming.zoneMapFilesMulti(fs, staged, predicates).get
+    total shouldBe 16
+    // an 8x8 query rectangle over a 64x64 z-ordered space: a handful
+    // of files, never most of them
+    kept.size should be <= 4
+    val pruned = Streaming.readCommittedRanges(spark, staged, predicates)
+    pruned.count() shouldBe 64L
+    val full = Streaming.readCommitted(spark, staged)
+      .where(col("x").between(8L, 15L) && col("y").between(24L, 31L))
+    pruned.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(pruned).count() shouldBe 0L
+  }
+
+  test("unknown columns and fractional bounds refuse or keep — never mis-prune") {
+    val target = tmp("graft-zm-guards")
+    seed(target, n = 50L)
+    // a column with no recorded bounds (shard is a PARTITION dir, not
+    // a data column in the files): every file kept
+    val (kept, total) = Streaming.zoneMapFiles(fs, target, "no_such_col", 0L, 1L).get
+    kept.size shouldBe total
+    // fractional bound against an integral column: loud refusal
+    an[IllegalArgumentException] should be thrownBy
+      Streaming.zoneMapFiles(fs, target, "id", 1.5, 2.5)
+  }
+
+  test("bounds survive the delta carry: an unrelated commit keeps other files' zone maps") {
+    import spark.implicits._
+    val target2 = tmp("graft-zm-carry")
+    seed(target2)
+    val gens = Streaming.manifestGenerations(fs, target2)
+    Streaming.upsertPartitionedBatch(target2, "id", "v", "shard")(
+      Seq((0L, 99.0, "upd", 9L, 0L)).toDF("id", "score", "name", "v", "shard"), 2L)
+    Streaming.manifestGenerations(fs, target2).last shouldBe gens.last + 1
+    // shards 1..3 were untouched: their carried entries still prune
+    val (kept2, total2) = Streaming.zoneMapFiles(fs, target2, "id", 50000L, 60000L).get
+    kept2 shouldBe empty
+    total2 should be > 0
+  }
+}
