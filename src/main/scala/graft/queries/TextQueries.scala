@@ -2383,6 +2383,130 @@ object TextQueries {
           CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
           md5(scrubbed) AS scrubbed_md5
         FROM sc ORDER BY doc_id""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_text_bpe_train",
+      (s, dir) => {
+        // Distributed BPE-MERGE TRAINING (the learning half of the
+        // tokenizer family — q_text_bpe_tokenize ENCODES with a given
+        // merge table; this rung LEARNS one): three merge rounds over
+        // the corpus, each = a distributed adjacent-pair count
+        // (explode + groupBy, map-side combined), a deterministic
+        // argmax (count desc, pair asc — a one-row collect), and a
+        // corpus-wide GREEDY merge application. Sequences ride a
+        // boundary-safe encoding — symbols joined by a DOUBLE
+        // separator, the merge pattern borrowing one separator from
+        // each side — so `replace` (left-to-right, non-overlapping,
+        // identical semantics in Spark and DuckDB) merges EVERY
+        // non-overlapping occurrence without ever matching across a
+        // symbol boundary, and self-pairs (l = r) merge greedily
+        // left-to-right exactly like real BPE. The alphabet is
+        // sanitized to [a-z] (first 200 chars/doc) so char splitting,
+        // lowercasing, and byte order agree across engines. The
+        // oracle replays all three rounds in closed-form SQL —
+        // LEFT JOIN + COALESCE keeps a pairless round a no-op on both
+        // sides. Output: the learned merges with their counts plus
+        // the final corpus symbol count.
+        import org.apache.spark.sql.{Column, DataFrame, Row}
+        val sep = "\u001F" // chr(31) on the oracle side
+        val sep2 = sep + sep
+        def syms(c: Column): Column = filter(split(c, sep2), x => x =!= "")
+        val sanitized = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(concat(
+            regexp_replace(
+              substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 200),
+              "(.)", sep2 + "$1"),
+            lit(sep2)).as("s"))
+          .localCheckpoint()
+        def pairs(df: DataFrame): DataFrame = df
+          .select(syms(col("s")).as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(explode(zip_with(
+            slice(col("a"), lit(1), size(col("a")) - 1),
+            slice(col("a"), lit(2), size(col("a")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"))
+        val schema0 = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("left_sym",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("right_sym",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))
+        // empty corpus (or all-null text): no merges, no TOTAL row —
+        // the all-empty-dataset sweep contract, mirrored by the
+        // oracle's EXISTS guard
+        if (sanitized.isEmpty)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema0)
+        else {
+          var cur = sanitized
+          val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+          for (round <- 1 to 3) {
+            val top = pairs(cur)
+              .groupBy("l", "r").agg(count(lit(1)).as("c"))
+              .orderBy(col("c").desc, col("l"), col("r"))
+              .limit(1).collect()
+            top.foreach { t =>
+              val (l, r, c) = (t.getString(0), t.getString(1), t.getLong(2))
+              merges += Row(round, l, r, c)
+              cur = cur.select(call_function("replace", col("s"),
+                  lit(sep + l + sep2 + r + sep), lit(sep + l + r + sep)).as("s"))
+                .localCheckpoint()
+            }
+          }
+          val totalRow = cur.agg(sum(size(syms(col("s"))))).head()
+          val total: java.lang.Long = if (totalRow.isNullAt(0)) null else totalRow.getLong(0)
+          val rows = merges.toSeq :+ Row(4, "TOTAL", "SYMBOLS", total)
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.asJava, schema0).orderBy("round")
+        }
+      },
+      Some(raw"""WITH docs0 AS (
+          SELECT concat(regexp_replace(
+                   substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 200),
+                   '(.)', chr(31)||chr(31)||'\1', 'g'), chr(31)||chr(31)) AS s
+          FROM documents WHERE text IS NOT NULL),
+        pr1 AS (SELECT a[i] AS l, a[i+1] AS r
+          FROM (SELECT list_filter(string_split(s, chr(31)||chr(31)), t -> t != '') AS a
+                FROM docs0), UNNEST(range(1, len(a))) AS t(i)),
+        m1 AS (SELECT l, r, c FROM (SELECT l, r, COUNT(*) AS c FROM pr1
+                GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)),
+        docs1 AS (SELECT COALESCE(replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                                             chr(31)||l||r||chr(31)), s) AS s
+                  FROM docs0 LEFT JOIN m1 ON TRUE),
+        pr2 AS (SELECT a[i] AS l, a[i+1] AS r
+          FROM (SELECT list_filter(string_split(s, chr(31)||chr(31)), t -> t != '') AS a
+                FROM docs1), UNNEST(range(1, len(a))) AS t(i)),
+        m2 AS (SELECT l, r, c FROM (SELECT l, r, COUNT(*) AS c FROM pr2
+                GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)),
+        docs2 AS (SELECT COALESCE(replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                                             chr(31)||l||r||chr(31)), s) AS s
+                  FROM docs1 LEFT JOIN m2 ON TRUE),
+        pr3 AS (SELECT a[i] AS l, a[i+1] AS r
+          FROM (SELECT list_filter(string_split(s, chr(31)||chr(31)), t -> t != '') AS a
+                FROM docs2), UNNEST(range(1, len(a))) AS t(i)),
+        m3 AS (SELECT l, r, c FROM (SELECT l, r, COUNT(*) AS c FROM pr3
+                GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)),
+        docs3 AS (SELECT COALESCE(replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                                             chr(31)||l||r||chr(31)), s) AS s
+                  FROM docs2 LEFT JOIN m3 ON TRUE)
+        SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+               CAST(c AS BIGINT) AS n FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), l, r, CAST(c AS BIGINT) FROM m2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), l, r, CAST(c AS BIGINT) FROM m3
+        UNION ALL
+        SELECT CAST(4 AS INTEGER), 'TOTAL', 'SYMBOLS',
+          CAST((SELECT SUM(len(list_filter(string_split(s, chr(31)||chr(31)),
+                                           t -> t != ''))) FROM docs3) AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM docs0)
+        ORDER BY round""")
     )
   )
 }

@@ -2004,6 +2004,67 @@ object Streaming {
     }
   }
 
+  /** CLUSTERING DEPTH of `column` over the latest committed generation
+    * — a METADATA-ONLY health signal for the zone-map layout: the
+    * expected number of files whose recorded bounds contain a point
+    * drawn uniformly from the column's committed domain, computed as
+    * sum(per-file range length) / domain length. A freshly
+    * [[clusterTable]]-ed table sits at ~1.0 (disjoint ranges); every
+    * append/upsert whose rows span the domain pushes it up (its files
+    * overlap everything), and at depth d a range predicate reads ~d×
+    * the files it should — the signal that a re-cluster pays for
+    * itself. None when any entry lacks bounds for the column (nothing
+    * to measure) or the domain is a single point. Long/double columns
+    * only (string ranges have no uniform measure).
+    */
+  def clusteringDepth(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      column: String
+  ): Option[Double] =
+    manifestGenerations(fs, target).lastOption.flatMap { g =>
+      val per = manifestEntryLines(fs, target, g).map(l => entryBounds(l).get(column))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val bs = per.flatten
+        def num(k: Char, s: String): Double =
+          if (k == 'l') s.toLong.toDouble else s.toDouble
+        if (bs.exists(_._1 == 's')) None
+        else {
+          val spans = bs.map { case (k, mn, mx) => (num(k, mn), num(k, mx)) }
+          val lo = spans.map(_._1).min
+          val hi = spans.map(_._2).max
+          if (hi <= lo) None // single-point domain: depth undefined
+          else Some(spans.map { case (a, b) => b - a }.sum / (hi - lo))
+        }
+      }
+    }
+
+  /** The OPTIMIZE autopilot for a read-optimized table: re-cluster on
+    * `column` only when the layout has actually degraded —
+    * [[clusteringDepth]] above `maxDepth` (default 2: a range read
+    * touches twice the files it should) or the file count drifted
+    * above `numFiles * 2`. Appends/upserts between runs are absorbed;
+    * a healthy table is a pure metadata probe (no commit, no read).
+    * Returns true when it re-clustered.
+    */
+  def maintainClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      column: String,
+      numFiles: Int,
+      maxDepth: Double = 2.0
+  ): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = manifestGenerations(fs, target).lastOption
+      .map(g => manifestEntries(fs, target, g).size).getOrElse(0)
+    val degraded = entries > 2 * numFiles ||
+      clusteringDepth(fs, target, column).exists(_ > maxDepth)
+    if (degraded) clusterTable(spark, target, column, numFiles)
+    degraded
+  }
+
   /** BIN-PACK the fragmented shards of a maintained hive-partitioned
     * table — the lakehouse `OPTIMIZE` compaction verb. Shards whose
     * live file count exceeds `maxFilesPerShard` are rewritten to one
