@@ -257,11 +257,12 @@ object StorageQueries {
           val fs = new org.apache.hadoop.fs.Path(target)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           val (kept, total) = Streaming.zoneMapFiles(fs, target, "doc_id", 10L, 39L).get
-          val Array(idLo, idHi) = canon.agg(min("doc_id"), max("doc_id"))
-            .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-          // a 30-wide slice of a >=200-wide domain split into 16 range
-          // files MUST skip most of them — pruning is part of the rung
-          require(total < 8 || idHi - idLo < 200L || kept.size < total,
+          // pruning is load-bearing once the corpus has enough DISTINCT
+          // ids that the <=30 in-window ones are a thin contiguous band
+          // of the sort order (canon is one row per id, so count =
+          // distinct ids; a width-based guard would be fooled by two
+          // outliers around a dense window)
+          require(total < 8 || canon.count() < 200 || kept.size < total,
             s"zone maps pruned nothing: kept ${kept.size} of $total clustered files")
           Streaming.readCommittedRange(s, target, "doc_id", 10L, 39L)
             .groupBy("lang")
@@ -344,7 +345,12 @@ object StorageQueries {
           Streaming.clusterTable(s, target, "zval", 16)
           val predicates = Seq[(String, Any, Any)](("x", 4L, 7L), ("y", 1L, 2L))
           val (kept, total) = Streaming.zoneMapFilesMulti(fs, target, predicates).get
-          require(canon.count() < 256 || kept.size < total,
+          // pruning is load-bearing only when the query rectangle holds
+          // a MINORITY of the rows (under a quarter): a fixture whose
+          // every id maps into the rectangle legitimately keeps all
+          // files, and must not fail the rung
+          val inRect = canon.filter(col("x").between(4, 7) && col("y").between(1, 2)).count()
+          require(canon.count() < 256 || inRect * 4 >= canon.count() || kept.size < total,
             s"z-order zone maps pruned nothing: kept ${kept.size} of $total files")
           Streaming.readCommittedRanges(s, target, predicates)
             .select(col("doc_id"), col("x"), col("y"))

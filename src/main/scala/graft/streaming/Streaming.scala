@@ -656,11 +656,21 @@ object Streaming {
     }
     lazy val addLines = footers.map { case (f, info) => entryLineOf(f, info) }
     lazy val commitSchema = footers.flatMap(_._2.map(_.schemaHash)).headOption
-    // abort: remove this plan's already-moved files (no manifest
-    // references them — invisible garbage) and the stage, so the
-    // verb's retry starts clean
+    // abort: remove this plan's already-moved files and the stage, so
+    // the verb's retry starts clean — but NEVER a file some RETAINED
+    // generation still references: a replay of a plan whose commit
+    // LANDED (crash between the manifest rename and the stage delete)
+    // must not tear the live table, and a plan superseded after
+    // landing must leave its files to the tombstone GC, which owns
+    // their retention-horizon lifecycle. The reference check loads
+    // only the touched dirs' entries per retained generation.
     def abortConflict(detail: String): Nothing = {
-      files.foreach(f =>
+      val protectedPaths: Set[String] =
+        manifestGenerations(fs, target).flatMap { g =>
+          try manifestEntriesForDirs(fs, target, g, touchedDirs)
+          catch { case _: IllegalStateException => Nil } // chain pruned mid-walk
+        }.toSet
+      files.filterNot(protectedPaths).foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(targetPath, f), false))
       fs.delete(stage, true)
       throw new CommitConflictException(
@@ -668,7 +678,7 @@ object Streaming {
           "the staged merge read a stale generation; re-run the verb against the " +
           "current one")
     }
-    val touchedDirs: Set[String] = replacedDirs ++ files.map(dirOf)
+    lazy val touchedDirs: Set[String] = replacedDirs ++ files.map(dirOf)
     lazy val addsByDir: Map[String, Seq[String]] =
       addLines.groupBy(l => dirOf(entryPath(l)))
     var done = false
@@ -693,51 +703,60 @@ object Streaming {
         case None => entriesForDirs(fs, target, prevGen.get, Some(touchedDirs))
           .map(l => entryPath(l) -> l).toMap
       }
-      // STALENESS check (the conflict detection): scan the recorded
-      // delta lines of every generation between the snapshot the
-      // writer's read was based on (`B <gen>` in the plan) and the
-      // current latest — each O(its batch). Any dir in our
-      // replacedDirs touched in that window means our staged merge
-      // would silently drop the interloper's rows — conflict, whether
-      // or not our CAS rename would win (a rename-collision-only check
-      // misses every writer whose read-to-commit window fully contains
-      // another's commit). A window that cannot be scanned exactly —
-      // a pruned generation, a legacy flat checkpoint, a `# rebuild`
-      // — can no longer prove disjointness and conflicts
-      // conservatively.
-      baseGen.filter(bg => prevGen.exists(_ > bg)).foreach { bg =>
-        val changed: Option[Set[String]] =
-          ((bg + 1) to prevGen.get).foldLeft(Option(Set.empty[String])) { (acc, g) =>
-            for (a <- acc; d <- deltaDirsOf(fs, target, g)) yield a ++ d
-          }
-        changed match {
-          case None =>
-            abortConflict(s"the window (gen $bg, gen ${prevGen.get}] of $target cannot " +
-              "be scanned for conflicts (pruned, legacy, or rebuilt in between)")
-          case Some(ch) =>
-            val overlap = ch.intersect(replacedDirs)
-            if (overlap.nonEmpty)
-              abortConflict(s"directories ${overlap.take(5).mkString(", ")} changed " +
-                s"between read generation $bg and current ${prevGen.get}")
-        }
-      }
+      // one grouping pass over the touched base, reused by the post
+      // state and the replay check (not a rescan per dir)
+      val baseLinesByDir: Map[String, Seq[String]] = baseTouched.toSeq
+        .groupBy { case (p, _) => dirOf(p) }
+        .map { case (d, xs) => d -> xs.map(_._2) }
       // post-commit entry lines per touched dir: a replaced dir keeps
       // only this commit's adds; any other touched dir appends them
       val postTouched: Map[String, Seq[String]] = touchedDirs.iterator.map { d =>
         val kept =
           if (replacedDirs(d)) Seq.empty
-          else baseTouched.collect { case (p, l) if dirOf(p) == d => l }.toSeq
+          else baseLinesByDir.getOrElse(d, Seq.empty)
         d -> (kept ++ addsByDir.getOrElse(d, Seq.empty)).sorted
       }.toMap
-      // already committed (an interrupted commit's replay): every
+      // ALREADY COMMITTED (an interrupted commit's replay): every
       // touched dir carries exactly its planned post state — untouched
-      // dirs are unchanged by construction
+      // dirs are unchanged by construction. This MUST run before the
+      // staleness scan: a crash between the manifest rename and the
+      // stage delete leaves a plan whose own commit sits inside the
+      // (baseGen, latest] window, and scanning first would read the
+      // replay as a conflict and abort a commit that already LANDED.
       val already = prevGen.isDefined && touchedDirs.forall { d =>
-        baseTouched.keysIterator.filter(p => dirOf(p) == d).toSet ==
+        baseLinesByDir.getOrElse(d, Seq.empty).map(entryPath).toSet ==
           postTouched(d).map(entryPath).toSet
       }
       if (already) done = true
       else {
+        // STALENESS check (the conflict detection): scan the recorded
+        // delta lines of every generation between the snapshot the
+        // writer's read was based on (`B <gen>` in the plan) and the
+        // current latest — each O(its batch). Any dir in our
+        // replacedDirs touched in that window means our staged merge
+        // would silently drop the interloper's rows — conflict,
+        // whether or not our CAS rename would win (a
+        // rename-collision-only check misses every writer whose
+        // read-to-commit window fully contains another's commit). A
+        // window that cannot be scanned exactly — a pruned generation,
+        // a legacy flat checkpoint, a `# rebuild` — can no longer
+        // prove disjointness and conflicts conservatively.
+        baseGen.filter(bg => prevGen.exists(_ > bg)).foreach { bg =>
+          val changed: Option[Set[String]] =
+            ((bg + 1) to prevGen.get).foldLeft(Option(Set.empty[String])) { (acc, g) =>
+              for (a <- acc; d <- deltaDirsOf(fs, target, g)) yield a ++ d
+            }
+          changed match {
+            case None =>
+              abortConflict(s"the window (gen $bg, gen ${prevGen.get}] of $target cannot " +
+                "be scanned for conflicts (pruned, legacy, or rebuilt in between)")
+            case Some(ch) =>
+              val overlap = ch.intersect(replacedDirs)
+              if (overlap.nonEmpty)
+                abortConflict(s"directories ${overlap.take(5).mkString(", ")} changed " +
+                  s"between read generation $bg and current ${prevGen.get}")
+          }
+        }
         val tombstones =
           baseTouched.keySet.filter(p => replacedDirs(dirOf(p))) -- files
         val gen = prevGen.getOrElse(0L) + 1
@@ -864,8 +883,15 @@ object Streaming {
         val pt = c.getPrimitiveType
         val lta = pt.getLogicalTypeAnnotation
         val kind: Option[Char] = pt.getPrimitiveTypeName match {
+          // UNSIGNED int annotations are excluded: parquet orders their
+          // statistics unsigned, and sign-extending uint32 max
+          // 4294967295 to long -1 would record inverted bounds that
+          // prune files holding matching rows
           case INT32 | INT64
-              if lta == null || lta.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+              if lta == null || (lta match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              }) =>
             Some('l')
           case FLOAT | DOUBLE => Some('d')
           case BINARY if lta.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
@@ -1119,7 +1145,7 @@ object Streaming {
       written.foreach(p => fs.delete(p, false))
       false
     }
-    if (!fs.rename(tmp, dst)) {
+    if (!atomicClaim(fs, tmp, dst)) {
       // CAS lost — unless the destination is absent, which makes this
       // a real FS fault that must abort loudly, not rebase forever
       if (!fs.exists(dst)) throw new IllegalStateException(
@@ -1255,6 +1281,42 @@ object Streaming {
     }
   }
 
+  /** The manifest CAS primitive: publish `tmp` (fully written) at
+    * `dst` IFF `dst` does not exist, atomically — of N concurrent
+    * claimants exactly one wins and the losers' content never
+    * replaces the winner's.
+    *
+    * On HDFS-like stores `fs.rename` IS that primitive (the namenode
+    * checks destination existence and renames under one lock). On the
+    * LOCAL filesystem it is NOT: Hadoop's local rename is a
+    * check-then-`File#renameTo`, and POSIX rename(2) REPLACES an
+    * existing destination — two racers inside the check window both
+    * "win" and the second silently overwrites the first's committed
+    * manifest (a real lost update, caught once under a full-suite
+    * load storm). For `file:` schemes the claim is therefore
+    * `link(2)` via Files.createLink — one syscall that fails EEXIST
+    * atomically and publishes the complete content — with the tmp
+    * unlinked afterwards. A filesystem without hard links falls back
+    * to the rename (no worse than before).
+    */
+  private[graft] def atomicClaim(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path
+  ): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, dst)
+      }
+    } else fs.rename(tmp, dst)
+
   /** Stream `lines` to `p` newline-joined — no single O(table) driver
     * string even for a full checkpoint's entry list (r15 judge #3).
     */
@@ -1310,8 +1372,26 @@ object Streaming {
       val buf = new Array[Byte](fs.getFileStatus(dp).getLen.toInt)
       val in = fs.open(dp)
       try in.readFully(buf) finally in.close()
+      val rels = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      // ORPHAN GUARD: a del file whose commit never landed (writer died
+      // between the del rename and the manifest CAS) or lost the CAS
+      // and crashed before cleanup lists files that are STILL LIVE.
+      // A legitimately tombstoned file was replaced at delGen <= cutoff
+      // and appears in no generation ABOVE the cutoff, so any file a
+      // reader-retained generation (> cutoff; NOT the chain-anchor
+      // checkpoints below the horizon, which legitimately still list
+      // it) references is an orphan's — skipped here and left to the
+      // generation that really replaces it. The check loads only the
+      // del file's own dirs per retained generation.
+      val delDirs = rels.map(dirOf).toSet
+      val protectedPaths: Set[String] = manifestGenerations(fs, target)
+        .filter(_ > cutoff)
+        .flatMap { g =>
+          try manifestEntriesForDirs(fs, target, g, delDirs)
+          catch { case _: IllegalStateException => Nil } // chain pruned mid-walk
+        }.toSet
       val dirs = scala.collection.mutable.Set.empty[String]
-      new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).foreach { rel =>
+      rels.filterNot(protectedPaths).foreach { rel =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$target/$rel"), false)
         val d = dirOf(rel)
         if (d.nonEmpty) dirs += d
@@ -1616,7 +1696,13 @@ object Streaming {
       column: String
   ): Option[(String, String, Char)] =
     manifestGenerations(fs, target).lastOption.flatMap { g =>
-      val lines = manifestEntryLines(fs, target, g)
+      // a ZERO-ROW entry (an emptied shard's schema-bearing file) has
+      // no bounds and is VACUOUS for MIN/MAX — only a row-carrying
+      // entry without bounds is ambiguous and forces the refusal
+      val lines = manifestEntryLines(fs, target, g).filterNot { l =>
+        val parts = l.split('\t')
+        parts.length >= 2 && parts(1) == "0"
+      }
       if (lines.isEmpty) None
       else {
         val perFile = lines.map(l => entryBounds(l).get(column))
@@ -2023,7 +2109,11 @@ object Streaming {
       column: String
   ): Option[Double] =
     manifestGenerations(fs, target).lastOption.flatMap { g =>
-      val per = manifestEntryLines(fs, target, g).map(l => entryBounds(l).get(column))
+      depthOfLines(manifestEntryLines(fs, target, g), column)
+    }
+
+  private def depthOfLines(lines: Seq[String], column: String): Option[Double] = {
+      val per = lines.map(l => entryBounds(l).get(column))
       if (per.isEmpty || per.exists(_.isEmpty)) None
       else {
         val bs = per.flatten
@@ -2057,10 +2147,11 @@ object Streaming {
   ): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = manifestGenerations(fs, target).lastOption
-      .map(g => manifestEntries(fs, target, g).size).getOrElse(0)
-    val degraded = entries > 2 * numFiles ||
-      clusteringDepth(fs, target, column).exists(_ > maxDepth)
+    // one manifest reconstruction supplies both health signals
+    val lines = manifestGenerations(fs, target).lastOption
+      .map(g => manifestEntryLines(fs, target, g)).getOrElse(Seq.empty)
+    val degraded = lines.size > 2 * numFiles ||
+      depthOfLines(lines, column).exists(_ > maxDepth)
     if (degraded) clusterTable(spark, target, column, numFiles)
     degraded
   }
@@ -2383,10 +2474,21 @@ object Streaming {
   )(body: => T): T = {
     val lease = new org.apache.hadoop.fs.Path(root + ".__lease")
     val token = java.util.UUID.randomUUID().toString
+    // acquire = write the sentinel FULLY to a unique tmp, then claim
+    // the lease name via [[atomicClaim]]. A create-no-overwrite here
+    // would be check-then-act on the local filesystem (two racers both
+    // pass the check, the second truncates the first's sentinel and
+    // both believe they hold the lease) — the same TOCTOU the manifest
+    // CAS closes; the claim also makes the sentinel's content appear
+    // atomically, so a concurrent tokenAt can never read it torn.
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lease, false)
-        out.writeLong(System.currentTimeMillis()); out.writeUTF(token); out.close(); true
+        val tmp = new org.apache.hadoop.fs.Path(root + s".__lease.tmp-$token")
+        val out = fs.create(tmp, true)
+        out.writeLong(System.currentTimeMillis()); out.writeUTF(token); out.close()
+        val won = atomicClaim(fs, tmp, lease)
+        if (!won) fs.delete(tmp, false)
+        won
       } catch { case _: java.io.IOException => false }
     def tokenAt(p: org.apache.hadoop.fs.Path): Option[String] =
       try {

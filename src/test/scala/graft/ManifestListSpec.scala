@@ -202,6 +202,144 @@ class ManifestListSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     Streaming.compactShards(spark, target, "shard") shouldBe 0
   }
 
+  test("replaying a plan whose commit already LANDED (crash between the manifest " +
+      "rename and the stage delete) is a no-op — never a conflict that deletes live data") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-ml-replay").toString + "/t"
+    upsert(target, 0 until 80, k => s"v1-$k", 1L) // gen 1
+    // an optimistic commit on shard=0 against baseGen 1 -> gen 2
+    (0 until 80 by 8).map(k => (k.toLong, s"v2-$k", 2L, 0L))
+      .toDF("doc_id", "payload", "batch_id", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(target + ".__stage")
+    Streaming.commitStage(fs, target, Set("shard=0"), ".__stage", baseGen = Some(1L))
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L, 2L)
+    val committed = Streaming.manifestEntriesForDirs(fs, target, 2L, Set("shard=0"))
+    committed should not be empty
+    // fabricate the crash window: the stage reappears holding ONLY the
+    // plan marker (files already moved, manifest already committed)
+    val stage = new Path(target + ".__stage")
+    fs.mkdirs(stage)
+    val plan = (Seq("B 1", "R shard=0") ++ committed.sorted.map(f => s"F $f"))
+      .mkString("\n")
+    val out = fs.create(new Path(stage, Streaming.StageCommitMarker), true)
+    try out.write(plan.getBytes("UTF-8")) finally out.close()
+    // recovery must recognize the landed commit: no new generation, no
+    // deletion of the manifest-referenced files
+    Streaming.recoverStage(fs, target)
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L, 2L)
+    committed.foreach { f =>
+      withClue(s"committed file $f must survive the replay: ") {
+        fs.exists(new Path(s"$target/$f")) shouldBe true
+      }
+    }
+    val got = Streaming.readCommitted(spark, target)
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.size shouldBe 80
+    (0L until 80L by 8L).foreach(k => got(k) shouldBe s"v2-$k")
+  }
+
+  test("an ORPHAN del file (writer died before its manifest CAS) never deletes " +
+      "live files; it is swept without honoring its list") {
+    val target = Files.createTempDirectory("graft-ml-orphan").toString + "/t"
+    upsert(target, 0 until 160, k => s"v1-$k", 1L) // gen 1, 8 shards
+    // a crashed writer's del for a gen-2 proposal that never landed,
+    // listing shard=7's LIVE files
+    val live = Streaming.manifestEntriesForDirs(fs, target, 1L, Set("shard=7"))
+    live should not be empty
+    val orphan = new Path(Streaming.manifestDir(target), "del-000000000002-dead")
+    val out = fs.create(orphan, true)
+    try out.write(live.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // gen 1's shard=0 files: LEGITIMATELY replaced by the storm below —
+    // their tombstones must still age out (the guard must not block
+    // real GC)
+    val replaced = Streaming.manifestEntriesForDirs(fs, target, 1L, Set("shard=0"))
+    replaced should not be empty
+    // advance far past the horizon on an unrelated shard
+    (2L to 8L).foreach(v => upsert(target, 0 until 160 by 8, k => s"v$v-$k", v))
+    withClue("orphan del file must be swept: ") { fs.exists(orphan) shouldBe false }
+    live.foreach { f =>
+      withClue(s"live file $f must survive the orphan del: ") {
+        fs.exists(new Path(s"$target/$f")) shouldBe true
+      }
+    }
+    Streaming.readCommitted(spark, target).count() shouldBe 160L
+    replaced.foreach { f =>
+      withClue(s"legitimately replaced file $f must be GC'd past the horizon: ") {
+        fs.exists(new Path(s"$target/$f")) shouldBe false
+      }
+    }
+  }
+
+  test("atomicClaim: of N simultaneous claimants exactly ONE wins and the " +
+      "published content is the winner's, never replaced") {
+    // the primitive behind the manifest CAS and the lease acquire. The
+    // local filesystem's rename is check-then-act (POSIX rename
+    // REPLACES an existing destination), so racing the raw rename here
+    // loses updates; the hard-link claim must not.
+    val dir = new Path(Files.createTempDirectory("graft-ml-claim").toString)
+    (1 to 20).foreach { round =>
+      val dst = new Path(dir, s"dst-$round")
+      val n = 8
+      val start = new java.util.concurrent.CountDownLatch(n)
+      val winners = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          val tmp = new Path(dir, s".tmp-$round-$i")
+          val out = fs.create(tmp, true)
+          try out.write(s"writer-$i".getBytes("UTF-8")) finally out.close()
+          start.countDown(); start.await()
+          if (Streaming.atomicClaim(fs, tmp, dst)) winners.add(i)
+          else fs.delete(tmp, false)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      withClue(s"round $round: ") { winners.size shouldBe 1 }
+      val len = fs.getFileStatus(dst).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(dst)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8") shouldBe s"writer-${winners.peek()}"
+    }
+  }
+
+  test("four concurrent disjoint-shard optimistic writers, repeated: " +
+      "no lost update, linear chain, every commit survives") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-ml-4writers").toString + "/t"
+    upsert(target, 0 until 160, k => s"v1-$k", 1L) // gen 1
+    val n = 4
+    val start = new java.util.concurrent.CountDownLatch(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(w: Int) = new Thread(() => {
+      try {
+        start.countDown(); start.await()
+        // writer w owns shards {2w, 2w+1}; three sequential versions
+        (2L to 4L).foreach { v =>
+          val batch = (0 until 160).map(_.toLong)
+            .filter(k => k % 8 == 2 * w || k % 8 == 2 * w + 1)
+            .map(k => (k, s"w$w-v$v-$k", v, k % 8))
+            .toDF("doc_id", "payload", "batch_id", "shard")
+          Streaming.upsertPartitionedOptimistic(
+            target, "doc_id", "batch_id", "shard")(batch)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    }, s"graft-ml4-$w")
+    val ws = (0 until n).map(writer)
+    ws.foreach(_.start()); ws.foreach(_.join(300000))
+    errs.size() shouldBe 0
+    // 1 seed + 12 writer commits, one linear chain with no gap
+    Streaming.manifestGenerations(fs, target).max shouldBe 13L
+    val got = Streaming.readCommitted(spark, target)
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.size shouldBe 160
+    (0L until 160L).foreach { k =>
+      val w = (k % 8) / 2
+      withClue(s"key $k: ") { got(k) shouldBe s"w$w-v4-$k" }
+    }
+  }
+
   test("unreferenced per-dir manifests are swept past the horizon; " +
       "reused references keep theirs alive") {
     val target = Files.createTempDirectory("graft-ml-gc").toString + "/t"

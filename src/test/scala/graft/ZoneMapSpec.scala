@@ -160,10 +160,14 @@ class ZoneMapSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Streaming.maintainClustered(spark, target, "id", 8) shouldBe false
     Streaming.manifestGenerations(fs, target).max shouldBe genBefore
     // degrade the layout: three APPEND commits whose files each span
-    // the whole id domain (interleaved ids)
+    // the whole id domain (interleaved ids). `shard` must match the
+    // clustered table's type: clusterTable flattened the hive layout,
+    // so shard is the partition-dir-inferred INT — an int64 append
+    // would leave the column mixed-type across files
     (1 to 3).foreach { i =>
       (0L until 400L by 4L).map(k => (k + i, k.toDouble, f"name-${k + i}%03d", 10L + i, k % 4))
         .toDF("id", "score", "name", "v", "shard")
+        .withColumn("shard", col("shard").cast("int"))
         .coalesce(1)
         .write.mode("overwrite").parquet(target + ".__stage")
       Streaming.commitStage(fs, target, Set.empty)
