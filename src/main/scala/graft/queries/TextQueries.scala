@@ -2408,26 +2408,9 @@ object TextQueries {
         // LEFT JOIN + COALESCE keeps a pairless round a no-op on both
         // sides. Output: the learned merges with their counts plus
         // the final corpus symbol count.
-        import org.apache.spark.sql.{Column, DataFrame, Row}
-        val sep = "\u001F" // chr(31) on the oracle side
-        val sep2 = sep + sep
-        def syms(c: Column): Column = filter(split(c, sep2), x => x =!= "")
-        val sanitized = Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .select(concat(
-            regexp_replace(
-              substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 200),
-              "(.)", sep2 + "$1"),
-            lit(sep2)).as("s"))
-          .localCheckpoint()
-        def pairs(df: DataFrame): DataFrame = df
-          .select(syms(col("s")).as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(explode(zip_with(
-            slice(col("a"), lit(1), size(col("a")) - 1),
-            slice(col("a"), lit(2), size(col("a")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .select(col("p.l").as("l"), col("p.r").as("r"))
+        import org.apache.spark.sql.Row
+        import graft.functions.BpeTrain
+        val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
         val schema0 = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("round",
             org.apache.spark.sql.types.IntegerType),
@@ -2440,28 +2423,17 @@ object TextQueries {
         // empty corpus (or all-null text): no merges, no TOTAL row —
         // the all-empty-dataset sweep contract, mirrored by the
         // oracle's EXISTS guard
-        if (sanitized.isEmpty)
+        if (docs.isEmpty)
           s.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema0)
         else {
-          var cur = sanitized
-          val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
-          for (round <- 1 to 3) {
-            val top = pairs(cur)
-              .groupBy("l", "r").agg(count(lit(1)).as("c"))
-              .orderBy(col("c").desc, col("l"), col("r"))
-              .limit(1).collect()
-            top.foreach { t =>
-              val (l, r, c) = (t.getString(0), t.getString(1), t.getLong(2))
-              merges += Row(round, l, r, c)
-              cur = cur.select(call_function("replace", col("s"),
-                  lit(sep + l + sep2 + r + sep), lit(sep + l + r + sep)).as("s"))
-                .localCheckpoint()
-            }
-          }
-          val totalRow = cur.agg(sum(size(syms(col("s"))))).head()
+          val (merges, finalCorpus) =
+            BpeTrain.learnMerges(docs, "text", rounds = 3, capChars = 200)
+          val totalRow = finalCorpus
+            .agg(sum(size(BpeTrain.syms(col("s"))))).head()
           val total: java.lang.Long = if (totalRow.isNullAt(0)) null else totalRow.getLong(0)
-          val rows = merges.toSeq :+ Row(4, "TOTAL", "SYMBOLS", total)
+          val rows = merges.map { case (round, l, r, c) => Row(round, l, r, c) } :+
+            Row(4, "TOTAL", "SYMBOLS", total)
           import scala.jdk.CollectionConverters._
           s.createDataFrame(rows.asJava, schema0).orderBy("round")
         }

