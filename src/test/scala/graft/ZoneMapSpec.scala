@@ -74,6 +74,36 @@ class ZoneMapSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       .count() shouldBe 50L
   }
 
+  test("a >64-char string column drops ONLY its own zone map: row counts and the " +
+      "other columns' bounds survive (ADVICE r16, medium)") {
+    // Before the fix, the oversized-string branch assigned null into a
+    // destructured tuple; the MatchError was swallowed by footerInfo's
+    // catch-all and the WHOLE entry lost its row count, schema hash,
+    // and every column's bounds — a table with a long text column
+    // silently lost all metadata stats.
+    import spark.implicits._
+    val target = tmp("graft-zm-longstr")
+    val longText = "x" * 200 // far past MaxStringBound = 64
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      (0L until 200L).map(k => (k, longText + k, 1L, k % 4))
+        .toDF("id", "text", "v", "shard"),
+      1L)
+    // the row count survived the oversized string bound
+    Streaming.statsRowCount(fs, target) shouldBe Some(200L)
+    // the long column has no zone map -> its min/max refuses...
+    Streaming.statsMinMax(fs, target, "text") shouldBe None
+    // ...but the sibling long column's bounds were recorded and answer
+    Streaming.statsMinMax(fs, target, "id") shouldBe Some(("0", "199", 'l'))
+    // and pruning on the sibling column still works after clustering
+    Streaming.clusterTable(spark, target, "id", 8)
+    val (kept, total) = Streaming.zoneMapFiles(fs, target, "id", 10L, 29L).get
+    kept.size should be < total
+    Streaming.readCommittedRange(spark, target, "id", 10L, 29L).count() shouldBe 20L
+    // the unboundable text column keeps every file — lossless fallback
+    val (keptT, totalT) = Streaming.zoneMapFiles(fs, target, "text", "a", "b").get
+    keptT.size shouldBe totalT
+  }
+
   test("a range past the domain prunes everything and returns the empty typed frame") {
     val target = tmp("graft-zm-empty")
     seed(target)
