@@ -100,6 +100,16 @@ class GraftFileIndex(
       s"no committed graft manifest at $target — not a graft table " +
         "(write it with the Streaming verbs or Streaming.writeManifest first)"))
 
+  // READER-VERSION gate: a plain file listing cannot apply
+  // merge-on-read delete vectors — reading a tagged generation here
+  // would resurrect deleted rows. Refuse loudly (the Delta
+  // reader-version contract); compaction absorbs the vectors and
+  // re-enables the connector.
+  require(!Streaming.generationHasDeleteVectors(fs, target, generation),
+    s"graft table $target generation $generation carries merge-on-read delete " +
+      "vectors, which the format connector cannot apply — run " +
+      "Streaming.compactShards to absorb them, or read via Streaming.readCommitted")
+
   // the pinned generation's live files, relative paths (metadata-only)
   private val allFiles: Seq[String] =
     Streaming.zoneMapFilesAt(fs, target, generation, Nil)._1
@@ -180,9 +190,17 @@ class GraftFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // 1) zone-map file skipping from the pushed data filters
     val ranges = GraftFileIndex.rangesOf(dataFilters)
-    val (kept, total) =
+    val (zoneKept, total) =
       if (ranges.isEmpty) (allFiles, allFiles.size)
       else Streaming.zoneMapFilesAt(fs, target, generation, ranges)
+    // 2) bloom file skipping for point probes (=, IN) on indexed
+    // columns — the tier that prunes where min/max cannot (a
+    // high-cardinality key's bounds span every probe); untagged
+    // columns/files pass through unchanged
+    val points = GraftFileIndex.pointsOf(dataFilters)
+    val kept = points.foldLeft(zoneKept) { case (acc, (column, values)) =>
+      Streaming.bloomPruneFiles(spark, fs, target, generation, column, values, acc)
+    }
     lastPruning = Some((kept.size, total))
     // 2) hive partition pruning from the partition filters
     val byDir = kept.groupBy(dirOf).toSeq.sortBy(_._1)
@@ -211,6 +229,28 @@ class GraftFileIndex(
 }
 
 object GraftFileIndex {
+
+  /** Point-probe conjuncts (`=`, `IN` on a bare attribute) as
+    * (column, values) — the bloom-pruning feed. Same losslessness
+    * stance as [[rangesOf]]: unsupported shapes contribute nothing.
+    */
+  private[sources] def pointsOf(
+      filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
+    def lv(l: Literal): Option[Any] = l.value match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n)
+      case _ => None // bloom keys are integral/string only
+    }
+    filters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => lv(l).map(v => (a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) => lv(l).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val got = vs.collect { case l: Literal => lv(l) }
+        if (got.exists(_.isEmpty)) None else Some((a.name, got.flatten))
+      case _ => None
+    }
+  }
 
   /** Translate pushed-down Catalyst conjuncts into open-ended zone-map
     * ranges. Unsupported shapes (casts, UDFs, disjunctions, null

@@ -280,6 +280,50 @@ object ManifestScale {
       .filter(col("doc_id").between(rows / 2, rows / 2 + rows / 100)).count()
     require(zn == zExpect, s"pruned read wrong: $zn != $zExpect")
     println(s"[manifest-scale] zone-map pruned read: $zn rows — PASS")
+
+    // -- claim 8 (r17): DELETE VECTORS — point-delete cost is O(deleted
+    // rows), not O(touched shard bytes). A 100-row point delete against
+    // the 1M-row clustered copy: the commit writes ONE position sidecar
+    // plus a manifest delta; the data files are untouched (byte-
+    // identical), so the write amplification ratio vs the rewrite path
+    // (deleteFromPartitioned, which re-writes every touched shard) is
+    // sidecar-bytes / touched-file-bytes.
+    val dvLo = rows / 4
+    val dvHi = dvLo + 99
+    val preDvCount = Streaming.readCommitted(spark, zt).count()
+    val bytesBefore = Streaming.manifestGenerations(fs, zt).lastOption
+      .map(g => Streaming.manifestEntries(fs, zt, g)
+        .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f")).getLen).sum)
+      .getOrElse(0L)
+    val entriesBefore = Streaming.manifestGenerations(fs, zt).lastOption
+      .map(g => Streaming.manifestEntries(fs, zt, g).toSet).getOrElse(Set.empty)
+    val (dvDeleted, dvSec) = time("deleteRange 100 keys via delete vectors") {
+      Streaming.deleteRange(spark, zt, "doc_id", dvLo, dvHi)
+    }
+    val entriesAfter = Streaming.manifestGenerations(fs, zt).lastOption
+      .map(g => Streaming.manifestEntries(fs, zt, g).toSet).getOrElse(Set.empty)
+    require(entriesAfter == entriesBefore, "DV delete changed the data file set")
+    val bytesAfter = entriesAfter.toSeq
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f")).getLen).sum
+    require(bytesAfter == bytesBefore, "DV delete rewrote data bytes")
+    val mdirZt = Streaming.manifestDir(zt)
+    val dvBytes = fs.listStatus(mdirZt).filter(_.getPath.getName.startsWith("dv-"))
+      .map(_.getLen).sum
+    // the rewrite path would have rewritten every file overlapping the
+    // range — measure those files' bytes as the comparison base
+    val touchedBytes = Streaming.zoneMapFiles(fs, zt, "doc_id", dvLo, dvHi)
+      .map(_._1.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f")).getLen).sum)
+      .getOrElse(0L)
+    println(f"[manifest-scale] delete vectors: $dvDeleted rows in $dvSec%.2f s, " +
+      f"sidecar ${dvBytes / 1024.0}%.1f KB vs ${touchedBytes / 1024.0 / 1024.0}%.1f MB " +
+      f"shard-rewrite (amplification 1:${touchedBytes / math.max(1L, dvBytes)})")
+    val dvN = Streaming.readCommitted(spark, zt).count()
+    require(dvN == preDvCount - dvDeleted,
+      s"DV-applied read $dvN != ${preDvCount - dvDeleted} (pre $preDvCount - $dvDeleted)")
+    require(Streaming.statsRowCount(fs, zt).contains(dvN),
+      s"metadata count ${Streaming.statsRowCount(fs, zt)} diverges from $dvN")
+    println(s"[manifest-scale] delete vectors: $dvN live rows — PASS")
     spark.stop()
   }
 }
