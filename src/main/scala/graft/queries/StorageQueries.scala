@@ -405,6 +405,8 @@ object StorageQueries {
           org.apache.spark.sql.types.StructField("min_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("max_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_null_payload",
             org.apache.spark.sql.types.LongType)))
         if (canon.isEmpty)
           s.createDataFrame(
@@ -425,9 +427,14 @@ object StorageQueries {
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           val metaCnt = Streaming.statsRowCount(fs, target)
           val metaMm = Streaming.statsMinMax(fs, target, "doc_id")
-          require(canon.count() < 64 || (metaCnt.isDefined && metaMm.isDefined),
+          // r17: NULL COUNTS ride the zone maps too — payload is
+          // md5(text), null exactly where text is null, so the
+          // metadata-only null count is oracle-checkable
+          val metaNulls = Streaming.statsNullCount(fs, target, "payload")
+          require(canon.count() < 64 ||
+            (metaCnt.isDefined && metaMm.isDefined && metaNulls.isDefined),
             s"metadata-only aggregates unavailable on a canonical fixture: " +
-              s"count=$metaCnt minmax=$metaMm")
+              s"count=$metaCnt minmax=$metaMm nulls=$metaNulls")
           val cnt: Long = metaCnt.getOrElse(
             Streaming.readCommitted(s, target).count())
           val (mn, mx): (java.lang.Long, java.lang.Long) = metaMm match {
@@ -438,19 +445,23 @@ object StorageQueries {
               (if (r.isNullAt(0)) null else r.getLong(0),
                 if (r.isNullAt(1)) null else r.getLong(1))
           }
+          val nNulls: Long = metaNulls.getOrElse(
+            Streaming.readCommitted(s, target)
+              .filter(col("payload").isNull).count())
           s.createDataFrame(
             java.util.Collections.singletonList(
-              org.apache.spark.sql.Row(cnt, mn, mx)), schema)
+              org.apache.spark.sql.Row(cnt, mn, mx, nNulls)), schema)
         }
       },
-      Some("""WITH canon AS (SELECT doc_id FROM (
+      Some("""WITH canon AS (SELECT doc_id, md5(text) AS payload FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                    ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
                             lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
                  FROM documents WHERE doc_id IS NOT NULL) WHERE rn = 1)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
                CAST(MIN(doc_id) AS BIGINT) AS min_id,
-               CAST(MAX(doc_id) AS BIGINT) AS max_id
+               CAST(MAX(doc_id) AS BIGINT) AS max_id,
+               CAST(COUNT(*) - COUNT(payload) AS BIGINT) AS n_null_payload
         FROM canon
         WHERE doc_id % 20 != 5""")
     ),

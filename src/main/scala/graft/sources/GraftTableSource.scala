@@ -198,9 +198,14 @@ class GraftFileIndex(
     // high-cardinality key's bounds span every probe); untagged
     // columns/files pass through unchanged
     val points = GraftFileIndex.pointsOf(dataFilters)
-    val kept = points.foldLeft(zoneKept) { case (acc, (column, values)) =>
+    val bloomKept = points.foldLeft(zoneKept) { case (acc, (column, values)) =>
       Streaming.bloomPruneFiles(spark, fs, target, generation, column, values, acc)
     }
+    // 3) null-test pruning from the recorded per-file null counts
+    val kept = GraftFileIndex.nullTestsOf(dataFilters)
+      .foldLeft(bloomKept) { case (acc, (column, isNull)) =>
+        Streaming.nullPruneFiles(fs, target, generation, column, isNull, acc)
+      }
     lastPruning = Some((kept.size, total))
     // 2) hive partition pruning from the partition filters
     val byDir = kept.groupBy(dirOf).toSeq.sortBy(_._1)
@@ -251,6 +256,20 @@ object GraftFileIndex {
       case _ => None
     }
   }
+
+  /** `IS NULL` / `IS NOT NULL` conjuncts on a bare attribute — the
+    * null-count pruning feed. Lossless as ever: anything else
+    * contributes nothing.
+    */
+  private[sources] def nullTestsOf(
+      filters: Seq[Expression]): Seq[(String, Boolean)] =
+    filters.flatMap {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference) =>
+        Some((a.name, true))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        Some((a.name, false))
+      case _ => None
+    }
 
   /** Translate pushed-down Catalyst conjuncts into open-ended zone-map
     * ranges. Unsupported shapes (casts, UDFs, disjunctions, null

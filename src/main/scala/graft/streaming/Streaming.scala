@@ -871,10 +871,32 @@ object Streaming {
     val parts = line.split('\t')
     if (parts.length < 3) Map.empty
     else parts(2).split(',').iterator.flatMap { tok =>
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       tok.split(':') match {
-        case Array(n, k, lo, hi) if k.length == 1 =>
-          def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        // `z` tokens are all-null markers (no values) — null counts
+        // only, never value bounds
+        case Array(n, k, lo, hi) if k.length == 1 && k != "z" =>
           Some(dec(n) -> (k.head, dec(lo), dec(hi)))
+        case Array(n, k, lo, hi, _) if k.length == 1 && k != "z" =>
+          Some(dec(n) -> (k.head, dec(lo), dec(hi)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Per-column NULL COUNTS from an entry's zone-map tokens — the
+    * 5th field of `n:k:lo:hi:nc`, or the count of an all-null
+    * `n:z:::nc` marker. A column absent here has an UNKNOWABLE null
+    * count (some chunk lacked the statistic) and can never null-prune.
+    */
+  private[graft] def entryNullCounts(line: String): Map[String, Long] = {
+    val parts = line.split('\t')
+    if (parts.length < 3) Map.empty
+    else parts(2).split(',').iterator.flatMap { tok =>
+      tok.split(':') match {
+        case Array(n, k, _, _, nc) if k.length == 1 =>
+          scala.util.Try(nc.toLong).toOption
+            .map(java.net.URLDecoder.decode(n, "UTF-8") -> _)
         case _ => None
       }
     }.toMap
@@ -932,9 +954,13 @@ object Streaming {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val blocks = r.getFooter.getBlocks.asScala
     if (blocks.isEmpty) return ""
-    // name -> (kind, min, max); removed (and blacklisted) on any
-    // unusable chunk
-    val bounds = scala.collection.mutable.LinkedHashMap.empty[String, (Char, Any, Any)]
+    // name -> (kind, Option(min, max), Option(nullCount)); removed
+    // (and blacklisted) on any unusable chunk. A column with a null
+    // count but NO values (all rows null) is still recorded — as a
+    // `z` token carrying only the count — so IS NULL predicates can
+    // prune and statsMinMax can tell all-null from unrecordable.
+    val bounds = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Char, Option[(Any, Any)], Option[Long])]
     val bad = scala.collection.mutable.Set.empty[String]
     for (b <- blocks; c <- b.getColumns.asScala) {
       val path = c.getPath.toArray
@@ -964,8 +990,21 @@ object Streaming {
           case Some(k) =>
             val st = c.getStatistics
             if (st == null || st.isEmpty) drop()
-            else if (!st.hasNonNullValue) () // all-null chunk: no values
             else {
+            // per-chunk null count, summed when every chunk records
+            // one; a single chunk without it makes the file's null
+            // count unknowable (None) but leaves the value bounds
+            val chunkNulls: Option[Long] =
+              if (st.isNumNullsSet) Some(st.getNumNulls) else None
+            def mergeNulls(cur: Option[Long]): Option[Long] =
+              for (a <- cur; b <- chunkNulls) yield a + b
+            if (!st.hasNonNullValue) {
+              // all-null chunk: no values, only the null count
+              bounds.get(name) match {
+                case None => bounds(name) = (k, None, chunkNulls)
+                case Some((kk, b0, n0)) => bounds(name) = (kk, b0, mergeNulls(n0))
+              }
+            } else {
               // Option, NOT null-into-a-destructure: assigning null to
               // `val (mn, mx)` throws a MatchError that footerInfo's
               // catch-all swallows, silently costing the WHOLE entry
@@ -987,13 +1026,18 @@ object Streaming {
               mnmx match {
                 case None => drop()
                 case Some((mn, mx)) => bounds.get(name) match {
-                  case None => bounds(name) = (k, mn, mx)
-                  case Some((_, curLo, curHi)) =>
+                  case None => bounds(name) = (k, Some((mn, mx)), chunkNulls)
+                  case Some((_, None, n0)) =>
+                    bounds(name) = (k, Some((mn, mx)), mergeNulls(n0))
+                  case Some((_, Some((curLo, curHi)), n0)) =>
                     bounds(name) = (k,
-                      if (boundLt(k, mn, curLo)) mn else curLo,
-                      if (boundLt(k, curHi, mx)) mx else curHi)
+                      Some((
+                        if (boundLt(k, mn, curLo)) mn else curLo,
+                        if (boundLt(k, curHi, mx)) mx else curHi)),
+                      mergeNulls(n0))
                 }
               }
+            }
             }
         }
       } else if (path.length != 1) () // nested: never recorded
@@ -1001,9 +1045,16 @@ object Streaming {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     // cap the recorded columns (schema order): a 500-column table must
     // not turn its manifest into a stats dump — the leading columns
-    // are where keys and cluster dimensions live by convention
-    bounds.take(MaxBoundColumns).map { case (n, (k, lo, hi)) =>
-      s"${enc(n)}:$k:${enc(lo.toString)}:${enc(hi.toString)}"
+    // are where keys and cluster dimensions live by convention.
+    // Token shapes: `n:k:lo:hi:nc` (bounds + null count),
+    // `n:k:lo:hi` (bounds, count unknowable), `n:z:::nc` (ALL rows
+    // null — no values, count only). A column with neither is omitted.
+    bounds.take(MaxBoundColumns).flatMap {
+      case (n, (k, Some((lo, hi)), nc)) =>
+        val base = s"${enc(n)}:$k:${enc(lo.toString)}:${enc(hi.toString)}"
+        Some(nc.fold(base)(c => s"$base:$c"))
+      case (n, (_, None, Some(c))) => Some(s"${enc(n)}:z:::$c")
+      case _ => None
     }.mkString(",")
   }
 
@@ -1872,7 +1923,22 @@ object Streaming {
       // (COUNT stays exact via the per-entry dv counts)
       else if (lines.exists(l => entryDv(l).isDefined)) None
       else {
-        val perFile = lines.map(l => entryBounds(l).get(column))
+        // a file whose column is ALL NULL (recorded `z` marker with
+        // nc == rows) is VACUOUS for MIN/MAX — the r16 refusal
+        // ("ambiguous between all-null and unrecordable") is resolved
+        // by the recorded null counts; only a file with neither bounds
+        // nor a full-null proof still refuses
+        val contributing = lines.filterNot { l =>
+          entryBounds(l).get(column).isEmpty && {
+            val rows = l.split('\t').lift(1).flatMap(s =>
+              scala.util.Try(s.toLong).toOption)
+            val nc = entryNullCounts(l).get(column)
+            rows.isDefined && nc.isDefined && nc == rows
+          }
+        }
+        if (contributing.isEmpty) None // every row of the column is null
+        else {
+        val perFile = contributing.map(l => entryBounds(l).get(column))
         if (perFile.exists(_.isEmpty)) None // any unbounded file: refuse
         else {
           val bs = perFile.flatten
@@ -1889,6 +1955,32 @@ object Streaming {
               kind))
           }
         }
+        }
+      }
+    }
+
+  /** METADATA-ONLY null count of `column` over the latest committed
+    * generation — exact when EVERY row-carrying entry records a null
+    * count for it (the per-chunk statistic was present everywhere) and
+    * no entry carries delete vectors (a deleted row may be one of the
+    * counted nulls). None otherwise; callers fall back to a data-side
+    * count.
+    */
+  def statsNullCount(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      column: String
+  ): Option[Long] =
+    manifestGenerations(fs, target).lastOption.flatMap { g =>
+      val lines = manifestEntryLines(fs, target, g).filterNot { l =>
+        val parts = l.split('\t')
+        parts.length >= 2 && parts(1) == "0"
+      }
+      if (lines.exists(l => entryDv(l).isDefined)) None
+      else {
+        val per = lines.map(l => entryNullCounts(l).get(column))
+        if (lines.nonEmpty && per.exists(_.isEmpty)) None
+        else Some(per.flatten.sum)
       }
     }
 
@@ -2761,6 +2853,37 @@ object Streaming {
     val cand = candidates.toSet
     val lines = manifestEntryLines(fs, target, gen).filter(l => cand(entryPath(l)))
     bloomKeptLines(spark, target, lines, column, values).map(entryPath)
+  }
+
+  /** Files that can hold rows satisfying `column IS [NOT] NULL`, from
+    * the per-file null counts recorded in the zone maps — lossless: a
+    * file without the statistic is always kept, and the counts stay
+    * sound under delete vectors (deletion never adds a null or a
+    * non-null, so "zero nulls" and "all null" both survive masking).
+    * The connector's null-test pushdown hook; `candidates` restricts
+    * to already-pruned paths.
+    */
+  def nullPruneFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      gen: Long,
+      column: String,
+      isNull: Boolean,
+      candidates: Seq[String]
+  ): Seq[String] = {
+    val cand = candidates.toSet
+    manifestEntryLines(fs, target, gen)
+      .filter(l => cand(entryPath(l)))
+      .filter { l =>
+        val nc = entryNullCounts(l).get(column)
+        val rows = l.split('\t').lift(1).flatMap(s => scala.util.Try(s.toLong).toOption)
+        if (isNull) nc.forall(_ > 0L)
+        else {
+          val hasValues = entryBounds(l).contains(column)
+          hasValues || nc.isEmpty || rows.isEmpty || nc.get < rows.get
+        }
+      }
+      .map(entryPath)
   }
 
   /** GC delete-vector sidecars that no RETAINED generation's entries

@@ -104,6 +104,57 @@ class ZoneMapSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     keptT.size shouldBe totalT
   }
 
+  test("null counts ride the zone maps: IS NULL / IS NOT NULL prune files, " +
+      "statsNullCount is exact, and an all-null file no longer blocks statsMinMax") {
+    import spark.implicits._
+    val target = tmp("graft-zm-nulls")
+    // `maybe` is NULL exactly for id < 100; clustering on id
+    // concentrates the nulls in the low files
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("maybe",
+        when(col("id") >= 100L, concat(lit("v-"), col("id"))))
+      .withColumn("v", lit(1L))
+      .withColumn("shard", col("id") % 4)
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(df, 1L)
+    Streaming.clusterTable(spark, target, "id", 16)
+    val g = Streaming.manifestGenerations(fs, target).last
+    val all = Streaming.manifestEntries(fs, target, g)
+    // exact metadata-only null count
+    Streaming.statsNullCount(fs, target, "maybe") shouldBe Some(100L)
+    Streaming.statsNullCount(fs, target, "id") shouldBe Some(0L)
+    // IS NULL keeps only the null-bearing (low-id) files
+    val isNullKept = Streaming.nullPruneFiles(fs, target, g, "maybe", isNull = true, all)
+    isNullKept.size should be < all.size
+    // IS NOT NULL drops the all-null files
+    val notNullKept = Streaming.nullPruneFiles(fs, target, g, "maybe", isNull = false, all)
+    notNullKept.size should be < all.size
+    // both lossless vs the full filter
+    val full = Streaming.readCommitted(spark, target)
+    spark.read.option("basePath", target)
+      .parquet(isNullKept.map(f => s"$target/$f"): _*)
+      .where(col("maybe").isNull).count() shouldBe
+      full.where(col("maybe").isNull).count()
+    spark.read.option("basePath", target)
+      .parquet(notNullKept.map(f => s"$target/$f"): _*)
+      .where(col("maybe").isNotNull).count() shouldBe
+      full.where(col("maybe").isNotNull).count()
+    // the r16 refusal case resolved: files whose `maybe` is ALL NULL
+    // carry a z-marker (all-null proof), so min/max answers from the
+    // value-bearing files instead of refusing
+    Streaming.statsMinMax(fs, target, "maybe") shouldBe Some(("v-100", "v-399", 's'))
+    // and the CONNECTOR's null-test pushdown consumes the counts
+    val scan = spark.read.format("graft").load(target).where(col("maybe").isNull)
+    scan.count() shouldBe 100L
+    val idx = scan.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr.relation
+    }.collectFirst {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.asInstanceOf[graft.sources.GraftFileIndex]
+    }.get
+    val (kept, total) = idx.lastPruning.get
+    kept should be < total
+  }
+
   test("a range past the domain prunes everything and returns the empty typed frame") {
     val target = tmp("graft-zm-empty")
     seed(target)
