@@ -49,6 +49,12 @@ import org.apache.spark.sql.types.DoubleType
   * stays 50/50 through the post-split table. (The corpus now carries
   * a float norm per row for raw-space reconstruction: 66 MB vs
   * 512 MB float64 — still 7.8x.)
+  * IVF x PQ (r17): 8x8-dim product quantization at 1M — codebooks
+  * (64 entries each) trained on a 100k deterministic sample in
+  * 11.9 s, full-corpus encode via the models' transform in 1.9 s,
+  * the 50-query panel served through probe -> reconstructed-cosine
+  * candidates (top-40) -> exact re-rank in 2.2 s with top-1 recall
+  * 50/50 — at 8 bytes + a float norm per vector (32x vs float32).
   * APPEND ECONOMICS (r13): serve 1.3 s at the build's 2,038 files; a
   * 100-batch upsert storm fragments the corpus to 20,547 files and
   * serve DEGRADES 6x to 8.0 s (the small-file tax is real and
@@ -156,6 +162,85 @@ object IvfSqScale {
       println(f"[ivfsq-scale] queries=$nQueries top1-recall=$hits/$nQueries " +
         f"(${recall * 100}%.1f%%)")
       require(recall >= 0.95, f"IVF-SQ8 top-1 recall $recall%.4f below the 0.95 floor")
+    }
+
+    // -- r17: IVF x PQ recall point (q_similarity_ivf_pq's geometry at
+    // 1M). 8 sub-spaces x 8 dims, 64-entry codebooks trained on a
+    // 100k deterministic sample (the standard PQ practice — codebook
+    // quality converges long before the full corpus), codes assigned
+    // by the trained models' own transform (the optimized MLlib
+    // path), candidates ranked by the reconstructed cosine inside the
+    // probed cells, exact re-rank of the top-40, top-1 against the
+    // planted 0.999-cosine pairs. At-rest: 8 bytes + a float norm per
+    // 64-dim vector (32x vs float32).
+    {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val nSub = 8
+      val subDim = dim / nSub
+      val candidateK = 40
+      val raw = corpusDf
+        .join(vIdx.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("nrm", graft.functions.VectorKit.norm(col("e")))
+        .localCheckpoint()
+      val models = time("PQ train 8x8 codebooks (100k sample)") {
+        val sample = raw.sample(withReplacement = false, 100000.0 / nVecs, seed = 7L)
+          .localCheckpoint()
+        (0 until nSub).map { m =>
+          new KMeans().setK(64).setSeed(42L + m).setMaxIter(10).setFeaturesCol("sv")
+            .fit(sample.select(
+              array_to_vector(slice(col("e"), m * subDim + 1, subDim)).as("sv")))
+        }
+      }
+      val codebooks: Seq[Seq[Seq[Double]]] =
+        models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq))
+      val coded = time("PQ encode 1M") {
+        (0 until nSub).foldLeft(raw) { (df, m) =>
+          models(m).transform(
+            df.withColumn("sv", array_to_vector(slice(col("e"), m * subDim + 1, subDim))))
+            .withColumnRenamed("prediction", s"c$m").drop("sv")
+        }.select((Seq(col("vec_id"), col("cell"), col("nrm")) ++
+          (0 until nSub).map(m => col(s"c$m"))): _*)
+          .localCheckpoint()
+      }
+      time("PQ serve 50 queries + recall") {
+        val recon = flatten(array((0 until nSub).map(m =>
+          element_at(typedLit(codebooks(m)), col(s"c$m") + 1)): _*))
+        val w = org.apache.spark.sql.expressions.Window
+        val probeDf = queries
+          .crossJoin(broadcast(cIdx))
+          .withColumn("d2",
+            aggregate(zip_with(col("qe"), col("centroid"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x))
+          .withColumn("pr", row_number().over(
+            w.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)))
+          .filter(col("pr") <= nprobe)
+          .select(col("qid"), col("cell"))
+        val cand = coded
+          .join(broadcast(probeDf), Seq("cell"))
+          .join(broadcast(queries), Seq("qid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (graft.functions.VectorKit.dot(col("qe"), recon) / col("nrm")).as("pscore"))
+          .withColumn("crk", row_number().over(
+            w.partitionBy(col("qid")).orderBy(col("pscore").desc, col("nid").asc)))
+          .filter(col("crk") <= candidateK)
+          .select(col("qid"), col("nid"))
+        val reranked = raw.select(col("vec_id").as("nid"), col("e"), col("nrm"))
+          .join(broadcast(cand), Seq("nid"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"), col("nid"),
+            (graft.functions.VectorKit.dot(col("qe"), col("e")) / col("nrm")).as("cos"))
+          .withColumn("rk", row_number().over(
+            w.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+          .filter(col("rk") === 1)
+        val nQ = queries.count()
+        val hits = reranked.filter(col("nid") === col("qid") - 1).count()
+        println(f"[ivfsq-scale] PQ top1-recall=$hits/$nQ (8 bytes+norm/vector, " +
+          f"candidates<=cells' members, candidateK=$candidateK)")
+        require(hits.toDouble / nQ >= 0.95,
+          f"IVF-PQ top-1 recall ${hits.toDouble / nQ}%.4f below the 0.95 floor")
+      }
     }
 
     // serve cost ∝ probed cells: with the cell-partitioned layout,

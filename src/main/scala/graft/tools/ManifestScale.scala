@@ -58,7 +58,15 @@ import graft.streaming.Streaming
   * identical. ZONE MAPS — clusterTable(doc_id, 64 files) on a 1M-row
   * copy in 2.8 s; a 1%-wide doc_id range keeps 2 of 64 files from
   * pure manifest metadata and the pruned read matches the full
-  * filtered read exactly.
+  * filtered read exactly (r17 re-run: 1 of 64).
+  * DELETE VECTORS (r17) — a 100-key point delete against the
+  * clustered 1M-row copy commits in 0.81 s writing a 1.6 KB position
+  * sidecar; the data file set and bytes are byte-identical before and
+  * after (asserted), vs ~0.1 MB the rewrite path would re-write for
+  * the SAME delete on this zone-map-pruned 1-file touch (1:90 here —
+  * the ratio scales with shard bytes: an unclustered table would
+  * rewrite its full touched shards), and the DV-applied read equals
+  * the metadata row count exactly.
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {

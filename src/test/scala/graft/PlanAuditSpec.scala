@@ -32,6 +32,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // totals row (the same scalar fold-in)
     "q_similarity_ivf_sq8",     // IVF's centroid cross-join + SQ8's
                                 // non-equi broadcast passes, composed
+    "q_similarity_ivf_pq",      // the same composition with the PQ
+                                // candidate pass (probe cross-join +
+                                // the contract's brute-force harness)
     "q_similarity_index_serve", // the same composition through the
                                 // PERSISTED index (probe cross-join +
                                 // the recall contract's non-equi
@@ -53,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     "q_similarity_cosine_topk", // corpus x queries candidate scoring
     "q_similarity_sq8",         // int8 candidate pass + exact re-rank
     "q_similarity_ivf_sq8",     // in-cell int8 candidate pass
+    "q_similarity_ivf_pq",      // in-cell PQ candidate pass
     "q_similarity_ann_lsh",     // probe-bucket candidates
     "q_topk_revenue_region",    // per-group revenue top-k
     "q_window_dense_rank_argmax"
