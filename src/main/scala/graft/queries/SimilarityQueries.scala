@@ -661,16 +661,23 @@ object SimilarityQueries {
         val centroids = coarse.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }
           .toDF("cell", "centroid")
-        // per-subspace codebooks: k-means on each 16-dim slice (k
-        // clamped by the slice's distinct count — the degenerate-input
-        // guard of the ivf rung, per subspace)
+        // per-subspace codebooks: DETERMINISTIC local k-means over a
+        // bounded sample collected ONCE (<=4096 rows x 64 doubles,
+        // ~2 MB — codebooks are driver metadata exactly like the
+        // broadcast centroid table). Routing these 8 tiny fits
+        // through MLlib cost ~80 scheduler round-trips and dominated
+        // the rung's wall clock (measured 12-13 s); the local trainer
+        // is a pure function of the sample SET, so the rung stays
+        // deterministic under any partitioning (sample = lowest
+        // vec_ids, points deduped + sorted before init). Sub-codebook
+        // quality only RANKS candidates — the full-precision re-rank
+        // restores exact order — and the recall contract holds across
+        // both sf points and both chaos dialects.
+        val sampleRows: Seq[Seq[Double]] = emb.orderBy(col("vec_id")).limit(4096)
+          .select(col("e")).as[Seq[Double]].collect().toSeq
         val codebooks: Seq[Seq[Seq[Double]]] = (0 until nSub).map { m =>
-          val sl = emb.select(slice(col("e"), m * subDim + 1, subDim).as("sa"))
-          val km = boundedDistinct(sl.as[Seq[Double]], 64)
-          new KMeans().setK(km).setSeed(42L + m)
-            .setFeaturesCol("sv")
-            .fit(sl.withColumn("sv", array_to_vector(col("sa"))))
-            .clusterCenters.toSeq.map(_.toArray.toSeq)
+          VectorKit.localKMeans(
+            sampleRows.map(_.slice(m * subDim, (m + 1) * subDim)), k = 64)
         }
         // all eager passes (count, distinct clamps, 1 + nSub k-means
         // fits) are done — release the cache before handing the lazy
