@@ -3092,11 +3092,12 @@ object Streaming {
     * upsert CAS (a racing writer on the same dirs wins or loses
     * loudly, never silently resurrects rows).
     *
-    * VISIBILITY LIMITS (documented contract): [[followTable]]
-    * consumers read ADDED files, and a DV commit adds none — deletes
-    * are invisible to followers until a compaction rewrites the
-    * shard; use [[deleteFromPartitioned]] when downstream pipelines
-    * must observe retraction. The format connector
+    * VISIBILITY LIMITS (enforced contract): [[followTable]]
+    * consumers read ADDED files, and a DV commit adds none — a
+    * follower polling across a `~` window REFUSES LOUDLY rather than
+    * silently keeping retracted rows; use [[deleteFromPartitioned]]
+    * when downstream pipelines must observe retraction, or compact
+    * first. The format connector
     * ([[graft.sources.GraftTableSource]]) refuses DV-tagged
     * generations (a plain file listing cannot apply them) — the
     * reader-version contract, resolved by compaction.
@@ -3295,6 +3296,31 @@ object Streaming {
     val delivered = from match {
       case Some(g) if g >= latest => 0L // caught up
       case Some(g) =>
+        // MERGE-ON-READ DELETE guard: followers consume ADDED files,
+        // and a delete-vector commit adds none — its `~` delta would
+        // slip past this poll silently, leaving the consumer holding
+        // rows the source has retracted. Refuse LOUDLY instead (the
+        // protocol's posture everywhere): the operator either routes
+        // retraction through deleteFromPartitioned (rewrites surface
+        // as adds), compacts the source (absorbs the vectors), or
+        // re-bootstraps the follower from a full pinned read.
+        // One tiny manifest read per generation in the window.
+        // only DV-tagged `~` lines change LIVE ROWS — a bloom-index
+        // build also retags entries in place but is row-neutral and
+        // must not wedge followers
+        val dvGens = ((g + 1) to latest).filter { gen =>
+          val mdir = manifestDir(source)
+          Seq(f"inc-$gen%012d", f"gen-$gen%012d")
+            .map(n => new org.apache.hadoop.fs.Path(mdir, n)).find(fs.exists)
+            .exists(p => readManifestFile(fs, p).exists(l =>
+              l.startsWith("~ ") && entryDv(l.substring(2)).isDefined))
+        }
+        if (dvGens.nonEmpty) throw new IllegalStateException(
+          s"cannot follow $source across generations ${dvGens.mkString(",")}: they " +
+            "carry merge-on-read delete vectors, which an added-files follower " +
+            "cannot observe — compact the source (compactShards absorbs the " +
+            "vectors), use deleteFromPartitioned for follower-visible retraction, " +
+            "or re-bootstrap this follower from a full pinned read")
         // drift probe over the consumed range: >1 distinct recorded
         // schema fingerprint means the added files are mixed-schema —
         // read them merged (see scaladoc). One manifest-header read

@@ -137,6 +137,32 @@ class DeleteVectorSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     fs.exists(new Path(mdir, dvFiles.head)) shouldBe true
   }
 
+  test("a follower refuses loudly across a delete-vector window instead of " +
+      "silently keeping retracted rows") {
+    import spark.implicits._
+    val target = seed("graft-dv-follow")
+    val cursor = Files.createTempDirectory("graft-dv-follow-cur").toString + "/cursor"
+    // bootstrap the follower (full snapshot), then an ordinary append
+    // polls fine
+    Streaming.followTable(spark, target, cursor)(_ => ()) shouldBe 200L
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      Seq((500L, "late", 2L, 0L)).toDF("id", "payload", "v", "shard"), 2L)
+    Streaming.followTable(spark, target, cursor)(_ => ()) should be > 0L
+    // a DV delete lands: the next poll must refuse, not under-deliver
+    Streaming.deleteWhere(spark, target, col("id") === 7L) shouldBe 1L
+    val ex = intercept[IllegalStateException] {
+      Streaming.followTable(spark, target, cursor)(_ => ())
+    }
+    ex.getMessage should include("delete vectors")
+    // compaction absorbs the vectors; the follower re-bootstraps from
+    // a fresh cursor and sees the post-delete truth
+    Streaming.compactShards(spark, target, "shard", maxFilesPerShard = 64)
+    val cursor2 = Files.createTempDirectory("graft-dv-follow-cur2").toString + "/cursor"
+    var seen = 0L
+    Streaming.followTable(spark, target, cursor2)(df => seen = df.count())
+    seen shouldBe 200L // 200 seeded + 1 late - 1 deleted
+  }
+
   test("deleting nothing is a no-op commit-wise") {
     val target = seed("graft-dv-noop")
     val gensBefore = Streaming.manifestGenerations(fs, target)
