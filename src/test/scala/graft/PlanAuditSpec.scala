@@ -175,6 +175,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally foreign.unpersist(blocking = true)
   }
 
+  test("a builder throw AFTER persist releases its cache entry — the injected " +
+      "throw-after-persist can no longer fail a different suite") {
+    // The r16 flake's feeding mechanism: AnnIndex.build persists its
+    // training frame and the KMeans stage can throw (degenerate-input
+    // AIOOBEs per the builder's own docs). Before the try/catch fix the
+    // persist leaked into the JVM-global CacheManager and surfaced as a
+    // failure in whichever suite's guard ran next. Inject a
+    // DETERMINISTIC throw inside the persist-to-unpersist window —
+    // setK(0) raises IllegalArgumentException after base.persist()
+    // already registered eagerly (the non-vacuity test above proves
+    // registration needs no action) — and prove the entry is released
+    // on the exception path.
+    import spark.implicits._
+    val cacheMgr = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val before = cachedEntries(cacheMgr)
+    val corpus = (0L until 64L)
+      .map(i => (i, Seq.tabulate(graft.functions.VectorKit.EmbeddingDim)(j =>
+        ((i * 31 + j) % 17).toDouble / 17.0)))
+      .toDF("vec_id", "e")
+    intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.build(corpus, k = 0, vecCol = "e")
+    }
+    val leaked = cachedEntries(cacheMgr).filterNot(e => before.exists(_ eq e))
+    withClue(s"throw-after-persist leaked entries:${describeEntries(leaked)}\n") {
+      leaked shouldBe empty
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no cartesian product or stray nested-loop join") {
       // The whole body runs under try/finally on the CacheManager: if
