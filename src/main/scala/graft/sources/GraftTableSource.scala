@@ -46,8 +46,8 @@ import graft.streaming.Streaming
   * manifest lines once at creation (pure metadata — the same cost
   * every pinned library read already pays), `listFiles` re-prunes
   * per query from the SAME resolved lines (no re-listing), and file
-  * statuses are fabricated from the manifest's recorded sizes rather
-  * than round-tripping the store per file. Unsupported predicate
+  * statuses come from ONE listStatus per directory resolved lazily
+  * at first use — never one RPC per file. Unsupported predicate
   * shapes simply contribute no pruning — Spark still applies every
   * filter to the rows, so correctness never depends on the translator.
   *
