@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, BoundReference, EqualNullSafe, EqualTo, Expression,
@@ -56,9 +56,87 @@ import graft.streaming.Streaming
   * (DataSourceRegister + RelationProvider, the stable DSv1 relation
   * hook Delta itself ships on).
   */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** The WRITE half of the format: every mode lands as ONE immutable
+    * manifest commit with the full crash/concurrency contract of the
+    * library verbs.
+    *
+    *  - `mode("append")` stages the batch and commits it optimistically
+    *    (no replaced dirs — appends rebase past any concurrent commit;
+    *    a fresh table bootstraps). `option("partitionBy", "a,b")`
+    *    hive-partitions the staged files (DataFrameWriter.partitionBy
+    *    does not reach a DSv1 relation provider, hence the option).
+    *  - `mode("append")` + options `keyCol`/`versionCol`/`shardCol`
+    *    routes through the latest-wins optimistic UPSERT instead —
+    *    the table's mutation verb, not a blind append.
+    *  - `mode("overwrite")` replaces the whole table in one commit
+    *    (every current entry tombstoned, the staged files the new
+    *    generation — the clusterTable/rebuild shape).
+    *  - `mode("errorifexists")` (the DataFrameWriter default) refuses
+    *    a table that already has a committed manifest; `ignore`
+    *    no-ops on one.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val target = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink needs a table path: df.write.format(\"graft\").save(<table>)"))
+    val spark = sqlContext.sparkSession
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = Streaming.manifestGenerations(fs, target).lastOption
+    val upsertKeys = (parameters.get("keyCol"), parameters.get("versionCol"),
+      parameters.get("shardCol"))
+
+    def stageAndCommit(replaceAll: Boolean): Unit = {
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val stageName = s".__stage-$token"
+      val stage = new Path(target + stageName)
+      fs.delete(stage, true)
+      val writer = data.write.mode("overwrite")
+      val parts = parameters.get("partitionBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(stage.toString)
+      val replaced: Set[String] =
+        if (!replaceAll) Set.empty
+        else Streaming.latestManifest(fs, target) match {
+          case Some((_, rels)) =>
+            rels.map(r => r.lastIndexOf('/') match {
+              case -1 => ""
+              case i => r.substring(0, i)
+            }).toSet + ""
+          case None => Set.empty
+        }
+      Streaming.commitStage(fs, target, replaced, stageName,
+        baseGen = Some(existing.getOrElse(0L)))
+    }
+
+    mode match {
+      case SaveMode.Append => upsertKeys match {
+        case (Some(k), Some(v), Some(sh)) =>
+          Streaming.upsertPartitionedOptimistic(target, k, v, sh)(data)
+        case (None, None, None) => stageAndCommit(replaceAll = false)
+        case _ => throw new IllegalArgumentException(
+          "graft upsert needs ALL of keyCol, versionCol, shardCol (or none for append)")
+      }
+      case SaveMode.Overwrite => stageAndCommit(replaceAll = true)
+      case SaveMode.ErrorIfExists =>
+        if (existing.isDefined) throw new IllegalStateException(
+          s"graft table $target already exists (generation ${existing.get}); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+        stageAndCommit(replaceAll = false)
+      case SaveMode.Ignore =>
+        if (existing.isEmpty) stageAndCommit(replaceAll = false)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -149,6 +149,44 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     ex.getMessage should include("manifest")
   }
 
+  test("the WRITE path: append, partitioned append, upsert-by-options, overwrite, " +
+      "errorifexists, ignore — every mode one immutable commit") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-write").toString + "/t"
+    def rows(r: Range, v: Long) =
+      r.map(k => (k.toLong, s"v$v-$k", v, k.toLong % 4)).toDF("id", "payload", "v", "shard")
+    // errorifexists bootstraps a fresh table...
+    rows(0 until 50, 1).write.format("graft").option("partitionBy", "shard").save(target)
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L)
+    spark.read.format("graft").load(target).count() shouldBe 50L
+    // ...and refuses an existing one
+    intercept[IllegalStateException] {
+      rows(0 until 5, 9).write.format("graft").save(target)
+    }
+    // ignore no-ops on an existing table
+    rows(0 until 5, 9).write.format("graft").mode("ignore").save(target)
+    Streaming.manifestGenerations(fs, target) shouldBe Seq(1L)
+    // plain append adds rows without replacing
+    rows(50 until 70, 1).write.format("graft").mode("append")
+      .option("partitionBy", "shard").save(target)
+    spark.read.format("graft").load(target).count() shouldBe 70L
+    // upsert-by-options: latest-wins on the key
+    rows(0 until 10, 2).write.format("graft").mode("append")
+      .option("keyCol", "id").option("versionCol", "v").option("shardCol", "shard")
+      .save(target)
+    val after = Streaming.readCommitted(spark, target)
+    after.count() shouldBe 70L
+    after.where(col("id") === 3L).select("payload").head().getString(0) shouldBe "v2-3"
+    // overwrite replaces the whole table in one commit
+    rows(100 until 120, 5).write.format("graft").mode("overwrite").save(target)
+    val ow = spark.read.format("graft").load(target)
+    ow.count() shouldBe 20L
+    ow.agg(min("id")).head().getLong(0) shouldBe 100L
+    // and the manifest chain stayed linear throughout
+    val gens = Streaming.manifestGenerations(fs, target)
+    gens shouldBe (gens.min to gens.max)
+  }
+
   test("the snapshot is PINNED: a commit after relation creation is invisible to it") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft-conn-pin").toString + "/t"
