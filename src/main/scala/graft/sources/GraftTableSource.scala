@@ -298,7 +298,15 @@ class GraftFileIndex(
         byDir.filter { case (d, _) => bound.eval(partitionRow(d)) }
       }
     pruned.map { case (d, rels) =>
-      PartitionDirectory(partitionRow(d), rels.flatMap(statusByRel.get).toArray)
+      // LOUD on a vanished file: a manifest entry whose file is gone
+      // means this pinned generation outlived the retention horizon —
+      // silently dropping it would return wrong results (r17
+      // self-review; readCommitted probes the same condition)
+      PartitionDirectory(partitionRow(d), rels.map(r =>
+        statusByRel.getOrElse(r, throw new IllegalStateException(
+          s"graft generation $generation of $target references $r but it no " +
+            "longer exists — the retention horizon was exceeded; re-create the " +
+            "relation to pin the current generation"))).toArray)
     }
   }
 

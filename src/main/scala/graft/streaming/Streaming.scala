@@ -2071,11 +2071,19 @@ object Streaming {
     // tombstones, and files only in `toGen` are retained with it; a
     // pruned fromGen MANIFEST (unreadable chain) still refuses loudly
     val before = manifestEntries(fs, target, fromGen).toSet
-    val added = manifestEntries(fs, target, toGen).filterNot(before)
-    if (added.isEmpty) None
-    else Some(spark.read.option("basePath", target)
-      .option("mergeSchema", mergeSchema.toString)
-      .parquet(added.map(f => s"$target/$f"): _*))
+    val toLines = manifestEntryLines(fs, target, toGen)
+    val addedLines = toLines.filterNot(l => before(entryPath(l)))
+    if (addedLines.isEmpty) None
+    else Some(
+      // DV-applied at the TO generation: a file added in the window
+      // and then delete-vector-tagged still physically carries the
+      // masked rows — delivering them raw would resurrect retracted
+      // rows in every derived table (found in the r17 self-review;
+      // followTable's window guard covers only its own path)
+      applyDeleteVectors(spark, target, addedLines,
+        spark.read.option("basePath", target)
+          .option("mergeSchema", mergeSchema.toString)
+          .parquet(addedLines.map(l => s"$target/${entryPath(l)}"): _*)))
   }
 
   /** MERGE-ON-READ: anti-join the delete vectors referenced by

@@ -163,6 +163,25 @@ class DeleteVectorSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
     seen shouldBe 200L // 200 seeded + 1 late - 1 deleted
   }
 
+  test("readAddedBetween applies the TO generation's delete vectors: a file added " +
+      "then dv-tagged in the window never resurrects its masked rows") {
+    import spark.implicits._
+    val target = seed("graft-dv-added")
+    val g1 = Streaming.manifestGenerations(fs, target).last
+    // window: append 10 new keys, then dv-delete 3 of them
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      (500L until 510L).map(k => (k, s"n-$k", 2L, k % 4)).toDF("id", "payload", "v", "shard"),
+      2L)
+    Streaming.deleteWhere(spark, target, col("id").isin(501L, 505L, 509L)) shouldBe 3L
+    val g2 = Streaming.manifestGenerations(fs, target).last
+    val delta = Streaming.readAddedBetween(spark, target, g1, g2).get
+    val ids = delta.select("id").collect().map(_.getLong(0)).toSet
+    // the appended shard-rewrite files carry merged content (superset
+    // by contract) but the dv-masked keys must NOT be among them
+    ids.intersect(Set(501L, 505L, 509L)) shouldBe Set.empty
+    ids should contain allOf (500L, 502L, 508L)
+  }
+
   test("deleting nothing is a no-op commit-wise") {
     val target = seed("graft-dv-noop")
     val gensBefore = Streaming.manifestGenerations(fs, target)
