@@ -95,6 +95,24 @@ class GraftTableSource extends RelationProvider
       parameters.get("shardCol"))
 
     def stageAndCommit(replaceAll: Boolean): Unit = {
+      // SCHEMA DRIFT on append refuses by default — the library
+      // upsert's contract (allowSchemaEvolution opt-in): a silent
+      // mixed-schema append would leave readers inferring whichever
+      // footer they sample first. Name-and-type comparison, order- and
+      // nullability-insensitive; overwrite replaces the schema by
+      // definition and skips the check.
+      if (!replaceAll && existing.isDefined &&
+          !parameters.get("allowSchemaEvolution").exists(_.toBoolean)) {
+        val current = new GraftFileIndex(spark, target, None)
+        val have = (current.dataSchema.fields ++ current.partitionSchema.fields)
+          .map(f => (f.name, f.dataType)).toSet
+        val incoming = data.schema.fields.map(f => (f.name, f.dataType)).toSet
+        if (have != incoming) throw new IllegalArgumentException(
+          s"append schema ${incoming.toSeq.sortBy(_._1).mkString(", ")} does not match " +
+            s"graft table $target's ${have.toSeq.sortBy(_._1).mkString(", ")} — set " +
+            "option(\"allowSchemaEvolution\", \"true\") to widen deliberately " +
+            "(followers detect the drift via the per-commit schema fingerprint)")
+      }
       val token = java.util.UUID.randomUUID().toString.take(8)
       val stageName = s".__stage-$token"
       val stage = new Path(target + stageName)

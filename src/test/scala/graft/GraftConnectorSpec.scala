@@ -185,6 +185,19 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     // and the manifest chain stayed linear throughout
     val gens = Streaming.manifestGenerations(fs, target)
     gens shouldBe (gens.min to gens.max)
+    // schema drift on append refuses by default...
+    val drifted = (0 until 5).map(k => (k.toLong, s"x-$k", 1L, k.toLong % 4, "extra"))
+      .toDF("id", "payload", "v", "shard", "note")
+    val ex = intercept[IllegalArgumentException] {
+      drifted.write.format("graft").mode("append").save(target)
+    }
+    ex.getMessage should include("allowSchemaEvolution")
+    // ...and widens on explicit opt-in (old files null-padded under a
+    // merged read)
+    drifted.write.format("graft").mode("append")
+      .option("allowSchemaEvolution", "true").save(target)
+    Streaming.readCommitted(spark, target, mergeSchema = true)
+      .where(col("note").isNotNull).count() shouldBe 5L
   }
 
   test("the snapshot is PINNED: a commit after relation creation is invisible to it") {
