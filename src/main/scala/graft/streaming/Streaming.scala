@@ -540,7 +540,8 @@ object Streaming {
       target: String,
       replacedDirs: Set[String],
       stageName: String = ".__stage",
-      baseGen: Option[Long] = None
+      baseGen: Option[Long] = None,
+      tag: Option[String] = None
   ): Unit = {
     val stage = new org.apache.hadoop.fs.Path(target + stageName)
     val files = listRel(fs, stage)
@@ -553,6 +554,7 @@ object Streaming {
     // verbs, whose lease spans read-to-commit.
     val plan =
       (baseGen.toSeq.map(g => s"B $g") ++
+        tag.toSeq.map(t => s"T $t") ++
         replacedDirs.toSeq.sorted.map(d => s"R $d") ++ files.sorted.map(f => s"F $f"))
         .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(stage, ".plan.tmp")
@@ -635,6 +637,7 @@ object Streaming {
     val replacedDirs = lines.collect { case l if l.startsWith("R ") => l.substring(2) }.toSet
     val files = lines.collect { case l if l.startsWith("F ") => l.substring(2) }
     val baseGen = lines.collectFirst { case l if l.startsWith("B ") => l.substring(2).toLong }
+    val commitTagOpt = lines.collectFirst { case l if l.startsWith("T ") => l.substring(2) }
     val targetPath = new org.apache.hadoop.fs.Path(target)
     if (!fs.exists(targetPath)) fs.mkdirs(targetPath)
     // parent dirs first (serial — they dedupe to the touched-shard
@@ -788,7 +791,8 @@ object Streaming {
           case None => postTouched
         }
         if (tryCommitManifest(fs, target, gen, postState,
-            tombstones.toSeq.sorted, addLines, schemaHash = commitSchema)) done = true
+            tombstones.toSeq.sorted, addLines, schemaHash = commitSchema,
+            tag = commitTagOpt)) done = true
         // else: lost the CAS to a concurrent commit at `gen` — loop.
         // The staleness check above re-runs against the new latest
         // (baseGen is fixed), so an overlapping winner aborts and a
@@ -1222,7 +1226,8 @@ object Streaming {
       adds: Seq[String],
       forceCheckpoint: Boolean = false,
       schemaHash: Option[String] = None,
-      modified: Seq[String] = Nil
+      modified: Seq[String] = Nil,
+      tag: Option[String] = None
   ): Boolean = {
     val mdir = manifestDir(target)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
@@ -1244,7 +1249,12 @@ object Streaming {
     // skipped by the entry parsers, surfaced by [[commitSchemaHash]]
     // so a follower detects a widened column landing mid-table without
     // any data read
+    // `# tag <t>`: an idempotency token riding INSIDE the atomic
+    // commit (the streaming sink's exactly-once hinge — a marker file
+    // updated after the commit leaves a redelivery window; a token in
+    // the manifest cannot be separated from the data it covers)
     val header = schemaHash.toSeq.map(h => s"# schema $h") ++
+      tag.toSeq.map(t => s"# tag $t") ++
       (if (forceCheckpoint) Seq("# rebuild") else Nil)
     // `~` = entry modified in place (a delete-vector tag): the full
     // new entry line rides in the delta so chains reconstruct and
@@ -1806,6 +1816,25 @@ object Streaming {
       .find(fs.exists)
       .flatMap(p => readManifestFile(fs, p)
         .collectFirst { case l if l.startsWith("# schema ") => l.stripPrefix("# schema ") })
+  }
+
+  /** The idempotency TAG recorded by generation `gen`'s commit
+    * (`# tag` header), if any — the streaming sink's
+    * redelivery-detection channel: a tag lives and dies WITH the
+    * commit it covers, so "was batch N already applied?" is answerable
+    * from retained metadata with no separate marker race.
+    */
+  def commitTag(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      gen: Long
+  ): Option[String] = {
+    val mdir = manifestDir(target)
+    Seq(f"gen-$gen%012d", f"inc-$gen%012d")
+      .map(n => new org.apache.hadoop.fs.Path(mdir, n))
+      .find(fs.exists)
+      .flatMap(p => readManifestFile(fs, p)
+        .collectFirst { case l if l.startsWith("# tag ") => l.stripPrefix("# tag ") })
   }
 
   /** The relative data-file PATHS of one retained generation. */
@@ -2741,6 +2770,45 @@ object Streaming {
       }
       refreshListing(target)
       newLines.size
+    }
+  }
+
+  /** Bloom-index HEALTH of `column` at the latest generation: the
+    * fraction of row-carrying entries that still carry a bloom tag —
+    * pure metadata (files rewritten since the last build lose their
+    * tags and stop pruning). None when the table has no manifest.
+    */
+  def bloomCoverage(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: String,
+      column: String
+  ): Option[Double] =
+    manifestGenerations(fs, target).lastOption.map { g =>
+      val lines = manifestEntryLines(fs, target, g).filterNot { l =>
+        val parts = l.split('\t')
+        parts.length >= 2 && parts(1) == "0"
+      }
+      if (lines.isEmpty) 1.0
+      else lines.count(l => entryBlooms(l).contains(column)).toDouble / lines.size
+    }
+
+  /** The bloom half of the OPTIMIZE autopilot (the
+    * [[maintainClustered]] shape): re-run [[buildBloomIndex]] ONLY
+    * when tag coverage dropped below `minCoverage` — a healthy table
+    * is a pure metadata probe, no data read, no commit. Returns the
+    * number of files indexed (0 = healthy or empty).
+    */
+  def maintainBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      column: String,
+      minCoverage: Double = 0.9
+  ): Int = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bloomCoverage(fs, target, column) match {
+      case Some(c) if c < minCoverage => buildBloomIndex(spark, target, column)
+      case _ => 0
     }
   }
 

@@ -105,6 +105,25 @@ class BloomSkipSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     bloomKept2 should be < zoneKept2
   }
 
+  test("maintainBloom: healthy coverage is a metadata-only no-op; a rewrite " +
+      "degrades coverage and triggers exactly one rebuild") {
+    val (target, keys) = seed("graft-bloom-maintain")
+    Streaming.buildBloomIndex(spark, target, "key") should be >= 16
+    Streaming.bloomCoverage(fs, target, "key") shouldBe Some(1.0)
+    val genBefore = Streaming.manifestGenerations(fs, target).last
+    // healthy: no commit, generation unchanged
+    Streaming.maintainBloom(spark, target, "key") shouldBe 0
+    Streaming.manifestGenerations(fs, target).last shouldBe genBefore
+    // a re-cluster rewrites every file -> tags drop -> coverage 0
+    Streaming.clusterTable(spark, target, "id", 8)
+    Streaming.bloomCoverage(fs, target, "key").get shouldBe 0.0
+    // degraded: one rebuild commit restores coverage and pruning
+    Streaming.maintainBloom(spark, target, "key") should be >= 8
+    Streaming.bloomCoverage(fs, target, "key") shouldBe Some(1.0)
+    val (bloomKept, zoneKept, _) = Streaming.bloomPointStats(spark, target, "key", keys(3))
+    bloomKept should be < zoneKept
+  }
+
   test("bloom pruning composes with delete vectors: the point read still applies DVs") {
     val (target, keys) = seed("graft-bloom-dv")
     Streaming.buildBloomIndex(spark, target, "key")

@@ -200,6 +200,46 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
       .where(col("note").isNotNull).count() shouldBe 5L
   }
 
+  test("writeStream.format(\"graft\"): micro-batches land as tagged immutable " +
+      "commits and a REDELIVERED batch is skipped exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Files.createTempDirectory("graft-conn-stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-conn-stream-ck").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "payload", "shard")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("partitionBy", "shard")
+      .start(target)
+    try {
+      in.addData((1L, "a", 0L), (2L, "b", 1L))
+      q.processAllAvailable()
+      spark.read.format("graft").load(target).count() shouldBe 2L
+      in.addData((3L, "c", 0L))
+      q.processAllAvailable()
+      spark.read.format("graft").load(target).count() shouldBe 3L
+    } finally q.stop()
+    // every micro-batch commit carries its idempotency tag
+    val gens = Streaming.manifestGenerations(fs, target)
+    val tags = gens.flatMap(g => Streaming.commitTag(fs, target, g))
+    tags should contain allOf ("sinkbatch-0", "sinkbatch-1")
+    // REDELIVERY of an already-committed batch id (the crash-between-
+    // commit-and-checkpoint window): driven directly through the sink,
+    // it must skip — same count, no new generation
+    val sink = new graft.sources.GraftTableSource().createSink(
+      spark.sqlContext, Map("path" -> target), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val redelivered = Seq((9L, "dup", 0L)).toDF("id", "payload", "shard")
+    sink.addBatch(0L, redelivered)
+    Streaming.manifestGenerations(fs, target) shouldBe gens
+    spark.read.format("graft").load(target).count() shouldBe 3L
+    // a genuinely NEW batch id commits
+    sink.addBatch(7L, redelivered)
+    spark.read.format("graft").load(target).count() shouldBe 4L
+  }
+
   test("the snapshot is PINNED: a commit after relation creation is invisible to it") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft-conn-pin").toString + "/t"
