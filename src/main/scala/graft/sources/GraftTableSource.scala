@@ -71,9 +71,11 @@ class GraftTableSource extends RelationProvider
     * advance) is detected from retained metadata and skipped — a
     * marker file alone would leave exactly that window open. With
     * `keyCol`/`versionCol`/`shardCol` options each batch routes
-    * through the latest-wins upsert instead (idempotent by merge
-    * semantics, tag kept as the fast skip). `partitionBy` option as
-    * on the batch sink.
+    * through the latest-wins upsert instead — idempotent under
+    * redelivery by MERGE semantics (the upsert path records no tag).
+    * `partitionBy` option as on the batch sink. Complete output mode
+    * is refused: this sink appends/merges; replacing the table every
+    * trigger is a different contract (use foreachBatch + overwrite).
     */
   override def createSink(
       sqlContext: SQLContext,
@@ -83,6 +85,10 @@ class GraftTableSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     val target = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft stream sink needs a table path: .format(\"graft\").option(\"path\", <t>)"))
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft stream sink appends (or upserts with key options) — Complete mode " +
+        "would duplicate the table every trigger; use foreachBatch with " +
+        "mode(\"overwrite\") for replace-per-trigger semantics")
     new GraftStreamSink(target, parameters)
   }
 
