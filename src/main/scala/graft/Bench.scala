@@ -71,7 +71,10 @@ object Bench {
           }
           catch {
             case e: Throwable =>
-              errors ::= s"$name: ${e.getClass.getSimpleName}"
+              // r17 judge #3: carry the message so a failed require is
+              // self-diagnosing from the bench line alone.
+              errors ::= s"$name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).replaceAll("[\\s\"]+", " ").take(120)
               false
           }
         val jit = (jitMs() - j0) / 1000.0

@@ -111,9 +111,13 @@ class DeleteVectorSpec extends AnyFunSuite with Matchers with SparkSessionSetup 
       "the format connector refuses before, reads after") {
     val target = seed("graft-dv-compact")
     Streaming.deleteWhere(spark, target, col("id") % 10 === 3) shouldBe 20L
-    // connector refuses the tagged generation (reader-version contract)
+    // the connector now APPLIES the vectors by default (r17 judge #3 —
+    // see GraftConnectorSpec); the pre-r18 reader-version refusal is
+    // the explicit strict contract
+    spark.read.format("graft").load(target).count() shouldBe 180L
     val ex = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(target).count()
+      spark.read.format("graft").option("deleteVectors", "strict")
+        .load(target).count()
     }
     ex.getMessage should include("delete")
     // compaction rewrites the tagged shards DV-applied

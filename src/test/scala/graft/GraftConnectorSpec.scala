@@ -228,8 +228,11 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     // REDELIVERY of an already-committed batch id (the crash-between-
     // commit-and-checkpoint window): driven directly through the sink,
     // it must skip — same count, no new generation
+    // partitionBy matches the stream's layout: mixing hive dirs with
+    // root-level files would make the partition column unreadable, and
+    // the r18 index refuses such a layout loudly
     val sink = new graft.sources.GraftTableSource().createSink(
-      spark.sqlContext, Map("path" -> target), Nil,
+      spark.sqlContext, Map("path" -> target, "partitionBy" -> "shard"), Nil,
       org.apache.spark.sql.streaming.OutputMode.Append())
     val redelivered = Seq((9L, "dup", 0L)).toDF("id", "payload", "shard")
     sink.addBatch(0L, redelivered)
@@ -238,6 +241,191 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     // a genuinely NEW batch id commits
     sink.addBatch(7L, redelivered)
     spark.read.format("graft").load(target).count() shouldBe 4L
+  }
+
+  test("a DV-TAGGED generation reads through the connector row-identical to the " +
+      "library reader; option(\"deleteVectors\", \"strict\") keeps the refusal") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-dv").toString + "/t"
+    Streaming.upsertPartitionedBatch(target, "id", "v", "shard")(
+      (0L until 200L).map(k => (k, k * 3, 1L, k % 4)).toDF("id", "score", "v", "shard"),
+      1L)
+    Streaming.deleteWhere(spark, target, col("id") % 10L === 7L) shouldBe 20L
+    val gen = Streaming.manifestGenerations(fs, target).last
+    Streaming.generationHasDeleteVectors(fs, target, gen) shouldBe true
+    // the connector now APPLIES the vectors instead of refusing
+    val conn = spark.read.format("graft").load(target)
+    conn.count() shouldBe 180L
+    conn.where(col("id") === 7L).count() shouldBe 0L
+    val lib = Streaming.readCommitted(spark, target)
+    conn.select("id", "score").exceptAll(lib.select("id", "score")).count() shouldBe 0L
+    lib.select("id", "score").exceptAll(conn.select("id", "score")).count() shouldBe 0L
+    // filters + projections work through the DV relation (pushdown is
+    // best-effort; correctness is Spark's re-applied residual)
+    conn.where(col("id").between(10L, 29L)).count() shouldBe 18L
+    conn.groupBy((col("id") % 4L).as("m")).count().count() shouldBe 4L
+    // SQL over a temp view too
+    conn.createOrReplaceTempView("graft_dv_t")
+    try spark.sql("SELECT COUNT(*) c FROM graft_dv_t WHERE id < 50")
+      .head().getLong(0) shouldBe 45L
+    finally spark.catalog.dropTempView("graft_dv_t")
+    // the strict contract is still available
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("deleteVectors", "strict").load(target).count()
+    }
+    ex.getMessage should include("delete")
+    // compaction absorbs the vectors and the plain fast path returns
+    Streaming.compactShards(spark, target, "shard", maxFilesPerShard = 1)
+    val after = spark.read.format("graft").load(target)
+    after.count() shouldBe 180L
+  }
+
+  test("a plain append to a table with OUTSTANDING delete vectors succeeds " +
+      "(the drift check reads footers, not the reader-version gate)") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-dv-append").toString + "/t"
+    def rows(r: Range) = r.map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+    rows(0 until 40).write.format("graft").save(target)
+    Streaming.deleteWhere(spark, target, col("id") < 5L) shouldBe 5L
+    // r17 advice (medium): this append used to die on the connector's
+    // DV refusal even though it reads no rows
+    rows(40 until 60).write.format("graft").mode("append").save(target)
+    Streaming.readCommitted(spark, target).count() shouldBe 55L
+    // and the connector read applies the vectors across the append
+    spark.read.format("graft").load(target).count() shouldBe 55L
+  }
+
+  test("MULTI-LEVEL option(\"partitionBy\", \"a,b\") roundtrips: both partition " +
+      "columns surface in the schema and prune") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-multipart").toString + "/t"
+    val df = (0 until 120).map(k => (k.toLong, s"x-$k", k.toLong % 3, k.toLong % 4))
+      .toDF("id", "payload", "a", "b")
+    df.write.format("graft").option("partitionBy", "a,b").save(target)
+    val back = spark.read.format("graft").load(target)
+    back.schema.fieldNames should contain allOf ("a", "b")
+    back.count() shouldBe 120L
+    // values are typed (both integral -> long) and correct
+    back.where(col("a") === 1L && col("b") === 2L).count() shouldBe
+      df.where(col("a") === 1L && col("b") === 2L).count()
+    // partition pruning on either level cuts the listed files
+    val one = spark.read.format("graft").load(target).where(col("a") === 0L)
+    val pruned = scanNumFiles(one)
+    val total = scanNumFiles(spark.read.format("graft").load(target).select("id"))
+    pruned should be < total
+    one.select("id").collect().map(_.getLong(0)).forall(_ % 3 == 0) shouldBe true
+  }
+
+  test("the sink's txn HIGH-WATER MARK survives ManifestKeep prunings of its " +
+      "commit tag: redelivery after heavy maintenance still skips") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-txn").toString + "/t"
+    val ck = "/tmp/graft-conn-txn-ck"
+    val sink = new graft.sources.GraftTableSource().createSink(
+      spark.sqlContext, Map("path" -> target, "checkpointLocation" -> ck), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    def batch(r: Range) = r.map(k => (k.toLong, s"b-$k")).toDF("id", "payload")
+    sink.addBatch(0L, batch(0 until 10))
+    spark.read.format("graft").load(target).count() shouldBe 10L
+    // land enough intervening commits (the r17 advice scenario:
+    // concurrent compaction/bloom autopilot between a sink commit and
+    // its post-crash redelivery) that batch 0's generation ages past
+    // BOTH the retention horizon and the checkpoint chain anchor, so
+    // its `# tag` header is pruned from every retained manifest...
+    (1 to Streaming.CheckpointEvery.toInt + Streaming.ManifestKeep + 1).foreach { i =>
+      batch(100 * i until 100 * i + 5).write.format("graft").mode("append").save(target)
+    }
+    val gens = Streaming.manifestGenerations(fs, target)
+    gens.flatMap(g => Streaming.commitTag(fs, target, g)) should not contain "sinkbatch-0"
+    // ...but the carried-forward txn mark still answers, and the
+    // redelivered batch is skipped exactly-once
+    val before = Streaming.readCommitted(spark, target).count()
+    sink.addBatch(0L, batch(900 until 910))
+    Streaming.manifestGenerations(fs, target) shouldBe gens
+    Streaming.readCommitted(spark, target).count() shouldBe before
+    // a genuinely new batch id still lands and bumps the mark
+    sink.addBatch(1L, batch(50 until 60))
+    Streaming.readCommitted(spark, target).count() shouldBe before + 10L
+    Streaming.txnHighWaterMark(fs, target, "sink-" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(ck).toLong & 0xffffffffL))
+      .get shouldBe 1L
+  }
+
+  test("MIXED-SCHEMA generation: per-entry fingerprints route the connector to a " +
+      "merged inference, so a widened column is never silently dropped") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-conn-mixed").toString + "/t"
+    (0 until 30).map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+      .write.format("graft").save(target)
+    (30 until 40).map(k => (k.toLong, s"p-$k", s"note-$k")).toDF("id", "payload", "note")
+      .write.format("graft").mode("append")
+      .option("allowSchemaEvolution", "true").save(target)
+    val back = spark.read.format("graft").load(target)
+    back.schema.fieldNames should contain("note")
+    back.count() shouldBe 40L
+    back.where(col("note").isNotNull).count() shouldBe 10L
+  }
+
+  test("readStream.format(\"graft\"): offsets are generations, the first batch is " +
+      "the snapshot, restarts resume from the checkpoint, and a graft-to-graft " +
+      "pipe is exactly-once end-to-end") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-src").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val ck = base + "/ck"
+    def batch(r: Range, v: Long) =
+      r.map(k => (k.toLong, s"v$v-$k", v)).toDF("id", "payload", "v")
+    batch(0 until 40, 1L).write.format("graft").save(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .start(dst)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // bootstrap: the full snapshot lands as batch 0
+    runOnce()
+    Streaming.readCommitted(spark, dst).count() shouldBe 40L
+    // an idle restart redelivers nothing (the sink would skip it anyway,
+    // but the source's checkpointed offset must not re-emit the snapshot)
+    runOnce()
+    Streaming.readCommitted(spark, dst).count() shouldBe 40L
+    // incremental: only the appended files flow
+    batch(40 until 55, 2L).write.format("graft").mode("append").save(src)
+    runOnce()
+    val out = Streaming.readCommitted(spark, dst)
+    out.count() shouldBe 55L
+    out.select("id").distinct().count() shouldBe 55L
+    // schema stays aligned to the declared one
+    out.schema.fieldNames.sorted shouldBe Array("id", "payload", "v")
+  }
+
+  test("the graft stream source REFUSES a delete-vector window loudly " +
+      "(followTable's contract through Spark's streaming engine)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-dv").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val ck = base + "/ck"
+    def batch(r: Range) = r.map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+    batch(0 until 30).write.format("graft").save(src)
+    val q0 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("checkpointLocation", ck).start(dst)
+    try q0.processAllAvailable() finally q0.stop()
+    Streaming.readCommitted(spark, dst).count() shouldBe 30L
+    // a DV retraction lands in the un-consumed window...
+    Streaming.deleteWhere(spark, src, col("id") < 3L) shouldBe 3L
+    batch(30 until 35).write.format("graft").mode("append").save(src)
+    // ...and the next poll fails loudly instead of silently keeping
+    // retracted rows
+    val q1 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("checkpointLocation", ck).start(dst)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    ex.getMessage should include("delete vectors")
   }
 
   test("the snapshot is PINNED: a commit after relation creation is invisible to it") {
