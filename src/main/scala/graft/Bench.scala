@@ -142,13 +142,14 @@ object Bench {
     val fps = fpByQuery.reverse
     val jitTotal = jitByQuery.map(_._2).sum
     val gcTotal = gcByQuery.map(_._2).sum
+    val ccMb = codeCacheUsedMb()
     val line =
       Bench.renderLine(total, walls, errors.reverse, sfDir, compact = true, loads, cpuSecs, pw,
-        fps, jitTotal, gcTotal)
+        fps, jitTotal, gcTotal, ccMb = ccMb)
     println(line)
     val fullLine =
       Bench.renderLine(total, walls, errors.reverse, sfDir, compact = false, loads, cpuSecs, pw,
-        fps, jitTotal, gcTotal)
+        fps, jitTotal, gcTotal, jits = jitByQuery.reverse, ccMb = ccMb)
     // Belt and braces against stdout-tail truncation: the same line is
     // written whole to a file (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -194,6 +195,18 @@ object Bench {
   def jitMs(): Long =
     try java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
     catch { case _: Throwable => 0L }
+
+  /** JIT code cache occupancy in MB (sum over the segmented pools), or
+    * -1 where unavailable — the "did compiled code get flushed
+    * mid-run?" marker next to the per-query jit deltas.
+    */
+  def codeCacheUsedMb(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum / 1e6
+    } catch { case _: Throwable => -1.0 }
 
   /** Cumulative stop-the-world GC milliseconds across collectors. */
   def gcMs(): Long = {
@@ -291,7 +304,9 @@ object Bench {
       pw: Seq[(String, Int)] = Nil,
       fps: Seq[(String, String)] = Nil,
       jitSec: Double = -1.0,
-      gcSec: Double = -1.0): String = {
+      gcSec: Double = -1.0,
+      jits: Seq[(String, Double)] = Nil,
+      ccMb: Double = -1.0): String = {
     def r(v: Double): String = {
       val scale =
         if (!compact) 3
@@ -359,7 +374,20 @@ object Bench {
         .map { case (n, f) => "\"" + n + "\":\"" + f + "\"" }
         .mkString(""","fp":{""", ",", "}")
     val jitJson = if (jitSec < 0) "" else s""","jit":${r(jitSec)}"""
+    // per-query JIT-compiler seconds (full form only): a query whose
+    // jit rivals its wall had its generated code compiled INSIDE the
+    // timed window — the r17 expression_profile mechanism; flat jit
+    // with high cpu is contention instead. `cc` is the JIT code
+    // cache's used MB at run end: near the reserved ceiling means
+    // flushing re-compiled hot methods mid-run and per-query numbers
+    // are suspect (hence ReservedCodeCacheSize=512m in build.sbt).
+    val jitqJson =
+      if (compact || jits.isEmpty) ""
+      else jits.sortBy(_._1)
+        .map { case (n, v) => "\"" + n + "\":" + r(v) }
+        .mkString(""","jitq":{""", ",", "}")
+    val ccJson = if (ccMb < 0) "" else s""","cc":${r(ccMb)}"""
     val gcJson = if (gcSec < 0) "" else s""","gc":${r(gcSec)}"""
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson$pwJson$pwWlJson$fpJson$jitJson$gcJson,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs$cpuJson$omittedJson$errJson$loadJson$pwJson$pwWlJson$fpJson$jitJson$jitqJson$ccJson$gcJson,"sf":"$sf"}"""
   }
 }

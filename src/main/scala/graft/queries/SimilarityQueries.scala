@@ -997,6 +997,110 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       Some(OracleSql.semanticDedupSql)
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_similarity_hnsw",
+      (s, dir) => {
+        // HNSW — the GRAPH tier of the ANN family (r17 judge stretch
+        // #9; graft.operators.Hnsw, deterministic levels/ties): the
+        // corpus is SHARDED by key, one layered proximity graph is
+        // built per shard inside mapPartitions (local O(n·ef·M) work,
+        // no driver state — the standard sharded-HNSW serving shape),
+        // the broadcast queries walk every shard's graph for its
+        // local top-10, and a global window merges the per-shard
+        // candidates into the served top-3. The driver check is the
+        // ANN family's RECALL CONTRACT: every served neighbor inside
+        // the exact top-10 (the oracle asserts TRUE — one HNSW miss
+        // breaks the hash) plus the exact top-1 cosine bit-for-bit
+        // from DuckDB.
+        import s.implicits._
+        val nShards = 4
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
+        val outSchema = emb.filter(lit(false)).select(
+          col("vec_id").as("qid"),
+          lit(true).as("all_in_exact_top10"), lit(0.0).as("exact1_cosine"))
+        // normalized vectors: graph similarity = plain dot = cosine
+        val unit = emb.select(col("vec_id"),
+          transform(col("e"), x => x / col("nrm")).as("u"))
+        val qRows: Array[(Long, Array[Double])] = unit
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("u")).as[(Long, Seq[Double])]
+          .collect().sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+        if (qRows.isEmpty) outSchema
+        else {
+          val qB = s.sparkContext.broadcast(qRows)
+          val cand = unit
+            .withColumn("sh", pmod(col("vec_id"), lit(nShards)))
+            .repartition(nShards, col("sh"))
+            .select(col("vec_id"), col("u")).as[(Long, Seq[Double])]
+            .mapPartitions { it =>
+              // sorted insertion + hashed levels = the same graph
+              // under any task placement (scaladoc in Hnsw)
+              val pts = it.map { case (id, v) => (id, v.toArray) }
+                .toIndexedSeq.sortBy(_._1)
+              if (pts.isEmpty) Iterator.empty
+              else {
+                val g = graft.operators.Hnsw.build(pts, m = 8, efConstruction = 64)
+                qB.value.iterator.flatMap { case (qid, qv) =>
+                  graft.operators.Hnsw.search(g, qv, k = 10, ef = 96).iterator
+                    .filter(_._1 != qid)
+                    .map { case (nid, cos) => (qid, nid, cos) }
+                }
+              }
+            }.toDF("qid", "nid", "cos")
+          val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+          val served = cand
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("qid"), col("nid"))
+          // recall contract, assembled exactly like q_similarity_ivf_pq
+          val queries = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+          val wE = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("enid").asc)
+          val exactTop = emb
+            .join(
+              broadcast(queries.select(col("qid"), col("qe"), col("qn"))),
+              col("vec_id") =!= col("qid"))
+            .select(
+              col("qid"), col("vec_id").as("enid"),
+              (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("ecos"))
+            .withColumn("erk", row_number().over(wE))
+            .filter(col("erk") <= 10)
+            .groupBy(col("qid"))
+            .agg(
+              collect_set(col("enid")).as("top10"),
+              round(max(col("ecos")), 6).as("e1"))
+          val selNids = served
+            .groupBy(col("qid")).agg(collect_set(col("nid")).as("nids"))
+          queries.select(col("qid"))
+            .join(broadcast(selNids), Seq("qid"), "left")
+            .join(broadcast(exactTop), Seq("qid"), "left")
+            .select(
+              col("qid"),
+              coalesce(
+                forall(col("nids"), n => array_contains(col("top10"), n)),
+                lit(true)).as("all_in_exact_top10"),
+              col("e1").as("exact1_cosine"))
+            .orderBy("qid")
+        }
+      },
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
+        q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(qe, e.e) AS cos
+               FROM q, b e WHERE e.vec_id != qid),
+        e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
+        SELECT qid, TRUE AS all_in_exact_top10, exact1_cosine
+        FROM q LEFT JOIN e1 USING (qid)
+        ORDER BY qid""")
     )
   )
 }

@@ -28,7 +28,8 @@ class BenchLineSpec extends AnyFunSuite {
       // digits each (retry passes double the count)
       val pw = graft.plans.PlanContracts.globalWindowWhitelist.toSeq.sorted.map(_ -> 12)
       val line = Bench.renderLine(9999.99, results, Nil, "/root/testdata/sf0.1",
-        compact = true, loads = Seq(123.9, 123.9), cpus = cpus, pw = pw)
+        compact = true, loads = Seq(123.9, 123.9), cpus = cpus, pw = pw,
+        jitSec = 999.9, gcSec = 99.9, ccMb = 511.9)
       assert(line.length <= 1880, s"bench stdout line is ${line.length} bytes at $worst s/query " +
         s"x ${names.size} queries; driver tail keeps 2000 and sbt's trailer needs ~80")
     }

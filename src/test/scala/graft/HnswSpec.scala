@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Hnsw
+
+/** The HNSW graph tier: determinism (hashed levels + ordered ties =
+  * the same graph and the same answers on every build), recall
+  * against brute force, and the small-input edges.
+  */
+class HnswSpec extends AnyFunSuite with Matchers {
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  /** Deterministic pseudo-random corpus: splitmix-ish per-coordinate
+    * hash values in [-1, 1], 16 dims.
+    */
+  private def corpus(n: Int, dim: Int = 16): IndexedSeq[(Long, Array[Double])] =
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim) { d =>
+        var z = (i.toLong * 31 + d) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) % 2000L).toDouble / 1000.0
+      }
+      (i.toLong, unit(v))
+    }
+
+  private def bruteTop(
+      pts: IndexedSeq[(Long, Array[Double])],
+      q: Array[Double],
+      k: Int): Seq[Long] =
+    pts.map { case (id, v) =>
+      (id, v.zip(q).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+
+  test("build is deterministic: two graphs over the same points answer " +
+      "identically for every query") {
+    val pts = corpus(500)
+    val g1 = Hnsw.build(pts)
+    val g2 = Hnsw.build(pts)
+    for (qi <- 0 until 20) {
+      val q = pts(qi * 7)._2
+      Hnsw.search(g1, q, k = 5) shouldBe Hnsw.search(g2, q, k = 5)
+    }
+  }
+
+  test("recall: with ef well above k, served top-3 sits inside the exact " +
+      "top-10 for every query on a 2k corpus") {
+    val pts = corpus(2000)
+    val g = Hnsw.build(pts, m = 8, efConstruction = 64)
+    var misses = 0
+    for (qi <- 0 until 50) {
+      val (qid, q) = pts(qi * 37)
+      val exact10 = bruteTop(pts.filterNot(_._1 == qid), q, 10).toSet
+      val served = Hnsw.search(g, q, k = 11, ef = 96)
+        .filter(_._1 != qid).take(3).map(_._1)
+      misses += served.count(!exact10.contains(_))
+    }
+    misses shouldBe 0
+  }
+
+  test("scores are exact cosine (the stored vectors are full precision)") {
+    val pts = corpus(300)
+    val g = Hnsw.build(pts)
+    val (_, q) = pts(42)
+    Hnsw.search(g, q, k = 5).foreach { case (id, s) =>
+      val v = pts(id.toInt)._2
+      s shouldBe v.zip(q).map { case (a, b) => a * b }.sum
+    }
+  }
+
+  test("small inputs: singleton and two-point graphs answer; empty refuses") {
+    val one = corpus(1)
+    val g1 = Hnsw.build(one)
+    Hnsw.search(g1, one(0)._2, k = 3).map(_._1) shouldBe Seq(0L)
+    val two = corpus(2)
+    val g2 = Hnsw.build(two)
+    Hnsw.search(g2, two(0)._2, k = 3).map(_._1).toSet shouldBe Set(0L, 1L)
+    intercept[IllegalArgumentException] {
+      Hnsw.build(IndexedSeq.empty)
+    }
+  }
+}

@@ -39,6 +39,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // PERSISTED index (probe cross-join +
                                 // the recall contract's non-equi
                                 // broadcast brute-force harness)
+    "q_similarity_hnsw",        // the recall contract's non-equi
+                                // broadcast brute-force harness over
+                                // the <=10 broadcast queries (the
+                                // served path itself is mapPartitions
+                                // graph walks, no join at all)
     "q_quality_classifier",     // docs x broadcast 1-row prior
                                 // (the llrCells scalar fold-in) +
                                 // LUT totals cross-join as in DSIR
