@@ -1661,10 +1661,21 @@ object Streaming {
     // whose gen-file went first — sweep both prefixes independently
     for (n <- names if n.startsWith("del-") && delGen(n) <= cutoff) {
       val dp = new org.apache.hadoop.fs.Path(mdir, n)
-      val buf = new Array[Byte](fs.getFileStatus(dp).getLen.toInt)
-      val in = fs.open(dp)
-      try in.readFully(buf) finally in.close()
-      val rels = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      // a CONCURRENT lease-less writer's prune may process (and
+      // delete) a listed del file between our listStatus and this
+      // read — that pruner owns the tombstones' deletion, so a
+      // vanished del file here is simply not ours to sweep (the same
+      // posture as the vanished-checkpoint guard below; surfaced by
+      // the 2-writer ManifestScale storm after r18's commit-path
+      // timing shifted)
+      val relsOpt: Option[Seq[String]] =
+        try {
+          val buf = new Array[Byte](fs.getFileStatus(dp).getLen.toInt)
+          val in = fs.open(dp)
+          try in.readFully(buf) finally in.close()
+          Some(new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq)
+        } catch { case _: java.io.FileNotFoundException => None }
+      relsOpt.foreach { rels =>
       // ORPHAN GUARD: a del file whose commit never landed (writer died
       // between the del rename and the manifest CAS) or lost the CAS
       // and crashed before cleanup lists files that are STILL LIVE.
@@ -1697,6 +1708,7 @@ object Streaming {
         } catch { case _: java.io.IOException => () }
       }
       fs.delete(dp, false)
+      }
     }
     for (n <- names) {
       val g =
@@ -3634,7 +3646,7 @@ object Streaming {
             val n = source.count()
             if (n == 0) return MergeStats(0L, 0L)
             if (commitMutation(spark, target, gen, Map.empty,
-                emptyPositions(spark), Some(source), stagePartitionBy))
+                emptyPositions(spark), Some(source), stagePartitionBy, n))
               return MergeStats(0L, n)
         }
       } else {
@@ -3681,7 +3693,8 @@ object Streaming {
         val toAdd = (updCk.toSeq ++ insCk.filter(_ => inserted > 0).toSeq)
           .reduceOption(_.unionByName(_))
         if (commitMutation(spark, target, gen, lineByPath, posCk, toAdd,
-            stagePartitionBy)) {
+            stagePartitionBy,
+            (if (updCk.isDefined) matchedCount else 0L) + inserted)) {
           refreshListing(target)
           return MergeStats(matchedCount, inserted)
         }
@@ -3746,7 +3759,7 @@ object Streaming {
         .select(col("__m_rel").as("rel"), col("__m_pos").as("pos"))
         .distinct().localCheckpoint()
       if (commitMutation(spark, target, gen, lineByPath, positions,
-          Some(updated), stagePartitionBy)) {
+          Some(updated), stagePartitionBy, n)) {
         refreshListing(target)
         return n
       }
@@ -3783,7 +3796,8 @@ object Streaming {
       lineByPath: Map[String, String],
       positions: DataFrame,
       newRows: Option[DataFrame],
-      stagePartitionBy: Seq[String]
+      stagePartitionBy: Seq[String],
+      newRowCount: Long
   ): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3808,7 +3822,15 @@ object Streaming {
     fs.delete(stage, true)
     newRows match {
       case Some(df) =>
-        val w = df.write.mode("overwrite")
+        // size the add files by the KNOWN output row count (the verbs
+        // counted matched/inserted already): a 100-row update must not
+        // scatter 30+ near-empty part files across the table (measured
+        // in the ManifestScale merge leg), while a billion-row merge
+        // keeps its parallelism. coalesce narrows without a shuffle.
+        val parts = math.max(1L, math.min(1024L, newRowCount / 500000L + 1L)).toInt
+        val sized = if (parts < spark.sparkContext.defaultParallelism)
+          df.coalesce(parts) else df
+        val w = sized.write.mode("overwrite")
         (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*) else w)
           .parquet(stage.toString)
       case None => fs.mkdirs(stage) // retraction-only merge: no adds

@@ -67,6 +67,13 @@ import graft.streaming.Streaming
   * the ratio scales with shard bytes: an unclustered table would
   * rewrite its full touched shards), and the DV-applied read equals
   * the metadata row count exactly.
+  * MERGE (r18) — mergeInto with 100 updates + 100 inserts against the
+  * clustered (and DV-tagged) 1M-row copy lands as ONE generation in
+  * 4.6 s: 1 added file (2.2 KB — the staged write is sized by the
+  * known output count), every pre-merge data file byte-identical
+  * (asserted len+mtime), updated payloads verified, metadata row
+  * count exact. Update cost is O(matched + inserted), never a shard
+  * rewrite.
   */
 object ManifestScale {
   def main(args: Array[String]): Unit = {
@@ -332,6 +339,60 @@ object ManifestScale {
     require(Streaming.statsRowCount(fs, zt).contains(dvN),
       s"metadata count ${Streaming.statsRowCount(fs, zt)} diverges from $dvN")
     println(s"[manifest-scale] delete vectors: $dvN live rows — PASS")
+
+    // -- claim 9 (r18): MERGE — update-matched + insert-unmatched in
+    // ONE commit, O(matched + inserted): 100 updates + 100 inserts
+    // against the 1M-row clustered (and now DV-tagged) copy. Every
+    // pre-merge data file must stay byte-identical (updates ride as
+    // DV retags + staged adds, never rewrites), the generation chain
+    // advances by exactly one, and the metadata row count stays exact.
+    val muLo = rows / 2
+    val muHi = muLo + 99L
+    val preMergeGen = Streaming.manifestGenerations(fs, zt).last
+    val preMergeEntries = Streaming.manifestEntries(fs, zt, preMergeGen).toSet
+    val preSig: Map[String, (Long, Long)] = preMergeEntries.iterator.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f"))
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+    val preMergeCount = Streaming.readCommitted(spark, zt).count()
+    val mergeSrc = spark.range(muLo, muHi + 1)
+      .select(col("id").as("doc_id"), lit("merged").as("np"))
+      .unionByName(spark.range(rows + 1000L, rows + 1100L)
+        .select(col("id").as("doc_id"), lit("inserted").as("np")))
+    val (mstats, mergeSec) = time("mergeInto: 100 updates + 100 inserts, one commit") {
+      Streaming.mergeInto(spark, zt, mergeSrc, "t.doc_id = s.doc_id",
+        whenMatchedUpdate = Some(Map("payload" -> "s.np")),
+        whenNotMatchedInsert = Some(Map(
+          "payload" -> "s.np",
+          "batch_id" -> "CAST(99 AS BIGINT)",
+          "shard" -> s"CAST(s.doc_id DIV $shardSize AS INT)")))
+    }
+    require(mstats.matched == 100L && mstats.inserted == 100L,
+      s"merge stats diverged: $mstats")
+    require(Streaming.manifestGenerations(fs, zt).last == preMergeGen + 1,
+      "merge took more than one generation")
+    val postEntries = Streaming.manifestEntries(fs, zt,
+      Streaming.manifestGenerations(fs, zt).last).toSet
+    require(preMergeEntries.subsetOf(postEntries), "merge dropped data files")
+    preSig.foreach { case (f, sig) =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f"))
+      require((st.getLen, st.getModificationTime) == sig,
+        s"merge rewrote pre-existing file $f")
+    }
+    val addedBytes = (postEntries -- preMergeEntries).toSeq.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$zt/$f")).getLen).sum
+    val mergedRead = Streaming.readCommitted(spark, zt)
+    val postMergeCount = mergedRead.count()
+    require(postMergeCount == preMergeCount + 100L,
+      s"merge count wrong: $postMergeCount != $preMergeCount + 100")
+    require(Streaming.statsRowCount(fs, zt).contains(postMergeCount),
+      "merge left metadata counts inexact")
+    val updVals = mergedRead.filter(col("doc_id").between(muLo, muHi))
+      .select(col("payload")).distinct().collect().map(_.getString(0)).toSeq
+    require(updVals == Seq("merged"), s"updated payloads wrong: $updVals")
+    println(f"[manifest-scale] merge: 100 upd + 100 ins in $mergeSec%.2f s, " +
+      f"${(postEntries -- preMergeEntries).size} added files " +
+      f"(${addedBytes / 1024.0}%.1f KB), pre-merge files byte-identical — PASS")
     spark.stop()
   }
 }
