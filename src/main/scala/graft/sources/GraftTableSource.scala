@@ -284,11 +284,11 @@ class GraftTableSource extends RelationProvider
   * lasts exactly as long as the DV window: compaction absorbs the
   * vectors and the next relation takes the plain fast path.
   */
-private[sources] class GraftDvRelation(
+private[graft] class GraftDvRelation(
     spark: SparkSession,
     target: String,
     parameters: Map[String, String],
-    index: GraftFileIndex
+    val index: GraftFileIndex
 ) extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext

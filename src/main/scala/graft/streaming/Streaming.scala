@@ -3617,7 +3617,8 @@ object Streaming {
       whenMatchedDelete: Boolean = false,
       whenNotMatchedInsert: Option[Map[String, String]] = None,
       stagePartitionBy: Seq[String] = Nil,
-      maxAttempts: Int = 5
+      maxAttempts: Int = 5,
+      pruneColumn: Option[String] = None
   ): MergeStats = {
     require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
       "whenMatchedUpdate and whenMatchedDelete are mutually exclusive")
@@ -3654,16 +3655,56 @@ object Streaming {
           s"mergeInto needs per-file row counts on every entry of $target — " +
             "legacy stat-less entries present; rewrite once (clusterTable / " +
             "compactShards) to record footer stats first")
+        // KEY-ENVELOPE FILE PRUNING (the Delta merge file-skipping
+        // shape): when the ON condition is an equality on
+        // `pruneColumn` (same name both sides), the [min, max]
+        // envelope of the source's non-null key values zone-map-prunes
+        // the target's candidate files LOSSLESSLY — a file whose
+        // bounds exclude the whole envelope excludes every source key,
+        // so it can contain no match AND contributes nothing to the
+        // not-matched anti-join. On a key-clustered 100-TB table a
+        // narrow merge then scans O(matching files), not the table.
+        val scanLines: Seq[String] = pruneColumn match {
+          case None => allLines
+          case Some(c) =>
+            val mm = source.filter(col(c).isNotNull)
+              .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+            if (mm.isNullAt(0)) Seq.empty // no non-null keys: no matches
+            else {
+              val keptPaths = zoneMapFilesAt(fs, target, gen,
+                Seq((c, Some(mm.get(0)), Some(mm.get(1)))))._1.toSet
+              allLines.filter(l => keptPaths(entryPath(l)))
+            }
+        }
+        if (scanLines.isEmpty) {
+          // nothing can match: the whole source is unmatched
+          whenNotMatchedInsert match {
+            case None => return MergeStats(0L, 0L)
+            case Some(m) =>
+              val probe = spark.read.option("basePath", target)
+                .parquet(s"$target/${entryPath(allLines.head)}")
+              val sA = source.alias("s")
+              val ins = sA.select(probe.columns.toSeq.map(c =>
+                expr(m.getOrElse(c, s"s.`$c`")).as(c)): _*).localCheckpoint()
+              val n = ins.count()
+              if (n == 0L) return MergeStats(0L, 0L)
+              if (commitMutation(spark, target, gen, Map.empty,
+                  emptyPositions(spark), Some(ins), stagePartitionBy, n)) {
+                refreshListing(target)
+                return MergeStats(0L, n)
+              }
+          }
+        } else {
         val lineByPath = allLines.map(l => entryPath(l) -> l).toMap
         val qualRoot = fs.makeQualified(targetPath).toString
         val raw = spark.read.option("basePath", target)
-          .parquet(allLines.map(l => s"$target/${entryPath(l)}"): _*)
+          .parquet(scanLines.map(l => s"$target/${entryPath(l)}"): _*)
           .withColumn("__m_rel",
             expr(s"substring(_metadata.file_path, ${qualRoot.length + 2})"))
           .withColumn("__m_pos", col("_metadata.row_index"))
         // existing delete vectors applied FIRST: an already-retracted
         // row must neither match nor resurrect through the merge
-        val tgt = applyDeleteVectors(spark, target, allLines, raw)
+        val tgt = applyDeleteVectors(spark, target, scanLines, raw)
         val dataCols = tgt.columns.toSeq.filterNot(c => c == "__m_rel" || c == "__m_pos")
         val t = tgt.alias("t")
         val sA = source.alias("s")
@@ -3692,11 +3733,24 @@ object Streaming {
         if (matchedCount == 0L && inserted == 0L) return MergeStats(0L, 0L)
         val toAdd = (updCk.toSeq ++ insCk.filter(_ => inserted > 0).toSeq)
           .reduceOption(_.unionByName(_))
+        // SERIALIZABLE-GRADE conflict scope: every SCANNED dir is
+        // volatile, not just the dirs of matched files — the merge's
+        // not-matched (insert) decisions depend on what the scanned
+        // files did NOT contain, so a racing commit that adds a
+        // matching row to any scanned dir must conflict this merge
+        // into a re-scan rather than let it insert a duplicate key.
+        // (A racer creating a brand-NEW directory in the same key
+        // range remains dir-granularity-invisible — documented; shard
+        // and root layouts route appends into existing dirs, which
+        // this covers.)
+        val scannedDirs = scanLines.map(l => dirOf(entryPath(l))).toSet
         if (commitMutation(spark, target, gen, lineByPath, posCk, toAdd,
             stagePartitionBy,
-            (if (updCk.isDefined) matchedCount else 0L) + inserted)) {
+            (if (updCk.isDefined) matchedCount else 0L) + inserted,
+            extraVolatileDirs = scannedDirs)) {
           refreshListing(target)
           return MergeStats(matchedCount, inserted)
+        }
         }
       }
       Thread.sleep(math.min(50L * attempt, 500L))
@@ -3721,6 +3775,35 @@ object Streaming {
       assignments: Map[String, org.apache.spark.sql.Column],
       stagePartitionBy: Seq[String] = Nil,
       maxAttempts: Int = 5
+  ): Long = updateCore(spark, target, predicate, assignments, ranges = Nil,
+    stagePartitionBy, maxAttempts)
+
+  /** [[updateWhere]] for a range predicate, with the candidate FILE
+    * list zone-map-pruned before the position scan (the deleteRange
+    * shape): on a column-clustered 100-TB table a narrow update scans
+    * O(matching files), never the table.
+    */
+  def updateRange(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      column: String,
+      lo: Any,
+      hi: Any,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      stagePartitionBy: Seq[String] = Nil,
+      maxAttempts: Int = 5
+  ): Long = updateCore(spark, target,
+    col(column) >= lit(lo) && col(column) <= lit(hi), assignments,
+    ranges = Seq((column, Some(lo), Some(hi))), stagePartitionBy, maxAttempts)
+
+  private def updateCore(
+      spark: org.apache.spark.sql.SparkSession,
+      target: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      stagePartitionBy: Seq[String],
+      maxAttempts: Int
   ): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val targetPath = new org.apache.hadoop.fs.Path(target)
@@ -3739,13 +3822,22 @@ object Streaming {
           "legacy stat-less entries present; rewrite once (clusterTable / " +
           "compactShards) to record footer stats first")
       val lineByPath = allLines.map(l => entryPath(l) -> l).toMap
+      // candidate files: zone-map pruned for range updates (lossless
+      // by construction), all otherwise — the deleteVectors shape
+      val scanLines =
+        if (ranges.isEmpty) allLines
+        else {
+          val keptPaths = zoneMapFilesAt(fs, target, gen, ranges)._1.toSet
+          allLines.filter(l => keptPaths(entryPath(l)))
+        }
+      if (scanLines.isEmpty) return 0L
       val qualRoot = fs.makeQualified(targetPath).toString
       val raw = spark.read.option("basePath", target)
-        .parquet(allLines.map(l => s"$target/${entryPath(l)}"): _*)
+        .parquet(scanLines.map(l => s"$target/${entryPath(l)}"): _*)
         .withColumn("__m_rel",
           expr(s"substring(_metadata.file_path, ${qualRoot.length + 2})"))
         .withColumn("__m_pos", col("_metadata.row_index"))
-      val tgt = applyDeleteVectors(spark, target, allLines, raw)
+      val tgt = applyDeleteVectors(spark, target, scanLines, raw)
       val dataCols = tgt.columns.toSeq.filterNot(c => c == "__m_rel" || c == "__m_pos")
       require(assignments.keySet.subsetOf(dataCols.toSet),
         s"updateWhere assignments reference columns absent from $target: " +
@@ -3797,13 +3889,14 @@ object Streaming {
       positions: DataFrame,
       newRows: Option[DataFrame],
       stagePartitionBy: Seq[String],
-      newRowCount: Long
+      newRowCount: Long,
+      extraVolatileDirs: Set[String] = Set.empty
   ): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touchedRels: Set[String] = positions.select("rel").distinct()
       .collect().map(_.getString(0)).toSet
-    val (modified, volatileDirs, sidecarOpt) =
+    val (modified, dvDirs, sidecarOpt) =
       if (touchedRels.isEmpty) (Seq.empty[String], Set.empty[String], None)
       else {
         val combined = withPriorDvPositions(spark, target, positions,
@@ -3837,7 +3930,7 @@ object Streaming {
     }
     try {
       commitStage(fs, target, Set.empty, stageName, baseGen = Some(gen),
-        modifiedEntries = modified, volatileDirs = volatileDirs)
+        modifiedEntries = modified, volatileDirs = dvDirs ++ extraVolatileDirs)
       true
     } catch {
       case _: CommitConflictException =>

@@ -280,6 +280,23 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     after.count() shouldBe 180L
   }
 
+  test("the DV relation still drives METADATA FILE PRUNING: a range filter " +
+      "reaches the inner index through the pushed-down Columns") {
+    val target = seedClustered("graft-conn-dv-prune")
+    Streaming.deleteWhere(spark, target, col("id") === 3L) shouldBe 1L
+    val df = spark.read.format("graft").load(target)
+      .where(col("id").between(100L, 124L))
+    df.count() shouldBe 25L // the deleted id=3 sits outside the range
+    val rel = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.collectFirst { case d: graft.sources.GraftDvRelation => d }.get
+    val (kept, total) = rel.index.lastPruning.get
+    withClue(s"DV relation scan kept $kept of $total files: ") {
+      kept should be < total
+    }
+  }
+
   test("a plain append to a table with OUTSTANDING delete vectors succeeds " +
       "(the drift check reads footers, not the reader-version gate)") {
     import spark.implicits._

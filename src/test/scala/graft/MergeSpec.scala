@@ -157,6 +157,55 @@ class MergeSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     ex.getMessage should include("nope")
   }
 
+  test("mergeInto pruneColumn: the source key envelope prunes candidate files " +
+      "losslessly — merged state identical, inserts outside the table's range land") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-merge-prune").toString + "/t"
+    (0 until 400).map(k => (k.toLong, s"p-$k", k.toLong * 10))
+      .toDF("id", "payload", "score")
+      .write.format("graft").save(target)
+    Streaming.clusterTable(spark, target, "id", 8)
+    val source = ((10 until 15).map(k => (k.toLong, s"S-$k")) ++
+      (10000 until 10005).map(k => (k.toLong, s"N-$k"))).toDF("id", "s_payload")
+    val stats = Streaming.mergeInto(spark, target, source, "t.id = s.id",
+      whenMatchedUpdate = Some(Map("payload" -> "s.s_payload")),
+      whenNotMatchedInsert = Some(Map("payload" -> "s.s_payload", "score" -> "0")),
+      pruneColumn = Some("id"))
+    stats shouldBe Streaming.MergeStats(matched = 5L, inserted = 5L)
+    val got = Streaming.readCommitted(spark, target)
+    got.count() shouldBe 405L
+    got.where(col("id") === 12L).select("payload").head().getString(0) shouldBe "S-12"
+    got.where(col("id") === 10002L).select("payload").head().getString(0) shouldBe "N-10002"
+    got.where(col("id") === 200L).select("payload").head().getString(0) shouldBe "p-200"
+    // a wholly-out-of-range source (prunes EVERY file) still inserts
+    val far = Seq((20000L, "far")).toDF("id", "s_payload")
+    Streaming.mergeInto(spark, target, far, "t.id = s.id",
+      whenMatchedUpdate = Some(Map("payload" -> "s.s_payload")),
+      whenNotMatchedInsert = Some(Map("payload" -> "s.s_payload", "score" -> "0")),
+      pruneColumn = Some("id")) shouldBe Streaming.MergeStats(0L, 1L)
+    Streaming.readCommitted(spark, target).count() shouldBe 406L
+  }
+
+  test("updateRange: zone-map-pruned file scan, exact range semantics") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-update-range").toString + "/t"
+    (0 until 400).map(k => (k.toLong, s"p-$k", k.toLong * 10))
+      .toDF("id", "payload", "score")
+      .write.format("graft").save(target)
+    Streaming.clusterTable(spark, target, "id", 8)
+    Streaming.updateRange(spark, target, "id", 100L, 119L,
+      Map("score" -> (col("score") + 5L))) shouldBe 20L
+    val got = Streaming.readCommitted(spark, target)
+    got.count() shouldBe 400L
+    got.where(col("id") === 110L).select("score").head().getLong(0) shouldBe 1105L
+    got.where(col("id") === 99L).select("score").head().getLong(0) shouldBe 990L
+    // out-of-domain range: every file pruned, zero rows, no commit
+    val gens = Streaming.manifestGenerations(fs, target)
+    Streaming.updateRange(spark, target, "id", 50000L, 50010L,
+      Map("score" -> lit(0L))) shouldBe 0L
+    Streaming.manifestGenerations(fs, target) shouldBe gens
+  }
+
   test("mergeInto into an EMPTY-but-committed table: insert-all lands; " +
       "mapped insert refuses") {
     import spark.implicits._
