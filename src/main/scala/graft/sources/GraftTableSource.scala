@@ -793,7 +793,10 @@ private[sources] class GraftStreamSink(
   * Rows are ALIGNED to the declared schema: extra (later-widened)
   * columns are dropped until the consumer re-creates the source, and
   * columns the window's files lack read as typed nulls — the
-  * mergeSchema posture. A stream that stalls past the retention
+  * mergeSchema posture. `option("maxGenerationsPerTrigger", n)` rate-
+  * limits a backlogged stream (the maxFilesPerTrigger analog): each
+  * micro-batch spans at most n generations, clamped up to the oldest
+  * RETAINED one (an end offset past the horizon would refuse). A stream that stalls past the retention
   * horizon fails loudly on its next batch (requireRetained inside the
   * readers) rather than silently skipping — re-bootstrap from a fresh
   * query. Exactly-once end-to-end against the graft sink: this source
@@ -812,6 +815,17 @@ private[sources] class GraftStreamSource(
   private val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val startingGen: Long =
     parameters.get("startingGeneration").map(_.toLong).getOrElse(0L)
+  // RATE LIMITING (the maxFilesPerTrigger analog): cap how many
+  // generations one micro-batch may span, so a stream that fell
+  // behind catches up in bounded batches instead of one giant read.
+  // The cap anchors on the highest generation this source has already
+  // handed out (learned from getBatch's `start` after a restart and
+  // advanced by each batch) — unset means unbounded, the default.
+  private val maxGensPerTrigger: Option[Long] =
+    parameters.get("maxGenerationsPerTrigger").map(_.toLong)
+  maxGensPerTrigger.foreach(n => require(n >= 1,
+    s"maxGenerationsPerTrigger must be >= 1 (got $n)"))
+  @volatile private var highWater: Long = startingGen
 
   override def schema: StructType = declared
 
@@ -822,6 +836,18 @@ private[sources] class GraftStreamSource(
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     Streaming.manifestGenerations(fs, target).lastOption
+      .map(latest => maxGensPerTrigger match {
+        case Some(n) =>
+          // the end offset must be a RETAINED generation (the readers
+          // refuse past the horizon), so a cap that falls below the
+          // oldest retained one is clamped up — a stream that fell a
+          // whole retention window behind takes one bigger batch
+          // rather than failing (or losing data)
+          val oldestRetained = latest - Streaming.ManifestKeep + 1
+          math.min(latest,
+            math.max(math.max(highWater, startingGen) + n, oldestRetained))
+        case None => latest
+      })
       .filter(_ > startingGen).map(LongOffset.apply)
 
   override def getBatch(
@@ -829,6 +855,9 @@ private[sources] class GraftStreamSource(
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromGen = start.map(genOf).getOrElse(startingGen)
     val toGen = genOf(end)
+    // after a restart the checkpointed `start` is the true progress —
+    // adopt it (and this batch's end) as the rate-limit anchor
+    highWater = math.max(highWater, math.max(fromGen, toGen))
     val batch: Option[DataFrame] =
       if (toGen <= fromGen) None
       else if (fromGen == 0L)

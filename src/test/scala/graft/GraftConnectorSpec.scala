@@ -419,6 +419,32 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     out.schema.fieldNames.sorted shouldBe Array("id", "payload", "v")
   }
 
+  test("maxGenerationsPerTrigger bounds each micro-batch's generation span: a " +
+      "backlogged stream catches up in MULTIPLE batches, completely") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-rate").toString
+    val src = base + "/src"
+    def batch(r: Range) = r.map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+    // 5 committed generations before the stream ever starts
+    batch(0 until 10).write.format("graft").save(src)
+    (1 to 4).foreach(i =>
+      batch(i * 10 until i * 10 + 10).write.format("graft").mode("append").save(src))
+    Streaming.manifestGenerations(fs, src).size shouldBe 5
+    val q = spark.readStream.format("graft")
+      .option("maxGenerationsPerTrigger", "2")
+      .load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", base + "/ck")
+      .start(base + "/dst")
+    try q.processAllAvailable() finally q.stop()
+    // complete delivery...
+    Streaming.readCommitted(spark, base + "/dst").count() shouldBe 50L
+    // ...in more than one micro-batch: the first is the snapshot at
+    // the horizon-clamped cap (the cap cannot fall below the oldest
+    // RETAINED generation), the rest are capped deltas
+    q.recentProgress.count(_.numInputRows > 0) should be >= 2
+  }
+
   test("the graft stream source REFUSES a delete-vector window loudly " +
       "(followTable's contract through Spark's streaming engine)") {
     import spark.implicits._
