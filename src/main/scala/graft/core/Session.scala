@@ -39,7 +39,13 @@ object Session {
     // on top of interpreted task time; a cache hit costs none). The
     // entries are weak-ref'd source->class pairs — metaspace-light —
     // so a roomy cache is pure win for any long-lived session.
-    "spark.sql.codegen.cache.maxEntries" -> "5000"
+    "spark.sql.codegen.cache.maxEntries" -> "5000",
+    // Engine extensions session-wide: the custom SQL functions, the
+    // native as-of join strategy, and the INSERT-INTO-graft guard
+    // (an analyzer check rule — see GraftExtensions.guardGraftInsert:
+    // a SQL insert into a graft catalog table would otherwise write
+    // files the manifest never commits, a silent no-op for readers).
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions"
   )
 
   def build(

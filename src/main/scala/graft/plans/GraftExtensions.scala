@@ -23,10 +23,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charHashDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinNative.PushLeftFilterThroughAsOfJoin)
+    ext.injectCheckRule(_ => GraftExtensions.guardGraftInsert)
   }
 }
 
 object GraftExtensions {
+
+  /** Analyzer CHECK RULE: `INSERT INTO` over a graft-format relation
+    * refuses LOUDLY. Spark plans an insert into any HadoopFsRelation
+    * as a direct file write (InsertIntoHadoopFsRelationCommand) —
+    * which for a graft table would drop parquet files into the table
+    * directory WITHOUT a manifest commit: invisible to every pinned
+    * reader, a silent no-op from the user's point of view (the
+    * catalog surface made this reachable from pure SQL in r18). The
+    * governed write paths are `df.write.format("graft")` and the
+    * Streaming verbs.
+    */
+  private def refuseGraftInsert(): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" ->
+        ("INSERT INTO a graft table would write files the manifest " +
+          "never commits (invisible to every pinned reader) — write " +
+          "through df.write.format(\"graft\") or the Streaming verbs " +
+          "instead")))
+
+  private[plans] val guardGraftInsert
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit = {
+    plan =>
+      plan.foreach {
+        // post-analysis shape: DataSourceAnalysis has already rewritten
+        // the statement into the direct-file-write command — the
+        // GraftFileIndex rides in its fileIndex slot
+        case cmd: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+            if cmd.fileIndex.exists(_.isInstanceOf[graft.sources.GraftFileIndex]) =>
+          refuseGraftInsert()
+        // pre-rewrite shape, kept for completeness (a check rule that
+        // ever sees the raw statement must still refuse)
+        case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+          i.table.foreach {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                    if h.location.isInstanceOf[graft.sources.GraftFileIndex] =>
+                  refuseGraftInsert()
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+  }
 
   private val sortedIntersectCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_intersect_count"),

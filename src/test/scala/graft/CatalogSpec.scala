@@ -78,6 +78,20 @@ class CatalogSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     } finally spark.sql("DROP TABLE IF EXISTS graft_cat_ctas")
   }
 
+  test("INSERT INTO a graft catalog table refuses LOUDLY: Spark would write " +
+      "files the manifest never commits — a silent no-op for readers") {
+    val target = seed("graft-cat-insert")
+    spark.sql(s"CREATE TABLE graft_cat_ins USING graft OPTIONS (path '$target')")
+    try {
+      val before = Streaming.readCommitted(spark, target).count()
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO graft_cat_ins VALUES (999, 'x', 9, 3)")
+      }
+      ex.getMessage should include("manifest")
+      Streaming.readCommitted(spark, target).count() shouldBe before
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_ins")
+  }
+
   test("tableHistory: one metadata-only row per retained generation with kind, " +
       "counts, tags, txns, and the DV flag") {
     import spark.implicits._
