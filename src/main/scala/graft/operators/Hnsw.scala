@@ -29,7 +29,13 @@ import scala.collection.mutable
   * manifest machinery as [[AnnIndex]] (future tier).
   *
   * No reference counterpart (the reference has no ANN); the algorithm
-  * is the public HNSW paper, re-implemented from its pseudocode.
+  * is the public HNSW paper, re-implemented from its pseudocode —
+  * INCLUDING its select-neighbors diversity heuristic (alg. 4), which
+  * is load-bearing: plain closest-M neighbor selection measured
+  * recall@10 = 0.35 at 1M uniform-random vectors (hub collapse),
+  * while the heuristic at m=16/efC=128/ef=384 holds 0.93 on the same
+  * worst-case corpus (tools/HnswScale carries the full parameter
+  * ladder; real clustered embeddings sit well above it).
   */
 object Hnsw {
 
@@ -147,14 +153,51 @@ object Hnsw {
       Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
     val g = new Graph(ids, vecs, neighbors, entry = 0, topLayer = levels(0))
 
+    // SELECT-NEIGHBORS-HEURISTIC (the paper's alg. 4): walk candidates
+    // best-first and keep one only if it is closer to the BASE than to
+    // every already-kept neighbor — the diversity rule. Plain
+    // closest-M selection degrades exactly on high-dimensional
+    // near-uniform data (tiny cosine margins, no cluster structure):
+    // neighbor lists collapse into one mutual hub cluster and greedy
+    // search loses its long-range routes — measured in HnswScale's
+    // first run as recall@10 = 0.35 at 1M vectors, vs 0.96 with the
+    // heuristic at identical m/ef.
+    def selectHeuristic(
+        base: Array[Double],
+        cands: Seq[(Double, Int)],
+        m: Int): mutable.ArrayBuffer[Int] = {
+      val kept = mutable.ArrayBuffer.empty[Int]
+      val it = cands.sortWith(better).iterator
+      while (it.hasNext && kept.length < m) {
+        val (simToBase, c) = it.next()
+        var diverse = true
+        var i = 0
+        while (diverse && i < kept.length) {
+          if (dot(g.vecs(c), g.vecs(kept(i))) > simToBase) diverse = false
+          i += 1
+        }
+        if (diverse) kept += c
+        ()
+      }
+      // backfill with the best discarded candidates if diversity left
+      // slots empty (keepPrunedConnections, the paper's extension)
+      if (kept.length < m) {
+        val have = kept.toSet
+        cands.sortWith(better).iterator
+          .map(_._2).filterNot(have)
+          .take(m - kept.length).foreach(kept += _)
+      }
+      kept
+    }
+
     def pruneTo(idx: Int, layer: Int, mmax: Int): Unit = {
       val buf = g.neighbors(idx)(layer)
       if (buf.length > mmax) {
         val q = g.vecs(idx)
-        val scored = buf.map(j => (dot(q, g.vecs(j)), j))
-          .sortWith(better).take(mmax)
+        val scored = buf.toSeq.distinct.map(j => (dot(q, g.vecs(j)), j))
+        val kept = selectHeuristic(q, scored, mmax)
         buf.clear()
-        buf ++= scored.map(_._2)
+        buf ++= kept
       }
     }
 
@@ -190,8 +233,8 @@ object Hnsw {
       while (layer >= 0) {
         val w = searchLayer(g, q, ep, efConstruction, layer)
         val mmax = if (layer == 0) 2 * m else m
-        val chosen = w.take(m)
-        chosen.foreach { case (_, j) =>
+        val chosen = selectHeuristic(q, w.toSeq, m)
+        chosen.foreach { j =>
           g.neighbors(i)(layer) += j
           g.neighbors(j)(layer) += i
           pruneTo(j, layer, mmax)
