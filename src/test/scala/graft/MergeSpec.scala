@@ -206,6 +206,45 @@ class MergeSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Streaming.manifestGenerations(fs, target) shouldBe gens
   }
 
+  test("VOLATILE-dir conflict at the protocol level: a commit whose plan " +
+      "declares a scanned dir conflicts when a racer touched it, and the " +
+      "merge verb retries through to a correct final state") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val target = Files.createTempDirectory("graft-merge-conflict").toString + "/t"
+    (0 until 50).map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+      .write.format("graft").save(target)
+    val baseGen = Streaming.manifestGenerations(fs, target).last
+    // stage a file for a plan that READ dir "" at baseGen...
+    val stageName = ".__stage-vtest"
+    val stage = new Path(target + stageName)
+    (900 until 905).map(k => (k.toLong, s"x-$k")).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    // ...then land a RACING append into the same dir before committing
+    (100 until 105).map(k => (k.toLong, s"r-$k")).toDF("id", "payload")
+      .write.format("graft").mode("append").save(target)
+    // the volatile declaration must conflict the stale plan LOUDLY
+    // (without it, a plain append plan would happily rebase past the
+    // racer — that is exactly the duplicate-insert hole)
+    val ex = intercept[Streaming.CommitConflictException] {
+      Streaming.commitStage(fs, target, Set.empty, stageName,
+        baseGen = Some(baseGen), volatileDirs = Set(""))
+    }
+    ex.getMessage should include("concurrent")
+    // the aborted plan left no files behind and the racer's commit stands
+    Streaming.readCommitted(spark, target).count() shouldBe 55L
+    // the merge VERB self-retries the same situation to a correct end
+    // state (its attempt loop re-scans at the new generation)
+    val src = Seq((100L, "merged"), (2000L, "new")).toDF("id", "np")
+    val stats = Streaming.mergeInto(spark, target, src, "t.id = s.id",
+      whenMatchedUpdate = Some(Map("payload" -> "s.np")),
+      whenNotMatchedInsert = Some(Map("payload" -> "s.np")))
+    stats shouldBe Streaming.MergeStats(1L, 1L)
+    val got = Streaming.readCommitted(spark, target)
+    got.count() shouldBe 56L
+    got.where(col("id") === 100L).select("payload").head().getString(0) shouldBe "merged"
+  }
+
   test("mergeInto into an EMPTY-but-committed table: insert-all lands; " +
       "mapped insert refuses") {
     import spark.implicits._
