@@ -86,8 +86,20 @@ class GraftTableSource extends RelationProvider
     val target = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft stream source needs a table path: spark.readStream.format(\"graft\")" +
         ".load(<table>)"))
-    val s = schema.getOrElse(
-      Streaming.readCommitted(sqlContext.sparkSession, target).schema)
+    val s = schema.getOrElse {
+      // FINGERPRINT-AWARE schema resolve (the connector's own — one
+      // footer when every entry shares a fingerprint, merged across
+      // distinct ones otherwise), DV-tolerant: a fresh subscription to
+      // an evolved or DV-tagged table must not sample a pre-widening
+      // footer. Tables with zero live entries fall back to the
+      // library reader's retained-footer schema.
+      val spark = sqlContext.sparkSession
+      val idx = new GraftFileIndex(spark, target, None, applyingDv = true)
+      if (idx.entryLines.isEmpty) Streaming.readCommitted(spark, target).schema
+      else org.apache.spark.sql.types.StructType(
+        idx.dataSchema.fields ++ idx.partitionSchema.fields
+          .filterNot(f => idx.dataSchema.fieldNames.contains(f.name)))
+    }
     (shortName(), s)
   }
 
@@ -756,6 +768,25 @@ private[sources] class GraftStreamSink(
         // semantics; the tag above is the fast skip
         Streaming.upsertPartitionedBatch(target, k, v, sh)(batch, batchId)
       case _ =>
+        // SCHEMA DRIFT refusal, the batch write path's contract (r18):
+        // a restarted DSv1 stream re-resolves its source schema, so a
+        // widened upstream table would otherwise silently append
+        // mixed-schema files here. Same opt-in as the batch path.
+        if (Streaming.manifestGenerations(fs, target).nonEmpty &&
+            !parameters.get("allowSchemaEvolution").exists(_.toBoolean)) {
+          val current = new GraftFileIndex(spark, target, None, applyingDv = true)
+          if (current.entryLines.nonEmpty) {
+            val have = (current.dataSchema.fields ++ current.partitionSchema.fields)
+              .map(f => (f.name, f.dataType)).toSet
+            val incoming = batch.schema.fields.map(f => (f.name, f.dataType)).toSet
+            if (have != incoming) throw new IllegalArgumentException(
+              s"stream batch schema ${incoming.toSeq.sortBy(_._1).mkString(", ")} " +
+                s"does not match graft table $target's " +
+                s"${have.toSeq.sortBy(_._1).mkString(", ")} — set " +
+                "option(\"allowSchemaEvolution\", \"true\") on the sink to widen " +
+                "deliberately")
+          }
+        }
         val token = java.util.UUID.randomUUID().toString.take(8)
         val stageName = s".__stage-$token"
         val stage = new Path(target + stageName)

@@ -445,6 +445,58 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     q.recentProgress.count(_.numInputRows > 0) should be >= 2
   }
 
+  test("schema drift through the stream: a RUNNING query holds its declared " +
+      "schema across a widened commit; a RESTART re-declares the widened one " +
+      "and the sink refuses the drifted batch until evolution is opted in") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-drift").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val ck = base + "/ck"
+    (0 until 10).map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+      .write.format("graft").save(src)
+    // one CONTINUOUS run: snapshot, then a widened commit mid-run — the
+    // live source instance keeps its declared 2-column schema, so the
+    // delta's `note` values are aligned away (typed-null posture)
+    val q1 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("checkpointLocation", ck).start(dst)
+    try {
+      q1.processAllAvailable()
+      (10 until 15).map(k => (k.toLong, s"p-$k", s"n-$k"))
+        .toDF("id", "payload", "note")
+        .write.format("graft").mode("append")
+        .option("allowSchemaEvolution", "true").save(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val d1 = Streaming.readCommitted(spark, dst)
+    d1.count() shouldBe 15L
+    d1.schema.fieldNames.sorted shouldBe Array("id", "payload")
+    // another widened commit, then a RESTART: DSv1 re-resolves the
+    // source schema (fingerprint-aware, so it now declares `note`) and
+    // the SINK refuses the drifted batch loudly...
+    (15 until 20).map(k => (k.toLong, s"p-$k", s"n-$k"))
+      .toDF("id", "payload", "note")
+      .write.format("graft").mode("append")
+      .option("allowSchemaEvolution", "true").save(src)
+    val q2 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("checkpointLocation", ck).start(dst)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    ex.getMessage should include("allowSchemaEvolution")
+    // ...and delivers it once the sink opts in (only this delta's rows
+    // carry note — the earlier window's note values were aligned away
+    // by the then-running query's declared schema, by contract)
+    val q3 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("checkpointLocation", ck)
+      .option("allowSchemaEvolution", "true").start(dst)
+    try q3.processAllAvailable() finally q3.stop()
+    val d3 = Streaming.readCommitted(spark, dst, mergeSchema = true)
+    d3.count() shouldBe 20L
+    d3.schema.fieldNames should contain("note")
+    d3.where(col("note").isNotNull).count() shouldBe 5L
+  }
+
   test("the graft stream source REFUSES a delete-vector window loudly " +
       "(followTable's contract through Spark's streaming engine)") {
     import spark.implicits._
