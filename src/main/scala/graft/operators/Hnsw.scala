@@ -245,7 +245,47 @@ object Hnsw {
       if (lvl > g.topLayer) { g.topLayer = lvl; g.entry = i }
       i += 1
     }
+    // CANONICAL ENTRY: repoint to the smallest-id node on the top
+    // layer. During construction the entry is whichever node first
+    // EXCEEDED the previous top layer (insertion-order history), which
+    // a deserialized graph cannot reconstruct; the canonical rule is a
+    // pure function of the stored rows, so a [[fromRows]] round trip
+    // answers bit-identically to the freshly-built graph. Any
+    // top-layer node is a valid HNSW entry — this only fixes WHICH.
+    g.entry = (0 until n).filter(j => levels(j) == g.topLayer)
+      .minBy(j => ids(j))
     g
+  }
+
+  /** Serialize a graph to plain rows — (id, vector, level, neighbors
+    * per layer as ID lists) — the persistence carrier: write them as
+    * any table (parquet / a graft table), [[fromRows]] restores a
+    * graph that answers BIT-IDENTICALLY (HnswSpec pins the round
+    * trip). O(n·m) longs; the vectors dominate the bytes exactly as
+    * they do in memory.
+    */
+  def toRows(g: Graph): Seq[(Long, Seq[Double], Int, Seq[Seq[Long]])] =
+    (0 until g.size).map { i =>
+      (g.ids(i), g.vecs(i).toSeq, g.neighbors(i).length - 1,
+        g.neighbors(i).toSeq.map(_.toSeq.map(g.ids(_))))
+    }
+
+  /** Rebuild a graph from [[toRows]] output (any row order). */
+  def fromRows(rows: Seq[(Long, Seq[Double], Int, Seq[Seq[Long]])]): Graph = {
+    require(rows.nonEmpty, "empty HNSW graph rows")
+    val sorted = rows.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val idx = ids.zipWithIndex.toMap
+    val vecs = sorted.map(_._2.toArray).toArray
+    val neighbors = sorted.map { case (_, _, level, ns) =>
+      require(ns.length == level + 1,
+        s"corrupt HNSW row: ${ns.length} layers for level $level")
+      ns.map(layer => mutable.ArrayBuffer(layer.map(idx): _*)).toArray
+    }.toArray
+    val topLayer = sorted.iterator.map(_._3).max
+    val entry = (0 until ids.length)
+      .filter(j => neighbors(j).length - 1 == topLayer).minBy(ids(_))
+    new Graph(ids, vecs, neighbors, entry, topLayer)
   }
 
   /** Top-k ids + cosine for a NORMALIZED query: greedy descent to

@@ -74,6 +74,35 @@ class HnswSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("PERSISTENCE round trip: toRows -> parquet -> fromRows answers " +
+      "bit-identically to the freshly built graph") {
+    val pts = corpus(800)
+    val g = Hnsw.build(pts)
+    val rows = Hnsw.toRows(g)
+    // in-memory round trip, rows shuffled (any table order must do)
+    val g2 = Hnsw.fromRows(scala.util.Random.shuffle(rows))
+    for (qi <- 0 until 25) {
+      val q = pts(qi * 13)._2
+      Hnsw.search(g2, q, k = 7) shouldBe Hnsw.search(g, q, k = 7)
+    }
+    // through parquet (the actual persistence carrier)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-rt").toString
+    val spark = SparkSessionSetup.shared
+    import spark.implicits._
+    rows.toDF("id", "vec", "level", "neighbors").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .as[(Long, Seq[Double], Int, Seq[Seq[Long]])].collect().toSeq
+    val g3 = Hnsw.fromRows(back)
+    for (qi <- 0 until 25) {
+      val q = pts(qi * 13)._2
+      Hnsw.search(g3, q, k = 7) shouldBe Hnsw.search(g, q, k = 7)
+    }
+    // a corrupt row refuses loudly
+    intercept[IllegalArgumentException] {
+      Hnsw.fromRows(Seq((1L, Seq(1.0), 2, Seq(Seq.empty[Long]))))
+    }
+  }
+
   test("small inputs: singleton and two-point graphs answer; empty refuses") {
     val one = corpus(1)
     val g1 = Hnsw.build(one)
