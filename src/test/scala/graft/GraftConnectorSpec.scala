@@ -243,6 +243,41 @@ class GraftConnectorSpec extends AnyFunSuite with Matchers with SparkSessionSetu
     spark.read.format("graft").load(target).count() shouldBe 4L
   }
 
+  test("REPROCESS-FROM-SCRATCH at the same checkpoint path re-delivers (r18 " +
+      "advice, medium: the txn scope is the query id, fresh per bootstrap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Files.createTempDirectory("graft-conn-reproc").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-conn-reproc-ck").toString + "/ck"
+    def runOnce(): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("id", "payload")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .start(target)
+      try {
+        in.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOnce()
+    spark.read.format("graft").load(target).count() shouldBe 2L
+    // the mark landed under a QUERY-ID scope, not the path scope
+    val gens1 = Streaming.manifestGenerations(fs, target)
+    val txns = Streaming.commitTxns(fs, target, gens1.last)
+    txns.keys.count(_.startsWith("sinkq-")) shouldBe 1
+    // canonical reprocess: delete the checkpoint, run the SAME query
+    // shape at the SAME path — batch ids restart at 0 under a FRESH
+    // query id, so the old high-water mark must NOT drop the batches
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    spark.read.format("graft").load(target).count() shouldBe 4L
+    val txns2 = Streaming.commitTxns(fs, target,
+      Streaming.manifestGenerations(fs, target).last)
+    txns2.keys.count(_.startsWith("sinkq-")) shouldBe 2
+  }
+
   test("a DV-TAGGED generation reads through the connector row-identical to the " +
       "library reader; option(\"deleteVectors\", \"strict\") keeps the refusal") {
     import spark.implicits._

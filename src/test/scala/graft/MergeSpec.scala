@@ -85,6 +85,37 @@ class MergeSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     Streaming.statsRowCount(fs, target) shouldBe Some(90L)
   }
 
+  test("mergeInto INSERT-ONLY on a NON-EMPTY table leaves matched rows untouched " +
+      "(r18 advice, high: matched positions must not be DV-retracted)") {
+    import spark.implicits._
+    val target = seed("graft-merge-insonly")
+    val before = Streaming.manifestGenerations(fs, target).last
+    // 3 matched keys (which no clause names -> untouched), 2 unmatched
+    val source = Seq(
+      (5L, "S-5", 1L), (7L, "S-7", 2L), (9L, "S-9", 3L),
+      (300L, "S-300", 4L), (301L, "S-301", 5L))
+      .toDF("id", "s_payload", "rank")
+    val stats = Streaming.mergeInto(spark, target, source,
+      condition = "t.id = s.id",
+      whenNotMatchedInsert = Some(Map(
+        "payload" -> "s.s_payload",
+        "score" -> "s.rank * 100")))
+    stats shouldBe Streaming.MergeStats(matched = 0L, inserted = 2L)
+    Streaming.manifestGenerations(fs, target).last shouldBe before + 1
+    val got = Streaming.readCommitted(spark, target)
+    got.count() shouldBe 102L
+    // matched rows are byte-for-byte their old values, NOT deleted
+    got.where(col("id") === 5L).select("payload", "score").head() match {
+      case r => (r.getString(0), r.getLong(1)) shouldBe ("p-5", 50L)
+    }
+    got.where(col("id") === 7L).select("payload").head().getString(0) shouldBe "p-7"
+    got.where(col("id") === 300L).select("score").head().getLong(0) shouldBe 400L
+    // insert-only commits carry NO delete vectors at all
+    Streaming.generationHasDeleteVectors(fs, target,
+      Streaming.manifestGenerations(fs, target).last) shouldBe false
+    Streaming.statsRowCount(fs, target) shouldBe Some(102L)
+  }
+
   test("mergeInto refuses an AMBIGUOUS update (one target row, many source rows)") {
     import spark.implicits._
     val target = seed("graft-merge-ambig", n = 20)
