@@ -904,6 +904,97 @@ object StorageQueries {
                          ELSE n_chars END AS BIGINT) AS n_chars
         FROM canon
         ORDER BY doc_id ASC""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_storage_change_feed",
+      (s, dir) => {
+        // CHANGE DATA FEED under the gate (r18 judge #1): the canon
+        // documents are committed through the real upsert, a
+        // deleteWhere retracts the doc_id%9==4 slice (window 1), an
+        // updateWhere bumps the surviving doc_id%13==2 slice's n_chars
+        // by 11 (window 2 — surfacing as delete(old image) +
+        // insert(new image) in ONE generation), and the feed over both
+        // windows is read back row-level. The oracle replays the
+        // change log in closed form: a deleted row's PRE-IMAGE values,
+        // an update's old+new pair, each tagged with its window — a
+        // wrong DV delta, a resurrected row, or a mis-attributed
+        // generation all break the hash.
+        import s.implicits._
+        val wId = Window.partitionBy(col("doc_id")).orderBy(
+          col("n_chars").desc_nulls_last,
+          md5(col("text").cast("binary")).desc_nulls_last,
+          col("lang").desc_nulls_last,
+          col("source").desc_nulls_last)
+        val canon = Tables(s, dir, "documents")
+          .na.drop(Seq("doc_id"))
+          .withColumn("__rn", row_number().over(wId))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            lit(1).as("batch_id"), col("doc_id").mod(16).cast("int").as("shard"))
+          .localCheckpoint()
+        val outSchema = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType))))
+        if (canon.isEmpty) outSchema
+        else {
+          val target = scratchDir("graft-storage-cdf").toString + "/t"
+          Streaming.upsertPartitionedBatch(target, "doc_id", "batch_id", "shard")(
+            canon, 1L)
+          val fs = new org.apache.hadoop.fs.Path(target)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val g1 = Streaming.manifestGenerations(fs, target).last
+          Streaming.deleteWhere(s, target, col("doc_id") % 9 === 4)
+          val updN = Streaming.updateWhere(s, target,
+            col("doc_id") % 13 === 2,
+            Map("n_chars" -> (col("n_chars") + 11L)),
+            stagePartitionBy = Seq("shard"))
+          val gUpd = Streaming.manifestGenerations(fs, target).last
+          Streaming.readChangeFeed(s, target, g1, gUpd) match {
+            case None => outSchema
+            case Some(feed) =>
+              // window index from the recorded generations (robust to
+              // an empty delete slice leaving no generation behind)
+              feed.select(
+                  col("_change_type").as("change_type"),
+                  when(lit(updN > 0) &&
+                      col("_commit_generation") === lit(gUpd), lit(2))
+                    .otherwise(lit(1)).cast("int").as("w"),
+                  col("doc_id"),
+                  col("n_chars").cast("long").as("n_chars"))
+                .orderBy(col("w").asc, col("change_type").asc,
+                  col("doc_id").asc, col("n_chars").asc_nulls_first)
+          }
+        }
+      },
+      Some("""WITH canon AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_chars DESC NULLS LAST, md5(text) DESC NULLS LAST,
+                            lang DESC NULLS LAST, source DESC NULLS LAST) AS rn
+                 FROM documents WHERE doc_id IS NOT NULL) WHERE rn = 1),
+             changes AS (
+               SELECT 'delete' AS change_type, 1 AS w, doc_id, n_chars
+               FROM canon WHERE doc_id % 9 = 4
+               UNION ALL
+               SELECT 'delete' AS change_type, 2 AS w, doc_id, n_chars
+               FROM canon WHERE doc_id % 13 = 2 AND doc_id % 9 <> 4
+               UNION ALL
+               SELECT 'insert' AS change_type, 2 AS w, doc_id,
+                      n_chars + 11 AS n_chars
+               FROM canon WHERE doc_id % 13 = 2 AND doc_id % 9 <> 4)
+        SELECT change_type, CAST(w AS INT) AS w,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM changes
+        ORDER BY w ASC, change_type ASC, doc_id ASC, n_chars ASC NULLS FIRST""")
     )
   )
 }

@@ -4026,8 +4026,14 @@ object Streaming {
     val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fromGen <= toGen, s"fromGen $fromGen > toGen $toGen")
     if (fromGen == toGen) return None
-    requireRetained(fs, target, fromGen)
     requireRetained(fs, target, toGen)
+    // fromGen itself only anchors the first diff (readAddedBetween's
+    // documented posture): its manifest must still be READABLE (the
+    // entry-lines resolution refuses loudly past a pruned chain), but
+    // its files need not all be retained — every row this feed touches
+    // is either in a file still live at toGen (adds, DV pre-images;
+    // DV-tagged files stay live until compaction) or the window
+    // REMOVES files and refuses below.
     val mdir = manifestDir(target)
     val qualRoot = fs.makeQualified(targetPath).toString
     def dvPositions(refs: Seq[String], rels: Set[String]): DataFrame = {

@@ -30,6 +30,9 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       .toDF("id", "payload", "score")
       .write.format("graft").save(target) // gen 1
     val g1 = Streaming.manifestGenerations(fs, target).last
+    // pin the pre-window snapshot NOW (g1 ages past the ManifestKeep
+    // horizon once three mutations land)
+    val snapshotBefore = Streaming.readCommitted(spark, target).localCheckpoint()
     // gen 2: append 5
     (100 until 105).map(k => (k.toLong, s"p-$k", k.toLong * 10))
       .toDF("id", "payload", "score")
@@ -68,7 +71,6 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
       .select("payload").head().getString(0) shouldBe "UPDATED"
     // replaying the feed over the pre-window snapshot reconstructs the
     // post-window table exactly (the CDF correctness contract)
-    val snapshotBefore = Streaming.readGeneration(spark, target, g1)
     val inserts = feed.where(col("_change_type") === "insert")
       .drop("_change_type", "_commit_generation")
     val deletes = feed.where(col("_change_type") === "delete")
