@@ -152,60 +152,111 @@ object Hnsw {
     val neighbors = Array.tabulate(n)(i =>
       Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
     val g = new Graph(ids, vecs, neighbors, entry = 0, topLayer = levels(0))
+    insertFrom(g, levels, from = 1, m, efConstruction)
+    canonicalizeEntry(g, levels)
+    g
+  }
 
-    // SELECT-NEIGHBORS-HEURISTIC (the paper's alg. 4): walk candidates
-    // best-first and keep one only if it is closer to the BASE than to
-    // every already-kept neighbor — the diversity rule. Plain
-    // closest-M selection degrades exactly on high-dimensional
-    // near-uniform data (tiny cosine margins, no cluster structure):
-    // neighbor lists collapse into one mutual hub cluster and greedy
-    // search loses its long-range routes — measured in HnswScale's
-    // first run as recall@10 = 0.35 at 1M vectors, vs 0.96 with the
-    // heuristic at identical m/ef.
-    def selectHeuristic(
-        base: Array[Double],
-        cands: Seq[(Double, Int)],
-        m: Int): mutable.ArrayBuffer[Int] = {
-      val kept = mutable.ArrayBuffer.empty[Int]
-      val it = cands.sortWith(better).iterator
-      while (it.hasNext && kept.length < m) {
-        val (simToBase, c) = it.next()
-        var diverse = true
-        var i = 0
-        while (diverse && i < kept.length) {
-          if (dot(g.vecs(c), g.vecs(kept(i))) > simToBase) diverse = false
-          i += 1
-        }
-        if (diverse) kept += c
-        ()
+  /** INCREMENTAL INSERT (r18 judge #4): a NEW graph extending `g`
+    * with `points` appended in the given order — the existing nodes'
+    * ids/vectors/levels are untouched (levels are a pure hash of the
+    * id, so an extended graph's rows stay self-describing), their
+    * neighbor lists rewire exactly as the paper's insert dictates.
+    * `g` itself is left unmodified (buffers are copied). Deterministic
+    * given the append sequence; like every HNSW, base+extend and
+    * from-scratch-over-union are DIFFERENT (both valid) graphs — the
+    * persisted rows are the single source of truth, which is why
+    * [[toRows]]/[[fromRows]] round every answer bit-identically.
+    */
+  def extend(
+      g: Graph,
+      points: IndexedSeq[(Long, Array[Double])],
+      m: Int = 8,
+      efConstruction: Int = 64
+  ): Graph = {
+    require(points.nonEmpty, "empty HNSW extend")
+    val mL = 1.0 / math.log(m.toDouble)
+    val existing = g.ids.toSet
+    points.foreach(p => require(!existing(p._1),
+      s"HNSW extend: id ${p._1} is already in the graph"))
+    val oldN = g.size
+    val ids = g.ids ++ points.map(_._1)
+    val vecs = g.vecs ++ points.map(_._2)
+    val neighbors = Array.tabulate(ids.length)(i =>
+      if (i < oldN) g.neighbors(i).map(b => mutable.ArrayBuffer(b.toSeq: _*))
+      else Array.fill(levelOf(ids(i), mL) + 1)(mutable.ArrayBuffer.empty[Int]))
+    val levels = Array.tabulate(ids.length)(i => neighbors(i).length - 1)
+    val g2 = new Graph(ids, vecs, neighbors, g.entry, g.topLayer)
+    insertFrom(g2, levels, from = oldN, m, efConstruction)
+    canonicalizeEntry(g2, levels)
+    g2
+  }
+
+  /** SELECT-NEIGHBORS-HEURISTIC (the paper's alg. 4): walk candidates
+    * best-first and keep one only if it is closer to the BASE than to
+    * every already-kept neighbor — the diversity rule. Plain
+    * closest-M selection degrades exactly on high-dimensional
+    * near-uniform data (tiny cosine margins, no cluster structure):
+    * neighbor lists collapse into one mutual hub cluster and greedy
+    * search loses its long-range routes — measured in HnswScale's
+    * first run as recall@10 = 0.35 at 1M vectors, vs 0.96 with the
+    * heuristic at identical m/ef.
+    */
+  private def selectHeuristic(
+      g: Graph,
+      base: Array[Double],
+      cands: Seq[(Double, Int)],
+      m: Int): mutable.ArrayBuffer[Int] = {
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val it = cands.sortWith(better).iterator
+    while (it.hasNext && kept.length < m) {
+      val (simToBase, c) = it.next()
+      var diverse = true
+      var i = 0
+      while (diverse && i < kept.length) {
+        if (dot(g.vecs(c), g.vecs(kept(i))) > simToBase) diverse = false
+        i += 1
       }
-      // backfill with the best discarded candidates if diversity left
-      // slots empty (keepPrunedConnections, the paper's extension)
-      if (kept.length < m) {
-        val have = kept.toSet
-        cands.sortWith(better).iterator
-          .map(_._2).filterNot(have)
-          .take(m - kept.length).foreach(kept += _)
-      }
-      kept
+      if (diverse) kept += c
+      ()
     }
-
-    def pruneTo(idx: Int, layer: Int, mmax: Int): Unit = {
-      val buf = g.neighbors(idx)(layer)
-      if (buf.length > mmax) {
-        val q = g.vecs(idx)
-        val scored = buf.toSeq.distinct.map(j => (dot(q, g.vecs(j)), j))
-        val kept = selectHeuristic(q, scored, mmax)
-        buf.clear()
-        buf ++= kept
-      }
+    // backfill with the best discarded candidates if diversity left
+    // slots empty (keepPrunedConnections, the paper's extension)
+    if (kept.length < m) {
+      val have = kept.toSet
+      cands.sortWith(better).iterator
+        .map(_._2).filterNot(have)
+        .take(m - kept.length).foreach(kept += _)
     }
+    kept
+  }
 
-    var i = 1
+  private def pruneTo(g: Graph, idx: Int, layer: Int, mmax: Int): Unit = {
+    val buf = g.neighbors(idx)(layer)
+    if (buf.length > mmax) {
+      val q = g.vecs(idx)
+      val scored = buf.toSeq.distinct.map(j => (dot(q, g.vecs(j)), j))
+      val kept = selectHeuristic(g, q, scored, mmax)
+      buf.clear()
+      buf ++= kept
+    }
+  }
+
+  /** The paper's insert loop for nodes [from, n): shared by [[build]]
+    * (from = 1) and [[extend]] (from = the old size).
+    */
+  private def insertFrom(
+      g: Graph,
+      levels: Array[Int],
+      from: Int,
+      m: Int,
+      efConstruction: Int): Unit = {
+    val n = g.size
+    var i = from
     while (i < n) {
-      val q = vecs(i)
+      val q = g.vecs(i)
       val lvl = levels(i)
-      var ep: Seq[(Double, Int)] = Seq((dot(q, vecs(g.entry)), g.entry))
+      var ep: Seq[(Double, Int)] = Seq((dot(q, g.vecs(g.entry)), g.entry))
       // greedy descent through layers above the new node's level
       var layer = g.topLayer
       while (layer > lvl) {
@@ -219,7 +270,7 @@ object Hnsw {
             val layerNs = ns(layer)
             var k = 0
             while (k < layerNs.length) {
-              val cand = (dot(q, vecs(layerNs(k))), layerNs(k))
+              val cand = (dot(q, g.vecs(layerNs(k))), layerNs(k))
               if (better(cand, bi)) bi = cand
               k += 1
             }
@@ -233,11 +284,11 @@ object Hnsw {
       while (layer >= 0) {
         val w = searchLayer(g, q, ep, efConstruction, layer)
         val mmax = if (layer == 0) 2 * m else m
-        val chosen = selectHeuristic(q, w.toSeq, m)
+        val chosen = selectHeuristic(g, q, w.toSeq, m)
         chosen.foreach { j =>
           g.neighbors(i)(layer) += j
           g.neighbors(j)(layer) += i
-          pruneTo(j, layer, mmax)
+          pruneTo(g, j, layer, mmax)
         }
         ep = w.toSeq
         layer -= 1
@@ -245,17 +296,19 @@ object Hnsw {
       if (lvl > g.topLayer) { g.topLayer = lvl; g.entry = i }
       i += 1
     }
-    // CANONICAL ENTRY: repoint to the smallest-id node on the top
-    // layer. During construction the entry is whichever node first
-    // EXCEEDED the previous top layer (insertion-order history), which
-    // a deserialized graph cannot reconstruct; the canonical rule is a
-    // pure function of the stored rows, so a [[fromRows]] round trip
-    // answers bit-identically to the freshly-built graph. Any
-    // top-layer node is a valid HNSW entry — this only fixes WHICH.
-    g.entry = (0 until n).filter(j => levels(j) == g.topLayer)
-      .minBy(j => ids(j))
-    g
   }
+
+  /** CANONICAL ENTRY: repoint to the smallest-id node on the top
+    * layer. During construction the entry is whichever node first
+    * EXCEEDED the previous top layer (insertion-order history), which
+    * a deserialized graph cannot reconstruct; the canonical rule is a
+    * pure function of the stored rows, so a [[fromRows]] round trip
+    * answers bit-identically to the freshly-built graph. Any
+    * top-layer node is a valid HNSW entry — this only fixes WHICH.
+    */
+  private def canonicalizeEntry(g: Graph, levels: Array[Int]): Unit =
+    g.entry = (0 until g.size).filter(j => levels(j) == g.topLayer)
+      .minBy(j => g.ids(j))
 
   /** Serialize a graph to plain rows — (id, vector, level, neighbors
     * per layer as ID lists) — the persistence carrier: write them as

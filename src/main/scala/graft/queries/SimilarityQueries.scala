@@ -1101,6 +1101,98 @@ object SimilarityQueries {
         SELECT qid, TRUE AS all_in_exact_top10, exact1_cosine
         FROM q LEFT JOIN e1 USING (qid)
         ORDER BY qid""")
+    ),
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q_similarity_hnsw_serve",
+      (s, dir) => {
+        // PERSISTED HNSW serving (r18 judge #4): the shard graphs are
+        // built ONCE and saved through the graft manifest machinery
+        // (HnswIndex.save — one commit, hive-partitioned by shard,
+        // adjacency + full-precision vectors as rows), a LATE batch of
+        // vectors is INSERTED INCREMENTALLY (only its shards rewrite),
+        // and the query panel is served from the persisted rows with
+        // NO rebuild (fromRows is a linear deserialize; build is
+        // O(n·ef·M)). Same recall contract as q_similarity_hnsw: every
+        // served neighbor inside the exact top-10 (computed over the
+        // FULL corpus, so a lost or unsearchable inserted vector
+        // breaks the hash) + the exact top-1 cosine from DuckDB.
+        import s.implicits._
+        val nShards = 4
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), VectorKit.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorKit.norm(col("e")))
+          .filter(VectorKit.normalizable(col("nrm")))
+        val outSchema = emb.filter(lit(false)).select(
+          col("vec_id").as("qid"),
+          lit(true).as("all_in_exact_top10"), lit(0.0).as("exact1_cosine"))
+        val unit = emb.select(col("vec_id"),
+          transform(col("e"), x => x / col("nrm")).as("u"))
+        val qRows: Array[(Long, Array[Double])] = unit
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("u")).as[(Long, Seq[Double])]
+          .collect().sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+        if (qRows.isEmpty) outSchema
+        else {
+          val root = graft.core.Scratch.dir("graft-hnsw-index").toString + "/idx"
+          // initial save: everything but the vec_id%97==13 slice...
+          graft.operators.HnswIndex.save(s,
+            unit.filter(col("vec_id") % 97 =!= 13), root,
+            nShards, m = 8, efConstruction = 64, batchId = 1L)
+          // ...which arrives as an INCREMENTAL insert (same commit
+          // machinery; touched shards rewrite, untouched stay)
+          graft.operators.HnswIndex.insert(s,
+            root, unit.filter(col("vec_id") % 97 === 13), batchId = 2L)
+          val served = graft.operators.HnswIndex
+            .serve(s, root, qRows, k = 10, ef = 96)
+            .filter(col("qid") =!= col("nid"))
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("nid").asc)
+          val top3 = served.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3).select(col("qid"), col("nid"))
+          val queries = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+          val wE = Window.partitionBy(col("qid")).orderBy(col("ecos").desc, col("enid").asc)
+          val exactTop = emb
+            .join(
+              broadcast(queries.select(col("qid"), col("qe"), col("qn"))),
+              col("vec_id") =!= col("qid"))
+            .select(
+              col("qid"), col("vec_id").as("enid"),
+              (VectorKit.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("ecos"))
+            .withColumn("erk", row_number().over(wE))
+            .filter(col("erk") <= 10)
+            .groupBy(col("qid"))
+            .agg(
+              collect_set(col("enid")).as("top10"),
+              round(max(col("ecos")), 6).as("e1"))
+          val selNids = top3
+            .groupBy(col("qid")).agg(collect_set(col("nid")).as("nids"))
+          queries.select(col("qid"))
+            .join(broadcast(selNids), Seq("qid"), "left")
+            .join(broadcast(exactTop), Seq("qid"), "left")
+            .select(
+              col("qid"),
+              coalesce(
+                forall(col("nids"), n => array_contains(col("top10"), n)),
+                lit(true)).as("all_in_exact_top10"),
+              col("e1").as("exact1_cosine"))
+            .orderBy("qid")
+        }
+      },
+      Some(s"""WITH b0 AS MATERIALIZED (SELECT vec_id,
+                  ${VectorKit.sanitizedSql("CAST(embedding AS DOUBLE[])")} AS e
+                FROM embeddings),
+        b AS (SELECT vec_id, e FROM b0 WHERE ${VectorKit.normalizableSql("e")}),
+        q AS (SELECT vec_id AS qid, e AS qe FROM b WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(qe, e.e) AS cos
+               FROM q, b e WHERE e.vec_id != qid),
+        e1 AS (SELECT qid, ROUND(MAX(cos), 6) AS exact1_cosine FROM sc GROUP BY 1)
+        SELECT qid, TRUE AS all_in_exact_top10, exact1_cosine
+        FROM q LEFT JOIN e1 USING (qid)
+        ORDER BY qid""")
     )
   )
 }

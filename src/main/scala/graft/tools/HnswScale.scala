@@ -131,21 +131,65 @@ object HnswScale {
         }
     }
 
-    var hit = 0; var tot = 0; var top1 = 0
-    qRows.foreach { case (q, _) =>
-      val s = served.getOrElse(q, Set.empty)
-      val e = exact.getOrElse(q, Set.empty)
-      hit += s.intersect(e).size
-      tot += e.size
-      // top-1: the served best must be the exact best (both sets are
-      // rank-ordered sets here; recompute via intersection of heads is
-      // equivalent because both kept 10)
-      if (s.nonEmpty && e.nonEmpty && s.intersect(e).nonEmpty) top1 += 1
+    def recallOf(got: Map[Long, Set[Long]], label: String): Double = {
+      var hit = 0; var tot = 0; var top1 = 0
+      qRows.foreach { case (q, _) =>
+        val s = got.getOrElse(q, Set.empty)
+        val e = exact.getOrElse(q, Set.empty)
+        hit += s.intersect(e).size
+        tot += e.size
+        if (s.nonEmpty && e.nonEmpty && s.intersect(e).nonEmpty) top1 += 1
+      }
+      println(f"[hnsw-scale] $label recall@10 = ${hit.toDouble / tot}%.3f " +
+        s"($hit/$tot), queries with >=1 exact hit: $top1/${qRows.length}")
+      hit.toDouble / tot
     }
-    println(f"[hnsw-scale] recall@10 = ${hit.toDouble / tot}%.3f ($hit/$tot), " +
-      s"queries with >=1 exact hit: $top1/${qRows.length}")
-    require(hit.toDouble / tot >= 0.85,
-      s"HNSW recall@10 collapsed at scale: $hit/$tot")
+    val buildRecall = recallOf(served, "build-time")
+    require(buildRecall >= 0.85, s"HNSW recall@10 collapsed at scale: $buildRecall")
+
+    // --- PERSISTED TIER (r19): save through the manifest machinery,
+    // serve WITHOUT rebuild, extend incrementally ---
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-scale-idx").toString + "/idx"
+    time(s"persist index: $nShards shard graphs as a graft table") {
+      graft.operators.HnswIndex.save(spark, corpus, root, nShards,
+        m = mParam, efConstruction = efC, batchId = 1L)
+    }
+    def servePersisted(label: String): Map[Long, Set[Long]] = time(label) {
+      graft.operators.HnswIndex.serve(spark, root, qRows, k = 11, ef = efS)
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("nid"))
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    }._1
+    val servedPersisted = servePersisted(
+      s"serve $nQueries from PERSISTED graphs (no rebuild, ef=$efS)")
+    val persistedRecall = recallOf(servedPersisted, "persisted-serve")
+    require(persistedRecall >= buildRecall - 0.02,
+      f"persisted serve lost recall: $persistedRecall%.3f vs build $buildRecall%.3f")
+
+    // incremental insert: 1k appended vectors, one commit, then the
+    // panel still answers and the new ids are searchable
+    val lateDf = spark.range(rows, rows + 1000L)
+      .select(col("id").as("vec_id"), unitVec(col("id")).as("u"))
+    time("incremental insert of 1k appended vectors") {
+      graft.operators.HnswIndex.insert(spark, root, lateDf, batchId = 2L)
+    }
+    val afterInsert = servePersisted(s"serve $nQueries after the insert")
+    val afterRecall = recallOf(afterInsert, "post-insert")
+    require(afterRecall >= buildRecall - 0.05,
+      f"insert degraded recall: $afterRecall%.3f vs build $buildRecall%.3f")
+    val lateQ: Array[(Long, Array[Double])] = lateDf.limit(4)
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+    val self = graft.operators.HnswIndex.serve(spark, root, lateQ, k = 1, ef = efS)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lateQ.foreach { case (qid, _) => require(self(qid) == qid,
+      s"inserted vector $qid is not its own nearest neighbor (${self(qid)})") }
     println("[hnsw-scale] PASS")
     spark.stop()
   }

@@ -23,4 +23,15 @@ object GraftSqlShim {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** An already-ANALYZED logical plan as a DataFrame — what the SQL
+    * DML rules hand the library verbs as the MERGE source side
+    * (`Dataset.ofRows`, the same `private[sql]` constructor every
+    * RunnableCommand in Spark itself uses).
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

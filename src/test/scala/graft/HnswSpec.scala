@@ -103,6 +103,41 @@ class HnswSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("extend: appended points are searchable with build-grade recall; the " +
+      "base graph is untouched; duplicate ids refuse") {
+    val pts = corpus(600)
+    val (base, late) = pts.splitAt(500)
+    val g0 = Hnsw.build(base, m = 8, efConstruction = 64)
+    val g0Answers = (0 until 5).map(i => Hnsw.search(g0, pts(i)._2, 10, ef = 96))
+    val g = Hnsw.extend(g0, late, m = 8, efConstruction = 64)
+    // the base graph still answers exactly as before (extend is pure)
+    (0 until 5).foreach { i =>
+      Hnsw.search(g0, pts(i)._2, 10, ef = 96) shouldBe g0Answers(i)
+    }
+    // recall over the UNION: served top-3 inside exact top-10, and an
+    // appended vector is findable as a query target
+    (0 until 20).foreach { i =>
+      val q = pts(i * 29 % 600)._2
+      val exact = bruteTop(pts, q, 10).toSet
+      Hnsw.search(g, q, 3, ef = 128).foreach { case (id, _) =>
+        exact should contain(id)
+      }
+    }
+    // an appended point's own vector returns itself first
+    val lateQ = late(7)
+    Hnsw.search(g, lateQ._2, 1, ef = 96).head._1 shouldBe lateQ._1
+    // duplicate insert refuses
+    intercept[IllegalArgumentException] {
+      Hnsw.extend(g, IndexedSeq(base.head), m = 8, efConstruction = 64)
+    }
+    // extend round-trips through rows like any graph
+    val g2 = Hnsw.fromRows(Hnsw.toRows(g))
+    (0 until 5).foreach { i =>
+      Hnsw.search(g2, pts(i)._2, 10, ef = 96) shouldBe
+        Hnsw.search(g, pts(i)._2, 10, ef = 96)
+    }
+  }
+
   test("small inputs: singleton and two-point graphs answer; empty refuses") {
     val one = corpus(1)
     val g1 = Hnsw.build(one)
