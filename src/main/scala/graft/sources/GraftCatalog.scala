@@ -119,6 +119,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadPinned(ident, Some(gen))
   }
 
+  /** `TIMESTAMP AS OF <ts>` — the latest generation whose COMMIT
+    * TIME (manifest-file mtime, immutable under the protocol) is at
+    * or before the requested instant. Spark passes MICROSECONDS.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val desc = TableDescriptor.read(fs, tableDescriptorPath(ident))
+    val dataPath = tableDataPath(ident, desc)
+    val tfs = new Path(dataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tsMs = timestamp / 1000L
+    val gens = Streaming.manifestGenerations(tfs, dataPath)
+    if (gens.isEmpty) throw new NoSuchTableException(ident)
+    val pick = gens.filter(g =>
+      Streaming.commitTimeMs(tfs, dataPath, g).exists(_ <= tsMs)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${new java.sql.Timestamp(tsMs)} predates every " +
+          s"RETAINED generation of ${ident.toString} (oldest retained: " +
+          s"${gens.min}, committed ${Streaming.commitTimeMs(tfs, dataPath, gens.min)
+            .map(ms => new java.sql.Timestamp(ms).toString).getOrElse("?")}) — " +
+          "the retention horizon has passed it"))
+    new GraftTable(dataPath, s"$catalogName.${ident.toString}", Some(pick), desc)
+  }
+
   private def loadPinned(ident: Identifier, gen: Option[Long]): Table = {
     val desc = TableDescriptor.read(fs, tableDescriptorPath(ident))
     val dataPath = tableDataPath(ident, desc)

@@ -263,6 +263,33 @@ class GraftTableSource extends RelationProvider
       "graft source needs a table path: spark.read.format(\"graft\").load(<table>)"))
     val gen = parameters.get("generation").orElse(parameters.get("versionAsOf")).map(_.toLong)
     val spark = sqlContext.sparkSession
+    // BATCH CHANGE FEED (r19): option("readChangeFeed", "true") +
+    // option("startingGeneration", g) [+ endingGeneration] reads the
+    // window's row-level changes — same contract as the streaming
+    // option and Streaming.readChangeFeed underneath
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val fsC = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val from = parameters.getOrElse("startingGeneration",
+        throw new IllegalArgumentException(
+          "graft change-feed read needs option(\"startingGeneration\", <gen>) — " +
+            "the EXCLUSIVE lower bound (changes strictly after it)")).toLong
+      val to = parameters.get("endingGeneration").map(_.toLong)
+        .orElse(Streaming.manifestGenerations(fsC, path).lastOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed graft manifest at $path — not a graft table"))
+      val frame = Streaming.readChangeFeed(spark, path, from, to).getOrElse {
+        // empty window: a typed zero-row frame with the CDF schema
+        val idx = new GraftFileIndex(spark, path, Some(to), applyingDv = true)
+        val base = StructType(idx.dataSchema.fields ++ idx.partitionSchema.fields
+          .filterNot(f => idx.dataSchema.fieldNames.contains(f.name)))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(base.fields ++ Seq(
+            StructField("_change_type", StringType, nullable = false),
+            StructField("_commit_generation", LongType, nullable = false))))
+      }
+      return new GraftFrameRelation(spark, frame)
+    }
     // DV-AWARE reads (r17 judge #3): a generation carrying
     // merge-on-read delete vectors is readable through the DV-applying
     // relation — the same (file, row_index) anti-join the library
@@ -343,6 +370,22 @@ private[graft] class GraftDvRelation(
     projected.queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
+}
+
+/** A computed frame behind the DSv1 read surface (the change-feed
+  * read): schema and rows come from the frame's own plan. Filters and
+  * projections stay Catalyst-owned above the scan.
+  */
+private[sources] class GraftFrameRelation(
+    spark: SparkSession,
+    frame: DataFrame
+) extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = frame.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    frame.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 }
 
 private[sources] object GraftDvRelation {

@@ -41,6 +41,19 @@ import org.apache.spark.sql.functions._
   * gate rung keeps the light fixture regime (m=8/efC=64/ef=96 — its
   * top-3-in-top-10 contract held 10/10 at both sf points), and a
   * serving deployment picks from this ladder by recall target.
+  *
+  * PERSISTED-TIER legs (r19, 1M × 64 dims, m=16/efC=128/ef=384):
+  * in-pass build+serve 320 s at recall@10 0.934; HnswIndex.save
+  * (per-SHARD graphs as a graft table) 715 s — the tool pays a
+  * second build here, production calls save() once; serve from the
+  * PERSISTED rows 17-44 s for the 32-query panel (deserialize floor;
+  * no rebuild) at recall@10 **0.978** — HIGHER than the in-pass
+  * point because save() builds one true graph per shard while the
+  * in-pass leg's hash partitioning merges colliding shards into
+  * fewer, larger graphs; incremental insert of 1k appended vectors
+  * 120 s (all 16 shards extend + rewrite), post-insert recall
+  * unchanged at 0.978 and every inserted vector is its own nearest
+  * neighbor.
   */
 object HnswScale {
   def main(args: Array[String]): Unit = {

@@ -97,15 +97,22 @@ class CatalogSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     import spark.implicits._
     val target = seed("graft-history")
     Streaming.deleteWhere(spark, target, col("id") === 5L) shouldBe 1L
-    val h = Streaming.tableHistory(spark, target).collect()
+    val hDf = Streaming.tableHistory(spark, target)
+    val h = hDf.collect()
+    def f(name: String) = hDf.schema.fieldIndex(name)
     h.length shouldBe Streaming.manifestGenerations(fs, target).length
     // newest first; the DV generation is flagged and row-count exact
-    h.head.getLong(0) shouldBe Streaming.manifestGenerations(fs, target).max
-    h.head.getBoolean(7) shouldBe true
-    h.head.getLong(3) shouldBe 99L
+    h.head.getLong(f("generation")) shouldBe
+      Streaming.manifestGenerations(fs, target).max
+    h.head.getBoolean(f("has_delete_vectors")) shouldBe true
+    h.head.getLong(f("live_rows")) shouldBe 99L
+    // every retained generation carries its commit timestamp
+    h.foreach(r => r.isNullAt(f("committed_at")) shouldBe false)
     // kinds are the manifest file shapes
-    h.map(_.getString(1)).toSet.subsetOf(Set("checkpoint", "delta")) shouldBe true
+    h.map(_.getString(f("kind"))).toSet
+      .subsetOf(Set("checkpoint", "delta")) shouldBe true
     // generation 1 (if retained) was the bootstrap checkpoint
-    h.find(_.getLong(0) == 1L).foreach(_.getString(1) shouldBe "checkpoint")
+    h.find(_.getLong(f("generation")) == 1L)
+      .foreach(_.getString(f("kind")) shouldBe "checkpoint")
   }
 }

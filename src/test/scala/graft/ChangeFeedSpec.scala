@@ -134,6 +134,41 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     ex.getMessage should include("REMOVES")
   }
 
+  test("batch CDF through the connector: option(\"readChangeFeed\") + " +
+      "startingGeneration reads the window's change rows; empty windows are " +
+      "typed zero-row frames") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-cdf-conn").toString + "/t"
+    (0 until 30).map(k => (k.toLong, s"p-$k")).toDF("id", "payload")
+      .write.format("graft").save(target)
+    val g1 = Streaming.manifestGenerations(fs, target).last
+    Streaming.deleteWhere(spark, target, col("id") < 3L) shouldBe 3L
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingGeneration", g1.toString)
+      .load(target)
+    feed.count() shouldBe 3L
+    feed.where(col("_change_type") === "delete").select("id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 2L)
+    // SQL over the feed works (it is a plain relation)
+    feed.createOrReplaceTempView("cdf")
+    spark.sql("SELECT count(*) AS n FROM cdf WHERE _change_type = 'delete'")
+      .head().getLong(0) shouldBe 3L
+    // an empty window yields a typed zero-row frame with the CDF schema
+    val g2 = Streaming.manifestGenerations(fs, target).last
+    val empty = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingGeneration", g2.toString)
+      .load(target)
+    empty.count() shouldBe 0L
+    empty.columns should contain allOf ("_change_type", "_commit_generation", "id")
+    // the option without a starting generation refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(target)
+    }
+    ex.getMessage should include("startingGeneration")
+  }
+
   test("streaming CDF: a subscriber with readChangeFeed SURVIVES a merge window " +
       "exactly-once across restarts, with correct retractions") {
     import spark.implicits._

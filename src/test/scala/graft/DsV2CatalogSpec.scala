@@ -77,6 +77,28 @@ class DsV2CatalogSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
     ex.getMessage.toLowerCase should (include("version") or include("pinned"))
   }
 
+  test("TIMESTAMP AS OF resolves the latest generation committed at or before " +
+      "the instant; a pre-table timestamp refuses naming the horizon") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts")
+    spark.sql("CREATE TABLE graft.ts.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ts.t SELECT id, 'v1' FROM range(10)") // gen 1
+    Thread.sleep(1100) // commit times are mtime-based (second-ish resolution)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO graft.ts.t SELECT id, 'v2' FROM range(10, 25)") // gen 2
+    spark.sql("SELECT count(*) AS n FROM graft.ts.t").head().getLong(0) shouldBe 25L
+    spark.sql(s"SELECT count(*) AS n FROM graft.ts.t TIMESTAMP AS OF '$between'")
+      .head().getLong(0) shouldBe 10L
+    spark.sql(s"SELECT DISTINCT v FROM graft.ts.t TIMESTAMP AS OF '$between'")
+      .head().getString(0) shouldBe "v1"
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ts.t TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    ex.getMessage should include("RETAINED")
+  }
+
   test("filter pushdown reaches the zone maps through the DSv2 scan: the " +
       "catalog SELECT prunes files like the format(\"graft\") path") {
     root

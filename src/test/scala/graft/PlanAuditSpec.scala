@@ -44,6 +44,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSessionSetup {
                                 // the <=10 broadcast queries (the
                                 // served path itself is mapPartitions
                                 // graph walks, no join at all)
+    "q_similarity_hnsw_serve",  // the same recall contract through
+                                // the PERSISTED graphs (serve itself
+                                // is deserialized graph walks; only
+                                // the exact-top harness is non-equi)
     "q_quality_classifier",     // docs x broadcast 1-row prior
                                 // (the llrCells scalar fold-in) +
                                 // LUT totals cross-join as in DSIR
