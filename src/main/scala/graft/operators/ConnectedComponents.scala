@@ -30,15 +30,17 @@ object ConnectedComponents {
     */
   def labels(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(aCol, bCol) = edges.columns
-    val sym = edges
+    val sym0 = edges
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
       .localCheckpoint()
+    val sym = Graph.compactFrontier(sym0, sym0.count())
 
-    var labels = sym.select(col("a").as("node")).distinct()
+    val labels0 = sym.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()
+    var labels = Graph.compactFrontier(labels0, labels0.count())
 
     var changed = true
     var rounds = 0
@@ -47,20 +49,20 @@ object ConnectedComponents {
         .join(labels, sym("b") === labels("node"))
         .groupBy(col("a"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels
+      // the changed flag rides along in the SAME pass (nmin < cluster
+      // is exactly "this round lowered the label"), so convergence
+      // needs only a cached-scan filter probe instead of the extra
+      // next-vs-old shuffle join per round this loop used to pay
+      val step = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
         .select(
           col("node"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (col("nmin") < col("cluster")).as("chg")
         )
         .localCheckpoint()
-      // limit-1 probe instead of a full count: both sides are
-      // checkpointed, and convergence only needs "any row changed?"
-      changed = !next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+      changed = !step.filter(col("chg")).isEmpty
+      labels = Graph.compactFrontier(step.select(col("node"), col("cluster")), step.count())
       rounds += 1
     }
     // min-label covers one hop per round, so a component with

@@ -31,6 +31,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Compact a just-checkpointed iteration frontier: coalesce its
+    * cached partitions to ceil(rows / rowsPerPart) so downstream scans
+    * and join map-sides don't pay per-task fixed costs (~0.2-0.3 s of
+    * scheduler/broadcast-deserialize/codegen-setup per task measured
+    * by tools.QueryProfile on q_graph_ancestry_dag: 582 tasks, 108 s
+    * of task CPU for ~1 M result pairs). Scale-adaptive, not a local
+    * tune: the divisor keeps ~2M narrow rows (~64 MB) per partition,
+    * so a 1B-pair delta still runs 500-way parallel while a 100k-pair
+    * round collapses to one task. coalesce() is applied AFTER the
+    * checkpoint, so the delta's own computation (join + distinct +
+    * anti-join) keeps its full shuffle parallelism — only the
+    * already-materialized cache reads compact. (guide §2.2: fewer,
+    * larger partitions; §2.4: task-count, not data, was the cost.)
+    */
+  private[operators] def compactFrontier(
+      ck: DataFrame,
+      rows: Long,
+      rowsPerPart: Long = 2000000L): DataFrame = {
+    val parts = ck.rdd.getNumPartitions
+    val target = math.max(1L, math.min(parts.toLong, (rows + rowsPerPart - 1) / rowsPerPart)).toInt
+    if (target < parts) ck.coalesce(target) else ck
+  }
+
   /** Full ancestor closure of a child->parent edge list.
     *
     * The default routes to [[transitiveClosureSmart]] — measured
@@ -57,11 +80,12 @@ object Graph {
     */
   def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(childCol, parentCol) = edges.columns
-    var closure = edges
+    val base = edges
       .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
       .distinct()
       .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    var size = closure.count()
+    var size = base.count()
+    var closure = compactFrontier(base, size)
     var rounds = 0
     var grown = true
     while (grown && rounds < maxRounds) {
@@ -72,7 +96,7 @@ object Graph {
       val merged = closure.union(next).distinct().localCheckpoint()
       val mergedSize = merged.count()
       grown = mergedSize > size
-      closure = merged
+      closure = compactFrontier(merged, mergedSize)
       size = mergedSize
       rounds += 1
     }
@@ -125,29 +149,28 @@ object Graph {
     // same checkpointed frame appears on both sides of the self-join
     def fresh(df: DataFrame): DataFrame =
       df.select(col("node").as("node"), col("ancestor").as("ancestor"))
-    val e = fresh(
-      edges
-        .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
-        .distinct()
-        .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    )
+    val e0 = edges
+      .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
+      .distinct()
+      .localCheckpoint() // cluster: .checkpoint() against a reliable dir
+    val e = fresh(compactFrontier(e0, e0.count()))
     var frontiers = List(e)
     var frontier = e
     var rounds = 0
     var done = frontier.isEmpty
     while (!done && rounds < maxRounds) {
       val closure = frontiers.reduce(_ union _)
-      val next = fresh(
-        frontier
-          .as("f")
-          .join(e.as("g"), col("f.ancestor") === col("g.node"))
-          .select(col("f.node").as("node"), col("g.ancestor").as("ancestor"))
-          .distinct()
-          .join(closure, Seq("node", "ancestor"), "left_anti")
-          .localCheckpoint()
-      )
-      if (next.isEmpty) done = true
+      val ck = frontier
+        .as("f")
+        .join(e.as("g"), col("f.ancestor") === col("g.node"))
+        .select(col("f.node").as("node"), col("g.ancestor").as("ancestor"))
+        .distinct()
+        .join(closure, Seq("node", "ancestor"), "left_anti")
+        .localCheckpoint()
+      val n = ck.count()
+      if (n == 0) done = true
       else {
+        val next = fresh(compactFrontier(ck, n))
         frontiers = next :: frontiers
         frontier = next
       }
@@ -198,12 +221,11 @@ object Graph {
   def transitiveClosureSmart(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     def fresh(df: DataFrame): DataFrame =
       df.select(col("node").as("node"), col("ancestor").as("ancestor"))
-    val e = fresh(
-      edges
-        .select(col(edges.columns(0)).as("node"), col(edges.columns(1)).as("ancestor"))
-        .distinct()
-        .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    )
+    val e0 = edges
+      .select(col(edges.columns(0)).as("node"), col(edges.columns(1)).as("ancestor"))
+      .distinct()
+      .localCheckpoint() // cluster: .checkpoint() against a reliable dir
+    val e = fresh(compactFrontier(e0, e0.count()))
     var frontiers = List(e)
     var delta = e
     var rounds = 0
@@ -224,14 +246,16 @@ object Graph {
             .as("c")
             .join(delta.as("d"), col("c.ancestor") === col("d.node"))
             .select(col("c.node").as("node"), col("d.ancestor").as("ancestor")))
-      val next = fresh(
-        composed
-          .distinct()
-          .join(closure, Seq("node", "ancestor"), "left_anti")
-          .localCheckpoint()
-      )
-      if (next.isEmpty) done = true
+      val ck = composed
+        .distinct()
+        .join(closure, Seq("node", "ancestor"), "left_anti")
+        .localCheckpoint()
+      // count replaces isEmpty (both scan the cache; count also sizes
+      // the compaction) — one cheap job per round either way
+      val n = ck.count()
+      if (n == 0) done = true
       else {
+        val next = fresh(compactFrontier(ck, n))
         frontiers = next :: frontiers
         delta = next
       }
@@ -344,11 +368,11 @@ object Graph {
     val maxRounds = math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt + 1
     def fresh(df: DataFrame): DataFrame =
       df.select(col("node").as("node"), col("head").as("head"), col("path").as("path"))
-    val base = fresh(
-      e.select(col("child").as("node"), col("parent").as("head"),
-          array(col("child"), col("parent")).as("path"))
-        .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    )
+    val base0 = e.select(col("child").as("node"), col("parent").as("head"),
+        array(col("child"), col("parent")).as("path"))
+      .localCheckpoint() // cluster: .checkpoint() against a reliable dir
+    // path rows carry arrays — compact at a lower rows/partition
+    val base = fresh(compactFrontier(base0, base0.count(), rowsPerPart = 250000L))
     var frontiers = List(base)
     var delta = base
     var rounds = 0
@@ -363,11 +387,11 @@ object Graph {
           concat(col("a.path"), slice(col("b.path"), lit(2), size(col("b.path")) - 1)).as("path")
         )
         .distinct()
-      val next = fresh(
-        composed.join(closure, Seq("node", "head", "path"), "left_anti").localCheckpoint()
-      )
-      if (next.isEmpty) done = true
+      val ck = composed.join(closure, Seq("node", "head", "path"), "left_anti").localCheckpoint()
+      val n = ck.count()
+      if (n == 0) done = true
       else {
+        val next = fresh(compactFrontier(ck, n, rowsPerPart = 250000L))
         frontiers = next :: frontiers
         delta = next
       }
