@@ -391,7 +391,17 @@ object Streaming {
       .drop("__rn", "__new")
     val stage = new org.apache.hadoop.fs.Path(target + stageName)
     fs.delete(stage, true)
-    winner.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    // one data file per staged shard dir (the [[compactShards]] /
+    // upsertShardScoped layout contract, :2907): without this the
+    // window's shuffle fans the dynamic-partition write into
+    // (shuffle partitions x touched shards) near-empty part files —
+    // measured 32 x 16 = up to 512 ~2 KB files per commit at sf0.1,
+    // and every later pinned read pays a footer per file (guide §6
+    // small-files). One hash exchange of the merged rows buys it;
+    // same skew caveat as upsertShardScoped (a whale shard writes
+    // through one task).
+    winner.repartition(col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
     // replaced dirs = the dir names SPARK wrote into the stage (never
     // re-derived by interpolating shard values — the hive-escaping
     // hazard); every touched shard has a staged dir because latest-wins
@@ -3467,7 +3477,9 @@ object Streaming {
     val keep = touched.join(keyRows.select(col(keyCol)), Seq(keyCol), "left_anti")
     val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
     fs.delete(stage, true)
-    keep.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    // one data file per staged shard dir — see upsertPartitionedCore
+    keep.repartition(col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
     // shards fully emptied by the delete produced no staged dir — stage
     // an explicit empty parquet file (Spark writes one for an empty
     // DataFrame) so the replaced shard keeps a schema-bearing manifest
