@@ -56,16 +56,18 @@ object StarContraction {
     */
   def labels(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
     val Array(aCol, bCol) = edges.columns
-    val allNodes = edges
+    val allNodes0 = edges
       .select(col(aCol).as("n")).union(edges.select(col(bCol).as("n")))
       .distinct()
       .localCheckpoint()
+    val allNodes = Graph.compactFrontier(allNodes0, allNodes0.count())
 
-    var cur = edges
+    val cur0 = edges
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    var cur = Graph.compactFrontier(cur0, cur0.count())
 
     // one large-star + small-star alternation. No checkpoint or
     // distinct after large-star: the whole alternation materializes
@@ -93,6 +95,11 @@ object StarContraction {
         .distinct()
         .localCheckpoint()
     }
+    // see Graph.compactFrontier: checkpointed star sets keep full
+    // shuffle partitioning; compacting them (count is one cached scan)
+    // shrinks every later alternation's map-side task count
+    def compacted(df: DataFrame): DataFrame =
+      Graph.compactFrontier(df, df.count())
 
     // fixpoint probe: the star set is stable when nothing entered or
     // left — both sides are distinct sets, so the two exceptAlls form
@@ -105,7 +112,7 @@ object StarContraction {
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
-      val next = alternate(cur)
+      val next = compacted(alternate(cur))
       changed = differs(next, cur)
       cur = next
       rounds += 1
