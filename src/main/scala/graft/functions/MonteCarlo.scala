@@ -122,6 +122,9 @@ object MonteCarlo {
     if (nI.isEmpty || nJ <= 0 || total <= 0) return 0.0
     val rng = new Well19937c(seed)
     val probs = nI.map(_.toDouble / total).toArray
+    // primitive copy OUTSIDE the permutation loop: nI(c) inside it is a
+    // boxed Seq apply paid permutations x cells times per group
+    val nIDouble: Array[Double] = nI.iterator.map(_.toDouble).toArray
     val maxima = new Array[Double](permutations)
     var it = 0
     while (it < permutations) {
@@ -129,7 +132,7 @@ object MonteCarlo {
       var best = 0.0
       var c = 0
       while (c < draw.length) {
-        val v = cellLlr(draw(c).toDouble, nI(c).toDouble, nJ.toDouble, total.toDouble)
+        val v = cellLlr(draw(c).toDouble, nIDouble(c), nJ.toDouble, total.toDouble)
         if (v > best) best = v
         c += 1
       }

@@ -349,6 +349,11 @@ object AnnIndex {
     rows.select(col("vec_id").cast("long").as("vec_id"), col("cell"),
       expr(s"CAST(vec_id DIV $IdMapShardSize AS INT)").as("shard"),
       lit(0L).as("batch_id"))
+      // one data file per staged shard dir (see Streaming
+      // upsertPartitionedCore): without the shard hash the dynamic-
+      // partition write fans out to (input partitions x shards) tiny
+      // part files per append
+      .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(stage.toString)
     // append-only commit: no replaced dirs — every previous entry
     // survives, the staged files join the manifest atomically

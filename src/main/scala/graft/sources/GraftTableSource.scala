@@ -217,9 +217,15 @@ class GraftTableSource extends RelationProvider
       val stageName = s".__stage-$token"
       val stage = new Path(target + stageName)
       fs.delete(stage, true)
-      val writer = data.write.mode("overwrite")
       val parts = parameters.get("partitionBy").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      // one data file per staged partition dir (see Streaming
+      // upsertPartitionedCore): hash by the partition columns so the
+      // dynamic-partition write does not fan out to
+      // (input partitions x dirs) tiny part files
+      val sized = if (parts.nonEmpty)
+        data.repartition(parts.map(org.apache.spark.sql.functions.col): _*) else data
+      val writer = sized.write.mode("overwrite")
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
         .parquet(stage.toString)
       val replaced: Set[String] =
@@ -880,9 +886,12 @@ private[sources] class GraftStreamSink(
         val stageName = s".__stage-$token"
         val stage = new Path(target + stageName)
         fs.delete(stage, true)
-        val writer = batch.write.mode("overwrite")
         val parts = parameters.get("partitionBy").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        // one data file per staged partition dir — see the batch path
+        val sized = if (parts.nonEmpty)
+          batch.repartition(parts.map(org.apache.spark.sql.functions.col): _*) else batch
+        val writer = sized.write.mode("overwrite")
         (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
           .parquet(stage.toString)
         Streaming.commitStage(fs, target, Set.empty, stageName,
