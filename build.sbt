@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cpu 13s -> 22-31s as the registry grew). 512m keeps the whole
   // run's code resident.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // A/B knob for JVM-level measurements (guide §1.1): extra flags for a
+  // forked run/test JVM, e.g. SPARK_GRAFT_JVM_EXTRA="-XX:CompileThresholdScaling=5".
+  // Defaults to nothing — the driver's bench runs the committed flags above.
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

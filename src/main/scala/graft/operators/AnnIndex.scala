@@ -352,8 +352,11 @@ object AnnIndex {
       // one data file per staged shard dir (see Streaming
       // upsertPartitionedCore): without the shard hash the dynamic-
       // partition write fans out to (input partitions x shards) tiny
-      // part files per append
-      .repartition(col("shard"))
+      // part files per append. REBALANCE (not repartition): AQE
+      // coalesces batch-sized appends into few write tasks and splits
+      // a whale shard across several bounded writers (r19 verdict's
+      // whale-shard straggler item).
+      .hint("rebalance", col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(stage.toString)
     // append-only commit: no replaced dirs — every previous entry
     // survives, the staged files join the manifest atomically

@@ -35,12 +35,14 @@ object ConnectedComponents {
       .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
       .localCheckpoint()
-    val sym = Graph.compactFrontier(sym0, sym0.count())
+    // byte-sized compaction (no count() job — see compactFrontierAuto;
+    // the r19 advisor flagged the two jobs this loop paid per round)
+    val sym = Graph.compactFrontierAuto(sym0)
 
     val labels0 = sym.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()
-    var labels = Graph.compactFrontier(labels0, labels0.count())
+    var labels = Graph.compactFrontierAuto(labels0)
 
     var changed = true
     var rounds = 0
@@ -61,8 +63,13 @@ object ConnectedComponents {
           (col("nmin") < col("cluster")).as("chg")
         )
         .localCheckpoint()
+      // ONE job per round: the limit-1 changed probe (short-circuits on
+      // the first lowered label). Compaction sizes itself from the
+      // checkpoint's stored bytes — the extra count() job per round the
+      // r19 A/B measured as a regression on the incremental consumers
+      // is gone, the compaction is not.
       changed = !step.filter(col("chg")).isEmpty
-      labels = Graph.compactFrontier(step.select(col("node"), col("cluster")), step.count())
+      labels = Graph.compactFrontierAuto(step.select(col("node"), col("cluster")))
       rounds += 1
     }
     // min-label covers one hop per round, so a component with

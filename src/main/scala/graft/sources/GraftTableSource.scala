@@ -219,12 +219,15 @@ class GraftTableSource extends RelationProvider
       fs.delete(stage, true)
       val parts = parameters.get("partitionBy").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      // one data file per staged partition dir (see Streaming
-      // upsertPartitionedCore): hash by the partition columns so the
-      // dynamic-partition write does not fan out to
-      // (input partitions x dirs) tiny part files
+      // AQE-sized staged write (r19 advisor, medium): REBALANCE by the
+      // partition columns instead of a plain hash repartition — small
+      // dirs still collapse to one file each (no (input partitions x
+      // dirs) fan-out), but a full-table overwrite partitioned by a
+      // low-cardinality column no longer serializes each dir through
+      // ONE task producing one arbitrarily large file: AQE splits
+      // oversized dirs across advisory-sized writers.
       val sized = if (parts.nonEmpty)
-        data.repartition(parts.map(org.apache.spark.sql.functions.col): _*) else data
+        data.hint("rebalance", parts.map(org.apache.spark.sql.functions.col): _*) else data
       val writer = sized.write.mode("overwrite")
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
         .parquet(stage.toString)
@@ -888,9 +891,9 @@ private[sources] class GraftStreamSink(
         fs.delete(stage, true)
         val parts = parameters.get("partitionBy").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        // one data file per staged partition dir — see the batch path
+        // AQE-sized staged write — see the batch path
         val sized = if (parts.nonEmpty)
-          batch.repartition(parts.map(org.apache.spark.sql.functions.col): _*) else batch
+          batch.hint("rebalance", parts.map(org.apache.spark.sql.functions.col): _*) else batch
         val writer = sized.write.mode("overwrite")
         (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
           .parquet(stage.toString)

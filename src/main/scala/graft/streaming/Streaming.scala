@@ -383,25 +383,37 @@ object Streaming {
           allowMissingColumns = allowSchemaEvolution)
       case None => batch.withColumn("__new", lit(1))
     }
-    val w = Window.partitionBy(col(keyCol))
+    // ONE exchange serves BOTH the latest-wins window and the one-file-
+    // per-shard staged layout (the [[compactShards]] / upsertShardScoped
+    // contract, :2907): hash the merged rows by shard, then window over
+    // (shard, key) — `shardCol` is a pure function of `keyCol` (the
+    // verb's documented contract above), so per-(shard,key) latest-wins
+    // IS per-key latest-wins, and HashPartitioning(shard) already
+    // satisfies the window's ClusteredDistribution(shard, key), so
+    // EnsureRequirements inserts no second exchange. The dynamic-
+    // partition write then sees each shard in exactly one partition —
+    // one staged data file per shard dir instead of the
+    // (shuffle partitions x touched shards) ~2 KB fan-out (guide §6
+    // small-files; measured 512 -> 16 files per commit at sf0.1).
+    // r19 bought the same layout with a SEPARATE repartition(shardCol)
+    // exchange after the by-key window — its own A/B measured
+    // storage_cdc_follow +38% from that per-commit exchange; folding
+    // the shard hash into the window's exchange removes it outright
+    // (guide §2.4: two operations keyed compatibly share one exchange).
+    // Same whale-shard caveat as upsertShardScoped: one task windows
+    // and writes a whale shard — commit batches are bounded by the
+    // touched-shard span; backfill-sized loads belong to the scoped
+    // verbs.
+    val w = Window.partitionBy(col(shardCol), col(keyCol))
       .orderBy(col(versionCol).desc, col("__new").desc)
     val winner = merged
+      .repartition(col(shardCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__new")
     val stage = new org.apache.hadoop.fs.Path(target + stageName)
     fs.delete(stage, true)
-    // one data file per staged shard dir (the [[compactShards]] /
-    // upsertShardScoped layout contract, :2907): without this the
-    // window's shuffle fans the dynamic-partition write into
-    // (shuffle partitions x touched shards) near-empty part files —
-    // measured 32 x 16 = up to 512 ~2 KB files per commit at sf0.1,
-    // and every later pinned read pays a footer per file (guide §6
-    // small-files). One hash exchange of the merged rows buys it;
-    // same skew caveat as upsertShardScoped (a whale shard writes
-    // through one task).
-    winner.repartition(col(shardCol))
-      .write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
+    winner.write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
     // replaced dirs = the dir names SPARK wrote into the stage (never
     // re-derived by interpolating shard values — the hive-escaping
     // hazard); every touched shard has a staged dir because latest-wins
@@ -3477,8 +3489,15 @@ object Streaming {
     val keep = touched.join(keyRows.select(col(keyCol)), Seq(keyCol), "left_anti")
     val stage = new org.apache.hadoop.fs.Path(target + ".__stage")
     fs.delete(stage, true)
-    // one data file per staged shard dir — see upsertPartitionedCore
-    keep.repartition(col(shardCol))
+    // AQE-sized staged write (guide §2.5/§6): REBALANCE by the shard
+    // column coalesces the touched shards' survivors into few
+    // advisory-sized tasks (one data file per shard dir at commit-batch
+    // size, same layout the r19 repartition bought) AND splits a whale
+    // shard across several writers instead of serializing it through
+    // one task — the r19 verdict's whale-shard straggler item. Verified
+    // structurally: a 3M-row skewed shard stages >1 bounded file while
+    // 15 small shards stage 1 file each.
+    keep.hint("rebalance", col(shardCol))
       .write.mode("overwrite").partitionBy(shardCol).parquet(stage.toString)
     // shards fully emptied by the delete produced no staged dir — stage
     // an explicit empty parquet file (Spark writes one for an empty
