@@ -63,13 +63,15 @@ object ConnectedComponents {
           (col("nmin") < col("cluster")).as("chg")
         )
         .localCheckpoint()
-      // ONE job per round: the limit-1 changed probe (short-circuits on
-      // the first lowered label). Compaction sizes itself from the
-      // checkpoint's stored bytes — the extra count() job per round the
-      // r19 A/B measured as a regression on the incremental consumers
-      // is gone, the compaction is not.
-      changed = !step.filter(col("chg")).isEmpty
-      labels = Graph.compactFrontierAuto(step.select(col("node"), col("cluster")))
+      // ONE flat job per round yields BOTH the convergence flag and the
+      // row count the compaction needs (r19 paid two jobs here — an
+      // isEmpty probe plus a count — the regression its own A/B flagged
+      // on the incremental consumers; an isEmpty alone would still pay
+      // the limit scale-up's sequential mini-jobs on the converged
+      // round). max(chg) ignores the null chg of no-neighbor rows.
+      val probe = step.agg(count(lit(1)), max(col("chg"))).head()
+      changed = !probe.isNullAt(1) && probe.getBoolean(1)
+      labels = Graph.compactFrontier(step.select(col("node"), col("cluster")), probe.getLong(0))
       rounds += 1
     }
     // min-label covers one hop per round, so a component with

@@ -217,13 +217,14 @@ object Graph {
         .distinct()
         .join(closure, Seq("node", "ancestor"), "left_anti")
         .localCheckpoint()
-      // convergence via the limit-1 isEmpty probe (a data-carrying
-      // round short-circuits on its first cached row — the full-scan
-      // count() it replaces only paid off because compaction needed a
-      // row count; compactFrontierAuto sizes from stored bytes instead)
-      if (ck.isEmpty) done = true
+      // ONE flat job per round: count serves convergence AND sizing
+      // (an isEmpty here pays the limit scale-up's up-to-4 sequential
+      // mini-jobs on the final all-empty round — measured slower than
+      // the single cached-scan count at fixture scale)
+      val n = ck.count()
+      if (n == 0) done = true
       else {
-        val next = fresh(compactFrontierAuto(ck))
+        val next = fresh(compactFrontier(ck, n))
         frontiers = next :: frontiers
         frontier = next
       }
@@ -303,12 +304,14 @@ object Graph {
         .distinct()
         .join(closure, Seq("node", "ancestor"), "left_anti")
         .localCheckpoint()
-      // limit-1 isEmpty probe: short-circuits on the first cached row
-      // of a data-carrying round; compaction no longer needs the row
-      // count (compactFrontierAuto sizes from stored bytes, no job)
-      if (ck.isEmpty) done = true
+      // ONE flat job per round: count serves convergence AND sizing
+      // (an isEmpty here pays the limit scale-up's up-to-4 sequential
+      // mini-jobs on the final all-empty round — measured slower than
+      // the single cached-scan count at fixture scale)
+      val n = ck.count()
+      if (n == 0) done = true
       else {
-        val next = fresh(compactFrontierAuto(ck))
+        val next = fresh(compactFrontier(ck, n))
         frontiers = next :: frontiers
         delta = next
       }
@@ -442,9 +445,12 @@ object Graph {
         )
         .distinct()
       val ck = composed.join(closure, Seq("node", "head", "path"), "left_anti").localCheckpoint()
-      if (ck.isEmpty) done = true
+      // one flat count job per round (see transitiveClosureSmart);
+      // path rows carry arrays — compact at a lower rows/partition
+      val n = ck.count()
+      if (n == 0) done = true
       else {
-        val next = fresh(compactFrontierAuto(ck))
+        val next = fresh(compactFrontier(ck, n, rowsPerPart = 250000L))
         frontiers = next :: frontiers
         delta = next
       }
